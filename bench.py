@@ -1,0 +1,56 @@
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion (collect-less: count() forces the full
+plan including aggregation/exchange stages; wide per-row outputs are
+counted, small aggregates are collected) after one untimed warm-up of the
+session (JVM + parquet footer caches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+    from pm25ml_spark.session import get_spark
+
+    load_all_plans()
+    spark = get_spark("pm25ml_spark-bench")
+
+    # Warm up: JVM JIT + file listing; untimed.
+    QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "pm25ml_spark query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

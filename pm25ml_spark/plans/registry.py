@@ -1,0 +1,51 @@
+"""Query catalog registry.
+
+Every operator claimed in SURVEY §2 (plus the beyond-reference LLM-pipeline
+operators) registers here as a named query:
+
+- a Spark builder  ``fn(spark, sf_dir) -> DataFrame``
+- optionally a DuckDB oracle SQL string computing the same result over the
+  same parquet tables (pre-registered views: region nation customer supplier
+  part orders lineitem events documents embeddings).
+
+The verification driver hash-compares the two at sf=0.01; queries with no
+oracle get a weaker rows-only check (reserved for genuinely
+non-SQL-expressible operators).
+
+Determinism contract for every registered query:
+- stable output ordering is NOT required (driver sorts), but output VALUES
+  must be engine-deterministic — use ``functions.exact`` decimal-sum helpers
+  for any float aggregate, and break window-order ties with a unique key.
+- every computed column is aliased identically in the Spark plan and the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a query plan and its optional DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_plans() -> None:
+    """Import every plan module so its @query decorators run."""
+    import pm25ml_spark.plans.relational  # noqa: F401
+    import pm25ml_spark.plans.windows  # noqa: F401
+    import pm25ml_spark.plans.domain  # noqa: F401
+    import pm25ml_spark.plans.dedup  # noqa: F401
+    import pm25ml_spark.plans.similarity  # noqa: F401
+    import pm25ml_spark.plans.text  # noqa: F401

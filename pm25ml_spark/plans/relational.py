@@ -1,0 +1,503 @@
+"""Relational operator plans (SURVEY §2.2-§2.8) over the TPC-H-ish tables.
+
+Each query demonstrates one or more inventory operators:
+
+- q01  A1 group-by agg + P5 filter + scalar arithmetic  (TPC-H Q1 shape)
+- q02  J1 multi-way inner join tree with broadcast dims
+- q03  J5 join + top-k ordering (O1)
+- q04  J4 left-join enrichment + null-handling aggregates
+- q05  J5 inner join on differently-named keys
+- q06  P5 range predicates, pushed to the parquet scan
+- q07  A4 distinct
+- q08  U1 union-all + re-aggregation
+- q09  J2/J6 cross-join scaffold completion with left join + coalesce
+- q10  P-family CASE WHEN bucketing + conditional aggregation
+- q11  A2 exact grouped quantiles (q1/q3/IQR)
+- q12  J3 full-outer recombine with key coalesce
+- q13  anti-join (driver-side set-difference analog done data-plane)
+- q14  J1 + conditional aggregate ratio (promo share)
+
+Reference parity notes are cited per query; all aggregates use the
+decimal-sum discipline from ``pm25ml_spark.functions.exact`` so values are
+bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
+from pm25ml_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (A1 hash agg with partial/final; filter pushdown P5).
+# Reference analog: collectors/pm25/pm25_pipeline.py:64-70 (group-by mean).
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr('l_quantity')} AS sum_qty,
+           {dsum_expr('l_extendedprice')} AS sum_base_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_expr('l_quantity')} AS avg_qty,
+           {davg_expr('l_extendedprice')} AS avg_price,
+           {davg_expr('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — multi-way inner join tree (J1). The dims (nation, region) are tiny →
+# broadcast, exactly like the reference's 33k-row grid table
+# (combiners/archive/combiner.py:133-179 joins; SURVEY J1/J4 broadcast note).
+@query(
+    "q02_region_revenue",
+    f"""
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           {dsum_expr('o_totalprice')} AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — shipping-priority top-k (O1 ordered output + limit).
+@query(
+    "q03_top_revenue_orders",
+    f"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — left-join enrichment (J4) incl. customers with no orders; the
+# reference's scaffold-left-join-coalesce shape (pm25_pipeline.py:160-164).
+@query(
+    "q04_customer_order_profile",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE n_orders = 0) AS n_inactive,
+           SUM(n_orders) AS total_orders,
+           {dsum_expr('total_spend')} AS segment_spend
+    FROM (
+        SELECT c.c_custkey, c.c_mktsegment,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(o.total_spend, 0.0) AS total_spend
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   {dsum_expr('o_totalprice')} AS total_spend
+            FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q04_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_spend"),
+    )
+    enriched = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_if(F.col("n_orders") == 0).alias("n_inactive"),
+        F.sum("n_orders").alias("total_orders"),
+        dsum("total_spend").alias("segment_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — inner join on differently-named keys (J5:
+# pm25_pipeline.py:100-107 measurements ⋈ station map).
+@query(
+    "q05_supplier_by_region",
+    f"""
+    SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           {davg_expr('s_acctbal')} AS avg_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q05_supplier_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            davg("s_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — pure range-predicate scan (P5); every predicate reaches the parquet
+# reader as a pushed filter (verify via .explain → PushedFilters).
+@query(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — distinct (A4: ned_export_pipeline.py:237 unique grid_ids).
+@query(
+    "q07_distinct_flag_status",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q07_distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# q08 — union-all + re-aggregate (U1: ned_export_pipeline.py:218 concat).
+@query(
+    "q08_union_priority",
+    f"""
+    SELECT src, COUNT(*) AS n, {dsum_expr('o_totalprice')} AS total
+    FROM (
+        SELECT 'high_value' AS src, o_totalprice FROM orders WHERE o_totalprice > 300000
+        UNION ALL
+        SELECT 'urgent' AS src, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY src
+    """,
+)
+def q08_union_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.lit("high_value").alias("src"), "o_totalprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_totalprice"
+    )
+    return (
+        high.unionByName(urgent)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — scaffold completion (J2/J6): full user × day cartesian index built
+# with sequence+explode (the Spark spelling of pl.date_range — J6,
+# pm25_pipeline.py:140-158), left-joined with observed aggregates, nulls
+# coalesced to zero. Exactly the reference's full-outer-coalesce scaffold.
+@query(
+    "q09_user_day_scaffold",
+    f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    days AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    agg AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               {dsum_expr('value')} AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.total, 0.0) AS total_value
+    FROM users u
+    CROSS JOIN days d
+    LEFT JOIN agg a ON a.user_id = u.user_id AND a.day = d.day
+    """,
+)
+def q09_user_day_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    users = ev.select("user_id").distinct()
+    agg = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+    )
+    scaffold = users.crossJoin(F.broadcast(days))
+    return (
+        scaffold.join(agg, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — CASE WHEN bucketing (when/then/otherwise family, §2.8 Conditional).
+@query(
+    "q10_order_value_buckets",
+    f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                WHEN o_totalprice < 300000 THEN 'large'
+                ELSE 'jumbo' END AS bucket,
+           o_orderstatus,
+           COUNT(*) AS n,
+           {davg_expr('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY bucket, o_orderstatus
+    """,
+)
+def q10_order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), davg("o_totalprice").alias("avg_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — grouped exact quantiles + IQR (A2: pm25/data_source.py:62-76
+# station q1/q3/IQR). Exact `percentile` (linear interpolation) matches
+# DuckDB's quantile_cont; rounded to 4dp to absorb interpolation-arithmetic
+# ulp differences.
+@query(
+    "q11_quantity_iqr",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q1,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q3,
+           ROUND(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 4) AS iqr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q11_quantity_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q3"),
+        F.round(
+            F.expr("percentile(l_quantity, 0.75) - percentile(l_quantity, 0.25)"), 4
+        ).alias("iqr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — full-outer recombine with key coalesce (J3:
+# combiners/recombiner/recombiner.py:143-178).
+@query(
+    "q12_nation_counts_recombine",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+)
+def q12_nation_counts_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nk", "outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — anti join: customers with no orders. The reference only does set
+# difference driver-side (spatial_imputation_manager.py:206-215); here it is
+# a data-plane LEFT ANTI join, which distributes.
+@query(
+    "q13_inactive_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q13_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — conditional-aggregate ratio (promo revenue share; TPC-H Q14 shape).
+@query(
+    "q14_promo_share",
+    f"""
+    SELECT {dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+           {dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {dsum_expr('l_extendedprice * (1 - l_discount)')} AS promo_ratio
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(disc_price).alias("total_revenue"),
+            (dsum(promo) / dsum(disc_price)).alias("promo_ratio"),
+        )
+    )

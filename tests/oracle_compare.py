@@ -1,0 +1,58 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark plan and its oracle SQL over the same sf dir,
+sorts columns by name and rows by value, and asserts exact equality —
+stricter than approximate compare on purpose: the driver hash-compares, so
+any value drift is a failure there too.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from pm25ml_spark.catalog import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_match(spark_df, oracle_df: pd.DataFrame, name: str) -> None:
+    got = canon(spark_df.toPandas())
+    want = canon(oracle_df)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns differ: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            for i, (a, b) in enumerate(zip(g.astype(float), w.astype(float))):
+                ok = (math.isnan(a) and math.isnan(b)) or a == b
+                assert ok, f"{name}: col {c} row {i}: spark={a!r} oracle={b!r}"
+        else:
+            diff = g[g.astype(str) != w.astype(str)]
+            assert diff.empty, (
+                f"{name}: col {c} mismatch at rows {diff.index[:5].tolist()}: "
+                f"spark={g[diff.index[:3]].tolist()} oracle={w[diff.index[:3]].tolist()}"
+            )
