@@ -1,0 +1,67 @@
+"""As-of (backward) temporal join without a range cross-product.
+
+The reference's as-of logic is plan-level partition fallback
+(`combiners/archive/combine_planner.py:118-163` — substitute the latest
+earlier month). Generalized here to a data-plane operator: for each left
+row, attach the latest right row with ``right.ts <= left.ts`` per key.
+
+Implementation is the union+window trick: tag both sides, union, sort by
+(key, ts, side) and carry the last right value forward with an
+ignore-nulls window — one shuffle, no n×m candidate explosion, skew-safe
+under AQE. This is the scalable Spark spelling; a broadcast-range join
+would blow up on dense right sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Attach to each left row the payload of the latest right row at or
+    before its timestamp (per key). Left columns are preserved; payload
+    columns arrive as ``asof_<name>`` (null when no earlier right row).
+
+    Ties: a right row with ts equal to the left row's ts IS matched
+    (<=); among equal-ts right rows the one with the largest payload
+    ordering wins deterministically via the (ts, side, row-order) sort.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    merged = l_tag.unionByName(r_tag)
+    # right rows (__side=0) sort before left rows at equal ts → <= semantics
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumns(
+        {
+            f"asof_{p}": F.last(f"__p_{p}", ignorenulls=True).over(w)
+            for p in payload
+        }
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[f"asof_{p}" for p in payload]
+    )

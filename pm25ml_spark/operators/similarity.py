@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the (small)
+query set against the candidate corpus, dot products computed JVM-side via
+``zip_with`` + ``aggregate`` (no Python, no shuffle until the final top-k
+window). For the billion-vector scale path, ``lsh_bucket_topk`` buckets
+candidates by deterministic random-hyperplane signs so each query probes
+only its bucket.
+
+Determinism contract: scores are rounded to 6 dp and ranked with
+(rounded score DESC, candidate id ASC) so ordering is reproducible across
+engines; the 1e-13-level float divergence sits ~7 orders of magnitude
+below the rounding step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    The query side is broadcast (typical ANN workloads probe with a small
+    batch); candidates stream through without a shuffle until the per-query
+    top-k window, which is partitioned by query id — never a single-
+    partition sort.
+    """
+    pairs = candidates.crossJoin(F.broadcast(queries)).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    score = F.round(
+        _dot(F.col(q_vec), F.col(c_vec)) / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+        6,
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        pairs.select(q_id, c_id, score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def hyperplane_signature(vec, n_planes: int, dim: int) -> F.Column:
+    """Deterministic random-hyperplane LSH signature (bigint bucket id).
+
+    Plane components are md5-derived integers in [-500, 500) — seedless,
+    engine-portable pseudo-randomness: plane[p][i] = (md5("p_i") mod 1000)
+    - 500. The signature packs sign(v·plane_p) bits.
+    """
+    sig = None
+    for p in range(n_planes):
+        comps = F.array(
+            *[
+                (
+                    F.conv(F.md5(F.lit(f"{p}_{i}")).substr(1, 15), 16, 10).cast(
+                        "bigint"
+                    )
+                    % 1000
+                    - 500
+                ).cast("double")
+                for i in range(dim)
+            ]
+        )
+        dot = _dot(vec, comps)
+        bit = F.when(dot >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 1,
+    n_planes: int = 8,
+    dim: int = 64,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane bucket
+    are scored. The bucket join replaces the cross join — at 10^9 vectors
+    with 2^n_planes buckets the probe set shrinks ~2^n_planes-fold.
+
+    Fully deterministic (hash-derived planes), so oracle-checkable.
+    """
+    qs = queries.withColumn("bucket", hyperplane_signature(F.col(q_vec), n_planes, dim))
+    cs = candidates.withColumn(
+        "bucket", hyperplane_signature(F.col(c_vec), n_planes, dim)
+    )
+    pairs = cs.join(F.broadcast(qs), "bucket").filter(F.col(q_id) != F.col(c_id))
+    score = F.round(
+        _dot(F.col(q_vec), F.col(c_vec)) / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+        6,
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        pairs.select(q_id, c_id, score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,1 +1,125 @@
-"""Placeholder — populated in this round."""
+"""Deduplication plans over `documents` (beyond-reference LLM-pipeline ops).
+
+Exact, normalized, n-gram-Jaccard, MinHash+LSH, and SimHash dedup — each
+wraps an operator from ``pm25ml_spark.operators.dedup``. Oracles recompute
+the same md5-derived signatures in DuckDB SQL, so even the hash-based
+operators are value-checked, not just row-counted. The MinHash plan's
+oracle is the exact-Jaccard pair set: LSH candidates are exact-verified, so
+the outputs agree unless LSH *misses* a pair (probability ≈ (1-t^r)^b ≈
+2e-4 at t=0.9, → 0 as t→1 where real dups live).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.operators import dedup as D
+from pm25ml_spark.plans.registry import query
+
+# Shared oracle fragment: distinct 3-gram shingles per doc.
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_raw AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh_raw),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_PAIRS = """
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ca.n_sh AS na, cb.n_sh AS nb, COUNT(*) AS shared
+        FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        JOIN counts cb ON cb.doc_id = b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+"""
+
+
+@query(
+    "dd01_exact_dedup",
+    """
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs)
+
+
+@query(
+    "dd02_normalized_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dd02_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.normalized_dedup_groups(docs)
+
+
+@query(
+    "dd03_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
+    SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6
+    """,
+)
+def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, n=3, threshold=0.6)
+
+
+@query(
+    "dd04_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.9
+    """,
+)
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, threshold=0.9)
+
+
+@query(
+    "dd05_simhash",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM (SELECT doc_id, hv, UNNEST(range(0, 60)) AS j FROM h)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN score > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs)

@@ -1,1 +1,266 @@
-"""Placeholder — populated in this round."""
+"""Domain-shaped plans: the reference pipeline's spine re-run over `events`.
+
+These exercise the actual engine modules (operators.combine / asof /
+features) end-to-end with DuckDB oracles — the pm25 lifecycle (SURVEY §3)
+transplanted onto the benchmark tables: users ≙ grid cells, days ≙ dates,
+event values ≙ measurements.
+
+- d01: wide combine (prefix-rename + N-way inner join, J1/P4)
+- d02: as-of backward join (J9 generalized to the data plane)
+- d03: scaffold → feature chain (J2/J6 + W1-W4 + fills)
+- d04: the pm25 filter-marker cascade (W5 + A2 + P7 + A1 + scaffold)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.functions.exact import DEC, davg, davg_expr, dsum, dsum_expr
+from pm25ml_spark.operators.asof import asof_join_backward
+from pm25ml_spark.operators.combine import wide_combine
+from pm25ml_spark.operators.features import generate_features
+from pm25ml_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# d01 — wide combiner over two event-derived long tables (J1 + P4:
+# combiners/archive/combiner.py:36-98,133-208).
+@query(
+    "d01_wide_combine",
+    f"""
+    WITH purchases AS (
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               {dsum_expr('value')} AS total, COUNT(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.day,
+           p.total AS purchases__total,
+           p.n AS purchases__n,
+           c.n AS clicks__n
+    FROM purchases p
+    JOIN clicks c ON p.user_id = c.user_id AND p.day = c.day
+    """,
+)
+def d01_wide_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(dsum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wide = wide_combine(
+        {"purchases": purchases, "clicks": clicks},
+        id_cols=("user_id", "day"),
+    )
+    return wide.select(
+        "user_id", "day", "purchases__total", "purchases__n", "clicks__n"
+    )
+
+
+# --------------------------------------------------------------------------
+# d02 — as-of backward join: each purchase gets the latest preceding view's
+# timestamp per user (union+window implementation — no range explosion).
+@query(
+    "d02_asof_purchase_view",
+    """
+    SELECT p.event_id,
+           (SELECT MAX(epoch_us(v.ts)) FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              AND v.ts <= p.ts) AS asof_view_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def d02_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.unix_micros("ts").alias("view_us")
+    )
+    out = asof_join_backward(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["view_us"],
+    )
+    return out.select("event_id", F.col("asof_view_us").alias("asof_view_us"))
+
+
+# --------------------------------------------------------------------------
+# d03 — scaffold completion + the feature chain (SURVEY §3.2): user×day
+# scaffold (nulls where no purchases), rolling means with min_samples=1,
+# ffill/bfill of all-null frames, year/all-time partition means, calendar
+# scalars. The full generated_features stage in miniature.
+_D03_WIN = "PARTITION BY user_id ORDER BY day"
+
+
+@query(
+    "d03_feature_chain",
+    f"""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, {davg_expr('value')} AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    scaffold AS (
+        SELECT u.user_id, d.day, daily.v
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+    ),
+    feat AS (
+        SELECT user_id, day, v,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w7 AS DOUBLE) / COUNT(v) OVER w7 AS r7,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+                 / COUNT(v) OVER (PARTITION BY user_id) AS v_mean_all
+        FROM scaffold
+        WINDOW w7 AS ({_D03_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    filled AS (
+        SELECT user_id, day, v, v_mean_all,
+               COALESCE(r7,
+                 last_value(r7 IGNORE NULLS) OVER ({_D03_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 first_value(r7 IGNORE NULLS) OVER ({_D03_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               ) AS v_mean_r7d
+        FROM feat
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v AS value,
+           v_mean_r7d, v_mean_all,
+           year(day) AS year, dayofyear(day) AS day_of_year,
+           CASE WHEN month(day) BETWEEN 6 AND 9 THEN 1 ELSE 0 END AS monsoon_season
+    FROM filled
+    """,
+)
+def d03_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(davg("value").alias("v"))
+    )
+    scaffold = users.crossJoin(F.broadcast(days)).join(
+        daily, ["user_id", "day"], "left"
+    )
+    feat = generate_features(
+        scaffold, ["v"], key="user_id", date_col="day",
+        with_fills=True, exact=True,
+    )
+    return feat.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").alias("value"),
+        F.col("v__mean_r7d").alias("v_mean_r7d"),
+        F.col("v__mean_all").alias("v_mean_all"),
+        "year",
+        "day_of_year",
+        "monsoon_season",
+    )
+
+
+# --------------------------------------------------------------------------
+# d04 — the pm25 ingest filter cascade (setup/pm25_filters.py:14-83 +
+# pm25_pipeline.py:58-164): repeat-detector (W5), IQR anomaly (A2),
+# max-value cut, keep/drop label cascade (P7), cell-day mean (A1),
+# scaffold left join.
+@query(
+    "d04_filter_cascade",
+    f"""
+    WITH stats AS (
+        SELECT user_id,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY user_id
+    ),
+    marked AS (
+        SELECT e.user_id, CAST(e.ts AS DATE) AS day, e.value,
+               CASE WHEN COUNT(e.value) OVER w5 = 5
+                     AND ABS(e.value - CAST(SUM(CAST(e.value AS DECIMAL(38,6))) OVER w5 AS DOUBLE) / 5) < 0.05
+                    THEN 1 ELSE 0 END AS f_repeat,
+               CASE WHEN e.value > s.q3 + 15 * (s.q3 - s.q1) THEN 1 ELSE 0 END AS f_anomaly,
+               CASE WHEN e.value >= 450.0 THEN 1 ELSE 0 END AS f_max
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WINDOW w5 AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    kept AS (
+        SELECT user_id, day, value FROM marked
+        WHERE f_repeat = 0 AND f_anomaly = 0 AND f_max = 0
+    ),
+    agg AS (
+        SELECT user_id, day, {davg_expr('value')} AS mean_value, COUNT(*) AS n_kept
+        FROM kept GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           a.mean_value, COALESCE(a.n_kept, 0) AS n_kept
+    FROM users u CROSS JOIN days d
+    LEFT JOIN agg a ON a.user_id = u.user_id AND a.day = d.day
+    """,
+)
+def d04_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    cnt5 = F.count("value").over(w5)
+    roll5 = F.sum(F.col("value").cast(DEC)).over(w5).cast("double") / 5
+    marked = (
+        ev.join(F.broadcast(stats), "user_id")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn(
+            "f_repeat",
+            F.when((cnt5 == 5) & (F.abs(F.col("value") - roll5) < 0.05), 1).otherwise(0),
+        )
+        .withColumn(
+            "f_anomaly",
+            F.when(
+                F.col("value") > F.col("q3") + 15 * (F.col("q3") - F.col("q1")), 1
+            ).otherwise(0),
+        )
+        .withColumn("f_max", F.when(F.col("value") >= 450.0, 1).otherwise(0))
+    )
+    kept = marked.filter(
+        (F.col("f_repeat") == 0) & (F.col("f_anomaly") == 0) & (F.col("f_max") == 0)
+    )
+    agg = kept.groupBy("user_id", "day").agg(
+        davg("value").alias("mean_value"), F.count(F.lit(1)).alias("n_kept")
+    )
+    days = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = ev.select("user_id").distinct()
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(agg, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "mean_value",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

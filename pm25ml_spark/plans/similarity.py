@@ -1,1 +1,141 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search plans over `embeddings` (beyond-reference ops).
+
+ss01: exact brute-force cosine top-5 (the ANN baseline).
+ss02: k-NN majority-label vote on top of ss01.
+ss03: hyperplane-LSH bucketed top-1 — the scale path; deterministic
+      hash-derived planes make even the "approximate" operator
+      oracle-checkable value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.operators import similarity as S
+from pm25ml_spark.plans.registry import query
+
+_PAIR_SCORES = """
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    pairs AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+        FROM c, q
+        WHERE qid <> cid
+    ),
+    ranked AS (
+        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rk
+        FROM pairs
+    )
+"""
+
+
+def _qc(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    return emb, q, c
+
+
+@query(
+    "ss01_cosine_top5",
+    f"WITH {_PAIR_SCORES} SELECT qid, cid, score, rk FROM ranked WHERE rk <= 5",
+)
+def ss01_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.cosine_topk(q, c, k=5)
+
+
+@query(
+    "ss02_knn_label_vote",
+    f"""
+    WITH {_PAIR_SCORES},
+    topk AS (SELECT qid, cid FROM ranked WHERE rk <= 5),
+    votes AS (
+        SELECT t.qid, e.label, COUNT(*) AS n_votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.cid
+        GROUP BY t.qid, e.label
+    )
+    SELECT qid, label AS pred_label, n_votes FROM (
+        SELECT qid, label, n_votes,
+               row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS r
+        FROM votes)
+    WHERE r = 1
+    """,
+)
+def ss02_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q, c = _qc(spark, sf_dir)
+    topk = S.cosine_topk(q, c, k=5)
+    votes = (
+        topk.join(
+            F.broadcast(emb.select(F.col("vec_id").alias("cid"), "label")), "cid"
+        )
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+def _plane_sql(n_planes: int, dim: int, vec: str) -> str:
+    """DuckDB spelling of the md5-derived hyperplane signature."""
+    bits = []
+    for p in range(n_planes):
+        comps = ", ".join(
+            f"(('0x' || substr(md5('{p}_{i}'), 1, 15))::BIGINT % 1000 - 500)"
+            for i in range(dim)
+        )
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * CAST(([{comps}])[i] AS DOUBLE))) >= 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return " + ".join(bits)
+
+
+@query(
+    "ss03_lsh_bucket_top1",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               {_plane_sql(8, 64, 'embedding')} AS bucket
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               {_plane_sql(8, 64, 'embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+        FROM c JOIN q USING (bucket)
+        WHERE qid <> cid
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rk
+        FROM pairs)
+    WHERE rk <= 1
+    """,
+)
+def ss03_lsh_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.lsh_bucket_topk(q, c, k=1, n_planes=8, dim=64)

@@ -1,1 +1,220 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis plans over `documents` (beyond-reference LLM-pipeline ops).
+
+Language-ID heuristics, quality scoring, token counting, and document
+fingerprinting, all expressed with JVM-side built-ins (split / transform /
+filter / md5) — no Python UDFs in the hot path, so the plans stay inside
+whole-stage codegen and scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.functions.exact import davg, davg_expr
+from pm25ml_spark.plans.registry import query
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+# --------------------------------------------------------------------------
+# token counting + per-language profile.
+@query(
+    "t01_lang_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           {davg_expr('n_tokens')} AS avg_tokens,
+           {davg_expr('n_chars')} AS avg_chars,
+           {davg_expr('avg_word_len')} AS mean_word_len
+    FROM (
+        SELECT lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_word_len
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def t01_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    avg_word_len = F.length(F.regexp_replace("text", " ", "")).cast(
+        "double"
+    ) / n_tokens
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        davg("n_tokens").alias("avg_tokens"),
+        davg("n_chars").alias("avg_chars"),
+        davg("avg_word_len").alias("mean_word_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# per-document quality score: type-token ratio, stopword ratio, vowel
+# ratio, and a composite — the length/stopword-ratio style quality gates a
+# training-data pipeline filters on.
+@query(
+    "t02_quality_profile",
+    """
+    SELECT doc_id,
+           n_tokens,
+           n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_vowels AS DOUBLE) / n_chars AS vowel_ratio,
+           CASE WHEN n_tokens >= 20
+                 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                               t -> t = 'the' OR t = 'a')) AS n_stop,
+               len(text) - len(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels
+        FROM documents
+    )
+    """,
+)
+def t02_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    n_vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        n_stop.alias("n_stop"),
+        n_vowels.alias("n_vowels"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ttr.alias("ttr"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_vowels").cast("double") / F.col("n_chars")).alias("vowel_ratio"),
+        F.when(
+            (F.col("n_tokens") >= 20) & (ttr > 0.3) & (stop_ratio < 0.5), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language-ID by marker-token votes (n-gram/stopword heuristic). The
+# declared `lang` column is synthetic, so this is a deterministic heuristic
+# demo: score each candidate language by marker hits, argmax with a fixed
+# tie-break order.
+@query(
+    "t03_lang_id_heuristic",
+    """
+    SELECT doc_id, lang AS declared_lang,
+           CASE GREATEST(n_en, n_data, n_query)
+                WHEN n_en THEN 'en'
+                WHEN n_data THEN 'data-ish'
+                ELSE 'query-ish' END AS pred_lang,
+           n_en, n_data, n_query
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                               t -> t = 'the' OR t = 'a')) AS n_en,
+               len(list_filter(string_split(text, ' '),
+                               t -> t = 'data' OR t = 'table' OR t = 'row')) AS n_data,
+               len(list_filter(string_split(text, ' '),
+                               t -> t = 'query' OR t = 'scan' OR t = 'join')) AS n_query
+        FROM documents
+    )
+    """,
+)
+def t03_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_en = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    n_data = F.size(F.filter(toks, lambda t: t.isin("data", "table", "row")))
+    n_query = F.size(F.filter(toks, lambda t: t.isin("query", "scan", "join")))
+    base = docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        n_en.alias("n_en"),
+        n_data.alias("n_data"),
+        n_query.alias("n_query"),
+    )
+    best = F.greatest("n_en", "n_data", "n_query")
+    pred = (
+        F.when(best == F.col("n_en"), "en")
+        .when(best == F.col("n_data"), "data-ish")
+        .otherwise("query-ish")
+    )
+    return base.select(
+        "doc_id", "declared_lang", pred.alias("pred_lang"), "n_en", "n_data", "n_query"
+    )
+
+
+# --------------------------------------------------------------------------
+# bag-of-words fingerprint: md5 over the sorted distinct token set — the
+# canonical "document fingerprinting" primitive; collision groups counted
+# via a window.
+@query(
+    "t04_bag_fingerprint",
+    """
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same_bag
+    FROM (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    )
+    """,
+)
+def t04_bag_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens())), " "))
+    return docs.select("doc_id", fp.alias("fp")).withColumn(
+        "n_same_bag", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+
+
+# --------------------------------------------------------------------------
+# term frequency via explode (the unnest/flatten operator) + top-k terms.
+@query(
+    "t05_term_frequency_top20",
+    """
+    SELECT token, n FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    )
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def t05_term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -1,1 +1,308 @@
-"""Placeholder — populated in this round."""
+"""Window-function plans (SURVEY §2.5 W1-W7 + §2.4 A6/A7) over `events`.
+
+The reference's windows are all partition-by + physical-row frames over
+date-sorted data (Polars ``rolling_mean(n).over(key)``); Spark's window spec
+subsumes the explicit pre-sorts. Frame means use the decimal-sum/count
+split so ``min_samples=1`` (Polars default in W1/W2) and cross-engine
+determinism both hold.
+
+Every window orders by ``(ts, event_id)`` — event_id breaks timestamp ties
+so both engines see identical frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.functions.exact import DEC, davg, dsum
+from pm25ml_spark.plans.registry import query
+
+_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _user_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _frame_mean(col: str, w: Window, lo: int) -> "F.Column":
+    """Rolling mean over rows [lo, 0] with min_samples=1 (W1 semantics:
+    feature_generation/generate.py:71-79 — mean of whatever is present)."""
+    frame = w.rowsBetween(lo, 0)
+    return F.sum(F.col(col).cast(DEC)).over(frame).cast("double") / F.count(col).over(
+        frame
+    )
+
+
+# --------------------------------------------------------------------------
+# W1/W2 — short + long rolling means per key (generate.py:71-89).
+@query(
+    "w01_rolling_means",
+    f"""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w7 AS DOUBLE) / COUNT(value) OVER w7 AS roll7,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w30 AS DOUBLE) / COUNT(value) OVER w30 AS roll30
+    FROM events
+    WINDOW w7 AS ({_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+           w30 AS ({_WIN} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w01_rolling_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = _user_window()
+    return ev.select(
+        "event_id",
+        _frame_mean("value", w, -6).alias("roll7"),
+        _frame_mean("value", w, -29).alias("roll30"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5 — rolling mean with min_samples=window_size + repeat-detector flag
+# (setup/pm25_filters.py:26-44): null until the frame is full, then flag
+# rows whose value sits within 0.05 of the 5-row mean.
+@query(
+    "w02_repeat_detector",
+    f"""
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w5 = 5
+                THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w5 AS DOUBLE) / 5
+                ELSE NULL END AS roll5,
+           CASE WHEN COUNT(value) OVER w5 = 5
+                 AND ABS(value - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w5 AS DOUBLE) / 5) < 0.05
+                THEN 1 ELSE 0 END AS is_repeat
+    FROM events
+    WINDOW w5 AS ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w02_repeat_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    frame = _user_window().rowsBetween(-4, 0)
+    cnt = F.count("value").over(frame)
+    roll5 = F.sum(F.col("value").cast(DEC)).over(frame).cast("double") / 5
+    roll5_guarded = F.when(cnt == 5, roll5)
+    return ev.select(
+        "event_id",
+        roll5_guarded.alias("roll5"),
+        F.when(
+            (cnt == 5) & (F.abs(F.col("value") - roll5) < 0.05), 1
+        )
+        .otherwise(0)
+        .alias("is_repeat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3/W4/A6 — unbounded partition means (generate.py:91-99: per-cell-year
+# and all-time per-cell means as window columns, not grouped aggregates).
+@query(
+    "w03_partition_means",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id) AS user_mean,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id, event_type) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id, event_type) AS user_type_mean
+    FROM events
+    """,
+)
+def w03_partition_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    wut = Window.partitionBy("user_id", "event_type")
+    mean_over = lambda w: F.sum(F.col("value").cast(DEC)).over(w).cast(  # noqa: E731
+        "double"
+    ) / F.count("value").over(w)
+    return ev.select(
+        "event_id",
+        mean_over(wu).alias("user_mean"),
+        mean_over(wut).alias("user_type_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — share-of-flag per date as a window aggregate
+# (regression_model_predictor.py:181-183: share imputed per day).
+@query(
+    "w04_error_share_per_day",
+    """
+    SELECT event_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY CAST(ts AS DATE)) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS share_error
+    FROM events
+    """,
+)
+def w04_error_share_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    wd = Window.partitionBy("day")
+    share = (
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(wd)
+        .cast("double")
+        / F.count(F.lit(1)).over(wd)
+    )
+    return ev.select(
+        "event_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        share.alias("share_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 fills — forward fill then backward fill of nulls
+# (generate.py:73-79 backward_fill + forward_fill after rolling).
+# `error` events' values are treated as missing to create a null pattern.
+@query(
+    "w05_gap_fill",
+    f"""
+    SELECT event_id,
+           last_value(v IGNORE NULLS)
+             OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           COALESCE(
+             last_value(v IGNORE NULLS)
+               OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(v IGNORE NULLS)
+               OVER ({_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ) AS filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def w05_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    w = _user_window()
+    ff = F.last("v", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    bf = F.first("v", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id", ff.alias("ffill"), F.coalesce(ff, bf).alias("filled")
+    )
+
+
+# --------------------------------------------------------------------------
+# lag/delta — event-over-event change per user, re-aggregated.
+@query(
+    "w06_event_deltas",
+    f"""
+    SELECT user_id,
+           COUNT(delta) AS n_deltas,
+           CAST(SUM(CAST(delta AS DECIMAL(38,6))) AS DOUBLE) / COUNT(delta) AS avg_delta
+    FROM (
+        SELECT user_id,
+               value - lag(value) OVER ({_WIN}) AS delta
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def w06_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    delta = F.col("value") - F.lag("value").over(_user_window())
+    return (
+        ev.withColumn("delta", delta)
+        .groupBy("user_id")
+        .agg(F.count("delta").alias("n_deltas"), davg("delta").alias("avg_delta"))
+    )
+
+
+# --------------------------------------------------------------------------
+# top-k per group (rank + filter; the distributed form of O3 "top-1 by key").
+@query(
+    "w07_top3_per_user",
+    """
+    SELECT user_id, event_id, value, rk FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        FROM events)
+    WHERE rk <= 3
+    """,
+)
+def w07_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# W7 — systematic decimation (gather_every(n),
+# setup/dependency_injection.py:340-346). Scale note: the global
+# row_number is a single-partition sort only over (already tiny) sampled
+# output; for 100 TB inputs use per-partition offsets (zipWithIndex
+# pattern) or plain Bernoulli sample — this operator exists for parity
+# with the reference's deterministic mini-sample mode.
+@query(
+    "w08_decimate_100",
+    """
+    SELECT event_id, value FROM (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY event_id) AS rn
+        FROM events)
+    WHERE (rn - 1) % 100 = 0
+    """,
+)
+def w08_decimate_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") - 1) % 100 == 0)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization — gap>30min starts a new session; cumulative-sum window
+# then grouped per session. (Beyond-reference: the batch dual of the
+# streaming session-window operator.)
+@query(
+    "w09_sessionize",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WIN}) > 1800000000
+                     OR lag(epoch_us(ts)) OVER ({_WIN}) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def w09_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        (F.col("ts_us") - prev > 1_800_000_000) | prev.isNull(), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+    )
