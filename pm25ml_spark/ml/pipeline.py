@@ -1,0 +1,160 @@
+"""ML train/predict (SURVEY §2.12 M1-M7), Spark-native via MLlib.
+
+The reference trains XGBoost/LightGBM single-node on a 2-3 % sample and
+predicts per month (imputation_model_pipeline.py, regression_model_
+predictor.py). Neither library is a dependency here; MLlib's GBTRegressor
+is the Spark-native equivalent and *distributes* training — the scale-up
+path SURVEY §7.3(5) names. The surrounding semantics are ported exactly:
+
+- M1/M2: group-aware CV fold assignment (GroupKFold ≙ dense_rank of the
+  group key mod k; stratified variant interleaves within strata).
+- M5: R²/RMSE via SQL aggregates.
+- M6: quality gate on mean CV R².
+- M7: imputed-stats columns (flag/coalesce/score/share/rolling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import GBTRegressor
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_group_folds(
+    df: DataFrame, group_col: str, k: int = 10, fold_col: str = "fold"
+) -> DataFrame:
+    """GroupKFold (M1): all rows of a group land in one fold;
+    dense_rank(group) % k balances groups across folds deterministically."""
+    w = Window.orderBy(group_col)
+    return df.withColumn(fold_col, (F.dense_rank().over(w) - 1) % k)
+
+
+def assign_stratified_group_folds(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    k: int = 10,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """StratifiedGroupKFold (M2): groups are ranked within their stratum
+    so each fold sees every stratum; still group-atomic."""
+    groups = df.select(stratum_col, group_col).distinct()
+    w = Window.partitionBy(stratum_col).orderBy(group_col)
+    fold_map = groups.withColumn(fold_col, (F.row_number().over(w) - 1) % k)
+    return df.join(
+        F.broadcast(fold_map), on=[stratum_col, group_col], how="left"
+    )
+
+
+def regression_metrics(
+    pred: DataFrame, label: str, prediction: str = "prediction"
+) -> dict[str, float]:
+    """M5: r2 + rmse via plain aggregates (one pass)."""
+    row = pred.agg(
+        F.count(label).alias("n"),
+        F.avg(label).alias("mean_y"),
+        F.sum((F.col(label) - F.col(prediction)) ** 2).alias("ss_res"),
+        F.sum(F.col(label) ** 2).alias("ss_y2"),
+        F.sum(label).alias("s_y"),
+    ).first()
+    ss_tot = row.ss_y2 - row.n * row.mean_y**2
+    r2 = 1.0 - row.ss_res / ss_tot if ss_tot else float("nan")
+    rmse = (row.ss_res / row.n) ** 0.5 if row.n else float("nan")
+    return {"r2": r2, "rmse": rmse, "n": row.n}
+
+
+class ModelQualityError(RuntimeError):
+    pass
+
+
+def check_quality_gate(mean_r2: float, lo: float, hi: float) -> None:
+    """M6 (regression_model_predictor.py:104-130): fail outside [lo, hi]."""
+    if not (lo <= mean_r2 <= hi):
+        raise ModelQualityError(f"mean CV R² {mean_r2:.4f} outside [{lo}, {hi}]")
+
+
+@dataclass
+class TrainedImputer:
+    model: object
+    features: list[str]
+    target: str
+    cv_r2: list[float]
+
+    @property
+    def mean_cv_r2(self) -> float:
+        return sum(self.cv_r2) / len(self.cv_r2)
+
+
+def train_imputation_model(
+    df: DataFrame,
+    features: list[str],
+    target: str,
+    group_col: str,
+    n_folds: int = 3,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> TrainedImputer:
+    """M1+M3: group-aware CV scores + final fit on all training rows.
+
+    Training data is the stratified sample (2-3 % of the corpus) — small
+    relative to the cluster, but the GBT still trains distributed.
+    """
+    data = assign_group_folds(df, group_col, n_folds).filter(
+        F.col(target).isNotNull()
+    )
+    assembler = VectorAssembler(
+        inputCols=features, outputCol="features", handleInvalid="keep"
+    )
+    cv_r2 = []
+    for fold in range(n_folds):
+        train = assembler.transform(data.filter(F.col("fold") != fold))
+        test = assembler.transform(data.filter(F.col("fold") == fold))
+        gbt = GBTRegressor(
+            labelCol=target, featuresCol="features", maxIter=max_iter, seed=seed
+        )
+        m = gbt.fit(train)
+        cv_r2.append(regression_metrics(m.transform(test), target)["r2"])
+    final = GBTRegressor(
+        labelCol=target, featuresCol="features", maxIter=max_iter, seed=seed
+    ).fit(assembler.transform(data))
+    return TrainedImputer(final, features, target, cv_r2)
+
+
+def predict_with_stats(
+    df: DataFrame,
+    imputer: TrainedImputer,
+    date_col: str = "date",
+    key_col: str = "grid_id",
+) -> DataFrame:
+    """M4+M7: batch predict + the five imputed-stats columns
+    (regression_model_predictor.py:132-229)."""
+    t = imputer.target
+    assembler = VectorAssembler(
+        inputCols=imputer.features, outputCol="features", handleInvalid="keep"
+    )
+    pred = (
+        imputer.model.transform(assembler.transform(df))
+        .withColumnRenamed("prediction", f"{t}__predicted")
+        .drop("features")
+    )
+    flag = F.col(t).isNull().cast("int")
+    imputed = F.coalesce(F.col(t), F.col(f"{t}__predicted"))
+    score = F.when(
+        flag == 1, F.col(f"{t}__predicted") * imputer.mean_cv_r2
+    ).otherwise(F.col(t))
+    wd = Window.partitionBy(date_col)
+    w7 = Window.partitionBy(key_col).orderBy(date_col).rowsBetween(-6, 0)
+    out = (
+        pred.withColumn(f"{t}__imputed_flag", flag)
+        .withColumn(f"{t}__imputed", imputed)
+        .withColumn(f"{t}__score", score)
+        .withColumn(
+            f"{t}__share_imputed_across_all_grids",
+            F.avg(f"{t}__imputed_flag").over(wd),
+        )
+        .withColumn(f"{t}__imputed_r7d", F.avg(f"{t}__imputed").over(w7))
+    )
+    return out

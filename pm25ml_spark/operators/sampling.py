@@ -1,0 +1,89 @@
+"""Stratified sampling + split labelling (SURVEY A3/W7).
+
+Reference: `sample/imputation_sampler.py:46-110` — per-50km-stratum
+fraction sample (seed 42) of non-null-target rows, sampled keys labelled
+``split="training"``, the rest ``"test"``.
+
+Two strategies:
+- ``stratified_split`` — exact per-stratum counts via a rank window
+  (``row_number over (partition by stratum order by rand(seed), key)``):
+  deterministic for a fixed seed AND a fixed engine, per-stratum count =
+  ceil(fraction·n) exactly (the reference's map_groups-sample contract).
+- ``stratified_split_approx`` — ``sampleBy`` (Bernoulli per stratum):
+  no shuffle, preferred at 100 TB where a rank window per stratum would
+  shuffle everything; per-stratum counts are binomial around the target.
+
+Seeded-RNG bit-parity with Polars is impossible cross-engine (SURVEY §7.4
+trap #2) — correctness is defined distributionally + deterministically
+within this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum: str,
+    fraction: float,
+    seed: int = 42,
+    key: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Exact per-stratum fraction split with deterministic seeding."""
+    order = [F.rand(seed)] + ([F.col(key)] if key else [])
+    w = Window.partitionBy(stratum).orderBy(*order)
+    wc = Window.partitionBy(stratum)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            split_col,
+            F.when(
+                F.col("__rn") <= F.ceil(F.col("__n") * fraction), "training"
+            ).otherwise("test"),
+        )
+        .drop("__rn", "__n")
+    )
+
+
+def stratified_split_approx(
+    df: DataFrame,
+    stratum: str,
+    fractions: dict,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Shuffle-free Bernoulli stratified sampling (the 100 TB path).
+
+    ``sampleBy`` marks the sampled subset; a join-free anti-mark is
+    achieved by re-deriving the Bernoulli draw from a deterministic
+    hash: rand(seed) is row-order-dependent in Spark, so instead we hash
+    stable key columns — callers must pass fractions per stratum value.
+    """
+    # deterministic per-row uniform in [0,1) from the row's stable id hash
+    u = (F.abs(F.hash(*df.columns, F.lit(seed))) % 1_000_000) / 1_000_000.0
+    frac_col = F.lit(None).cast("double")
+    expr = None
+    for k, f in fractions.items():
+        cond = F.col(stratum) == k
+        expr = F.when(cond, F.lit(f)) if expr is None else expr.when(cond, F.lit(f))
+    frac_col = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    return df.withColumn(
+        split_col, F.when(u < frac_col, "training").otherwise("test")
+    )
+
+
+def decimate(df: DataFrame, every: int, order_cols: list[str]) -> DataFrame:
+    """gather_every(n) (W7, dependency_injection.py:340-346): keep rows
+    whose rank ≡ 1 (mod n) in the given order. Deterministic; the global
+    window is acceptable because decimation output is mini-sample-sized —
+    at scale, decimate per partition with offsets instead."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % every == 0)
+        .drop("__rn")
+    )

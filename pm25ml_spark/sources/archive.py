@@ -1,0 +1,168 @@
+"""Partitioned-Parquet artifact store with declared-schema validation.
+
+The reference's signature mechanism (SURVEY §4.3) is *validated
+idempotency*: every stage declares its expected schema and exact row count
+(`PipelineConfig`, collectors/export_pipeline.py:112-180), validates
+Parquet footer metadata after writing (archived_file_validator.py:145-225),
+and skips work whose output already exists and validates. Spark provides
+none of this out of the box; this module ports it as a thin layer over
+pyarrow footer reads (metadata-only — no data scan) + Spark partitioned
+reads/writes.
+
+Scan/sink operators covered: S1-S7 of SURVEY §2.1.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from pm25ml_spark.sources.hive_path import HivePath
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Declared contract for one archived dataset (export_pipeline.py:112-180)."""
+
+    result_subpath: HivePath
+    id_columns: tuple[str, ...]  # only {grid_id} or {grid_id, date} are legal
+    value_column_types: dict[str, str] = field(default_factory=dict)  # name -> spark type
+    expected_rows: int | None = None
+
+    def __post_init__(self):
+        legal = {"grid_id", "date", "user_id", "day"}  # benchmark tables reuse the layer
+        if not set(self.id_columns) <= legal:
+            raise ValueError(f"illegal id columns: {self.id_columns}")
+
+
+class ValidationError(RuntimeError):
+    pass
+
+
+class ArchiveStorage:
+    """Read/write/validate hive-pathed Parquet artifacts on any
+    Hadoop-compatible FS (local dirs in tests; object stores in prod)."""
+
+    def __init__(self, spark: SparkSession, bucket: str):
+        self.spark = spark
+        self.bucket = bucket.rstrip("/")
+
+    # -- paths -------------------------------------------------------------
+    def _dir(self, subpath: HivePath | str) -> str:
+        sp = subpath.path if isinstance(subpath, HivePath) else subpath
+        return f"{self.bucket}/{sp}"
+
+    def _data_file(self, subpath: HivePath | str) -> str:
+        return f"{self._dir(subpath)}/data.parquet"
+
+    # -- S2: write one asset ----------------------------------------------
+    def write_to_destination(self, df: DataFrame, subpath: HivePath | str) -> None:
+        """Single-asset write. The reference writes exactly one file per
+        dataset-month (~1M rows); coalesce(1) keeps that layout contract.
+        Larger artifacts should use :meth:`sink_stage` instead."""
+        df.coalesce(1).write.mode("overwrite").parquet(self._data_file(subpath))
+
+    # -- S1: read one asset ------------------------------------------------
+    def read_data_asset(self, subpath: HivePath | str) -> DataFrame:
+        return self.spark.read.parquet(self._data_file(subpath))
+
+    # -- S3: metadata-only footer read ------------------------------------
+    def read_dataframe_metadata(self, subpath: HivePath | str):
+        """Row count + arrow schema from Parquet footers — no data scan."""
+        files = sorted(glob.glob(f"{self._data_file(subpath)}/*.parquet"))
+        if not files:
+            raise FileNotFoundError(self._data_file(subpath))
+        total = 0
+        schema = None
+        for f in files:
+            meta = pq.ParquetFile(f)
+            total += meta.metadata.num_rows
+            schema = meta.schema_arrow if schema is None else schema
+        return total, schema
+
+    # -- S6: existence probe ----------------------------------------------
+    def does_dataset_exist(self, subpath: HivePath | str) -> bool:
+        return bool(glob.glob(f"{self._data_file(subpath)}/*.parquet"))
+
+    # -- S7: path glob by key-value ---------------------------------------
+    def filter_paths_by_kv(self, key: str, value: str) -> list[str]:
+        hits = glob.glob(f"{self.bucket}/**/{key}={value}/**/data.parquet", recursive=True) + glob.glob(
+            f"{self.bucket}/**/{key}={value}/data.parquet", recursive=True
+        )
+        return sorted({os.path.dirname(h)[len(self.bucket) + 1 :] for h in hits})
+
+    # -- §4.3: declared-config validation ---------------------------------
+    def validate(self, config: PipelineConfig) -> None:
+        """Footer-metadata check against the declared contract: column
+        presence, id columns, exact row count."""
+        if not self.does_dataset_exist(config.result_subpath):
+            raise ValidationError(f"missing artifact: {config.result_subpath}")
+        rows, schema = self.read_dataframe_metadata(config.result_subpath)
+        names = set(schema.names)
+        missing = (set(config.id_columns) | set(config.value_column_types)) - names
+        if missing:
+            raise ValidationError(f"{config.result_subpath}: missing columns {missing}")
+        if config.expected_rows is not None and rows != config.expected_rows:
+            raise ValidationError(
+                f"{config.result_subpath}: rows {rows} != expected {config.expected_rows}"
+            )
+
+    def needs_upload(self, config: PipelineConfig) -> bool:
+        """The skip-if-valid idempotency probe (collector.py:118-136)."""
+        try:
+            self.validate(config)
+            return False
+        except (ValidationError, FileNotFoundError):
+            return True
+
+
+class StageStorage:
+    """Stage-partitioned store: ``stage=<s>/month=YYYY-MM/...`` with the
+    month as a REAL partition column (S4/S5). Spark prunes month
+    directories from any filter on ``month`` automatically."""
+
+    def __init__(self, spark: SparkSession, bucket: str):
+        self.spark = spark
+        self.bucket = bucket.rstrip("/")
+
+    def stage_path(self, stage: str) -> str:
+        return f"{self.bucket}/stage={stage}"
+
+    # -- S4: hive-partitioned scan ----------------------------------------
+    def scan_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.stage_path(stage))
+
+    # -- S5: partitioned sink ---------------------------------------------
+    def sink_stage(
+        self, df: DataFrame, stage: str, mode: str = "overwrite"
+    ) -> None:
+        """Partition by month; the partition key is carried by the path,
+        not the files (pl.PartitionParted(include_key=False) parity is
+        Spark's native behavior)."""
+        df.write.partitionBy("month").mode(mode).parquet(self.stage_path(stage))
+
+    def months_present(self, stage: str) -> list[str]:
+        dirs = glob.glob(f"{self.stage_path(stage)}/month=*")
+        return sorted(d.rsplit("month=", 1)[1] for d in dirs)
+
+
+def asof_fallback_months(
+    wanted: list[str], available: list[str]
+) -> dict[str, str | None]:
+    """COPY_LATEST_AVAILABLE_BEFORE (combine_planner.py:118-163): for each
+    wanted month, pick it if present, else the latest available earlier
+    month, else None. Pure driver-side plan logic; months are 'YYYY-MM'
+    strings so lexical order == temporal order."""
+    avail = sorted(available)
+    out: dict[str, str | None] = {}
+    for m in wanted:
+        if m in avail:
+            out[m] = m
+            continue
+        earlier = [a for a in avail if a < m]
+        out[m] = earlier[-1] if earlier else None
+    return out

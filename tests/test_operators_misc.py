@@ -1,0 +1,187 @@
+"""As-of join, NN join, sampling, storage layer, ML fold assignment."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pm25ml_spark.ml.pipeline import (
+    assign_group_folds,
+    assign_stratified_group_folds,
+    check_quality_gate,
+    ModelQualityError,
+    regression_metrics,
+)
+from pm25ml_spark.operators.asof import asof_join_backward
+from pm25ml_spark.operators.nn_join import nearest_grid_join
+from pm25ml_spark.operators.sampling import decimate, stratified_split
+from pm25ml_spark.sources.archive import (
+    ArchiveStorage,
+    PipelineConfig,
+    StageStorage,
+    ValidationError,
+    asof_fallback_months,
+)
+from pm25ml_spark.sources.hive_path import DataArtifactRef, HivePath
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50)],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, 90), ("u", 200, 200), ("u", 205, 205)],
+        "user_id string, ts long, mark long",
+    )
+    out = asof_join_backward(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", payload=["mark"]
+    )
+    got = {r.event_id: r.asof_mark for r in out.collect()}
+    assert got == {1: 90, 2: 205, 3: None}  # <= semantics; no earlier → null
+
+
+def test_asof_no_right_rows(spark):
+    left = spark.createDataFrame([(1, "u", 10)], "event_id long, user_id string, ts long")
+    right = spark.createDataFrame([], "user_id string, ts long, mark long")
+    out = asof_join_backward(left, right, "user_id", "ts", "ts", ["mark"])
+    assert out.collect()[0].asof_mark is None
+
+
+def test_nearest_grid_join(spark):
+    grid = spark.createDataFrame(
+        [(1, 10.0, 70.0), (2, 10.0, 71.0), (3, 11.0, 70.0)],
+        "grid_id long, lat double, lon double",
+    )
+    stations = spark.createDataFrame(
+        [("s1", 10.01, 70.02), ("s2", 10.95, 69.99)],
+        "id string, latitude double, longitude double",
+    )
+    out = {r.id: r for r in nearest_grid_join(stations, grid).collect()}
+    assert out["s1"].grid_id == 1
+    assert out["s2"].grid_id == 3
+    assert out["s1"].nn_distance_km < 3
+
+
+def test_stratified_split_exact_fraction(spark):
+    rows = [(i, i % 4) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, stratum long")
+    out = stratified_split(df, "stratum", 0.1, seed=42, key="id")
+    per = (
+        out.filter("split = 'training'").groupBy("stratum").count().collect()
+    )
+    assert {r.stratum: r["count"] for r in per} == {0: 10, 1: 10, 2: 10, 3: 10}
+    # deterministic across invocations
+    a = {r.id for r in stratified_split(df, "stratum", 0.1, 42, "id").filter("split='training'").select("id").collect()}
+    b = {r.id for r in stratified_split(df, "stratum", 0.1, 42, "id").filter("split='training'").select("id").collect()}
+    assert a == b
+
+
+def test_decimate(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    out = decimate(df, 10, ["id"])
+    assert sorted(r.id for r in out.collect()) == list(range(0, 100, 10))
+
+
+def test_hive_path_roundtrip():
+    p = HivePath.from_args(country="india", dataset="era5", month="2023-01")
+    assert p.path == "country=india/dataset=era5/month=2023-01"
+    assert HivePath.from_path("/bucket/" + p.path).metadata["month"] == "2023-01"
+    assert p.require_key("dataset") == "era5"
+    with pytest.raises(KeyError):
+        p.require_key("year")
+    assert p.with_args(month="2023-02").path.endswith("month=2023-02")
+    ref = DataArtifactRef("sampled").for_sub_artifact("aod")
+    assert ref.stage == "sampled+aod"
+    assert ref.for_month("2023-01").path == "stage=sampled+aod/month=2023-01"
+
+
+def test_archive_storage_validated_idempotency(spark, tmp_path):
+    store = ArchiveStorage(spark, str(tmp_path))
+    sub = HivePath.from_args(dataset="era5", month="2023-01")
+    df = spark.createDataFrame(
+        [(1, "2023-01-01", 1.5), (2, "2023-01-01", 2.5)],
+        "grid_id long, date string, temperature double",
+    )
+    cfg = PipelineConfig(
+        result_subpath=sub,
+        id_columns=("grid_id", "date"),
+        value_column_types={"temperature": "double"},
+        expected_rows=2,
+    )
+    assert store.needs_upload(cfg)           # nothing there yet
+    store.write_to_destination(df, sub)
+    assert store.does_dataset_exist(sub)
+    store.validate(cfg)                       # passes: schema + exact rows
+    assert not store.needs_upload(cfg)        # skip-if-valid
+    bad = PipelineConfig(sub, ("grid_id", "date"), {"missing_col": "double"}, 2)
+    with pytest.raises(ValidationError):
+        store.validate(bad)
+    bad_rows = PipelineConfig(sub, ("grid_id", "date"), {}, 3)
+    with pytest.raises(ValidationError):
+        store.validate(bad_rows)
+    rows, schema = store.read_dataframe_metadata(sub)
+    assert rows == 2 and "temperature" in schema.names
+    assert store.filter_paths_by_kv("month", "2023-01") == [
+        "dataset=era5/month=2023-01"
+    ]
+
+
+def test_stage_storage_partition_pruning(spark, tmp_path):
+    store = StageStorage(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "2023-01-01", "2023-01", 1.0), (1, "2023-02-01", "2023-02", 2.0)],
+        "grid_id long, date string, month string, v double",
+    )
+    store.sink_stage(df, "combined")
+    assert store.months_present("combined") == ["2023-01", "2023-02"]
+    back = store.scan_stage("combined").filter(F.col("month") == "2023-02")
+    assert back.count() == 1
+    # partition pruning visible in the physical plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "month" in plan
+
+
+def test_asof_fallback_months():
+    out = asof_fallback_months(
+        ["2023-01", "2023-02", "2023-03"], ["2022-12", "2023-01", "2023-03"]
+    )
+    assert out == {"2023-01": "2023-01", "2023-02": "2023-01", "2023-03": "2023-03"}
+    assert asof_fallback_months(["2020-01"], ["2021-01"]) == {"2020-01": None}
+
+
+def test_group_folds_atomic(spark):
+    df = spark.createDataFrame(
+        [(i, i // 10) for i in range(100)], "id long, grp long"
+    )
+    out = assign_group_folds(df, "grp", k=5)
+    per_group = out.groupBy("grp").agg(F.countDistinct("fold").alias("n")).collect()
+    assert all(r.n == 1 for r in per_group)          # group-atomic
+    folds = out.select("fold").distinct().count()
+    assert folds == 5
+
+
+def test_stratified_group_folds(spark):
+    df = spark.createDataFrame(
+        [(i, i // 10, (i // 10) % 2) for i in range(100)],
+        "id long, grp long, stratum long",
+    )
+    out = assign_stratified_group_folds(df, "grp", "stratum", k=5)
+    per_group = out.groupBy("grp").agg(F.countDistinct("fold").alias("n")).collect()
+    assert all(r.n == 1 for r in per_group)
+
+
+def test_metrics_and_gate(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.1), (2.0, 1.9), (3.0, 3.2)], "y double, prediction double"
+    )
+    m = regression_metrics(df, "y")
+    assert 0.9 < m["r2"] <= 1.0
+    assert m["rmse"] == pytest.approx(
+        math.sqrt((0.01 + 0.01 + 0.04) / 3), rel=1e-6
+    )
+    check_quality_gate(0.85, 0.8, 0.9)
+    with pytest.raises(ModelQualityError):
+        check_quality_gate(0.5, 0.8, 0.9)
