@@ -1,0 +1,169 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Beyond-reference operator family for training-data pipelines: image/audio/
+video payloads travel as ``binary`` columns with a metadata struct; decode
+/ feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
+over ``mapInPandas``. The media libraries (PIL/ffmpeg/librosa) are not in
+this container, so the decode step is gated: a deterministic fake decoder
+keeps every piece of Spark plumbing (schemas, batch shapes, partitioning)
+real and tested, and a NotImplementedError marks exactly where a real
+decoder plugs in.
+
+At 100 TB the payload column dominates I/O: keep metadata in separate
+(pruned) columns so planning queries never read bytes, and size
+``spark.sql.files.maxPartitionBytes`` so a task's batch of payloads fits
+executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # optional: real image decode
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),      # image | audio | video
+        StructField("format", StringType()),    # png | wav | mp4 | ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def synthesize_media_table(
+    spark: SparkSession, n: int = 64, seed: int = 42
+) -> DataFrame:
+    """Deterministic fake media corpus for tests: payload bytes are a
+    seeded byte pattern; metadata is consistent with the payload."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = int(8 + (i % 5) * 4), int(8 + (i % 3) * 4)
+        payload = bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8))
+        rows.append((i, kind, "raw", w, h, len(payload), bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_to_array(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a payload into an (h, w) uint8 array.
+
+    Deterministic fake: interpret the raw bytes as the pixel buffer (the
+    synthetic corpus is written that way). With PIL installed, real image
+    decoding replaces this."""
+    if HAS_PIL:  # pragma: no cover - not installed in this container
+        raise NotImplementedError(
+            "real decode: PIL.Image.open(io.BytesIO(payload)) → np.asarray"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return arr[: width * height].reshape(height, width)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("std_intensity", DoubleType()),
+        StructField("p_low", DoubleType()),   # share of pixels < 64
+        StructField("aspect_ratio", DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-payload feature extraction in Arrow batches (mapInPandas)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_to_array(bytes(row.payload), row.width, row.height)
+                out.append(
+                    (
+                        row.media_id,
+                        row.kind,
+                        float(arr.mean()),
+                        float(arr.std()),
+                        float((arr < 64).mean()),
+                        float(row.width) / float(row.height),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "mean_intensity",
+                    "std_intensity",
+                    "p_low",
+                    "aspect_ratio",
+                ],
+            )
+
+    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def resize_payloads(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour resize of every payload (numpy index sampling) —
+    the shape of a real thumbnailing pass; output schema == input schema
+    with updated dims/payload."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_to_array(bytes(row.payload), row.width, row.height)
+                yi = (np.arange(out_h) * row.height // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * row.width // out_w).astype(np.int64)
+                small = arr[np.ix_(yi, xi)]
+                payload = small.tobytes()
+                rows.append(
+                    (
+                        row.media_id,
+                        row.kind,
+                        row.format,
+                        out_w,
+                        out_h,
+                        len(payload),
+                        bytearray(payload),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def metadata_only_profile(media: DataFrame) -> DataFrame:
+    """Planning query that must NEVER read payload bytes: column pruning
+    keeps the scan to the metadata columns (verify via .explain
+    ReadSchema)."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
+    )

@@ -1,0 +1,118 @@
+"""Structured Streaming variants of the batch operators.
+
+The reference has NO streaming surface (SURVEY §2.11 — its incrementality
+is idempotent batch + skip-if-valid). This module is the beyond-reference
+extension SURVEY §7.3(8) names: the same event-table aggregations as
+streams, with watermarks for late data. Each builder takes a streaming
+DataFrame (``spark.readStream``) and returns the transformed stream; tests
+drive them with ``Trigger.AvailableNow`` over the benchmark parquet so
+results are comparable to the batch plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pm25ml_spark.session import ensure_runtime_confs
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table (nanos ts handled as in
+    the batch catalog)."""
+    ensure_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source needs a directory basePath; select the events
+    # file out of the table directory with a glob filter
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows with a late-data watermark: count +
+    value sum per (window, event_type). State is bounded by the watermark;
+    the aggregation is partial+final like any Spark hash agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window per-user activity — the streaming dual of the batch
+    rolling mean (W1)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n",
+            "mean_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming dual of the
+    batch w09_sessionize plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, tmp_dir: str):
+    """Drain the stream with AvailableNow into an in-memory sink; returns
+    the finished StreamingQuery (caller reads ``spark.table(query_name)``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_dir}/chk_{query_name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

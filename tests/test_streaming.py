@@ -1,0 +1,58 @@
+"""Structured Streaming operators drained with AvailableNow and checked
+against their batch duals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    sliding_user_activity,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_stream, tmp_path):
+    out = windowed_counts(events_stream, window="6 hours", watermark="1 hour")
+    run_available_now(out, "win_counts", str(tmp_path))
+    got = spark.table("win_counts")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n")).first()[0] == load_table(spark, sf_dir, "events").count()
+
+
+def test_sliding_windows_run(spark, events_stream, tmp_path):
+    out = sliding_user_activity(events_stream, "12 hours", "6 hours", "1 hour")
+    run_available_now(out, "sliding", str(tmp_path))
+    got = spark.table("sliding")
+    assert got.count() > 0
+    assert set(got.columns) == {"window_start", "user_id", "n", "mean_value"}
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir, events_stream, tmp_path):
+    out = session_windows(events_stream, gap="30 minutes", watermark="1 hour")
+    run_available_now(out, "sessions", str(tmp_path))
+    got = spark.table("sessions")
+    # total events conserved across sessions
+    assert got.agg(F.sum("n_events")).first()[0] == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    # session count equals the batch w09 sessionize plan's count
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+    batch_sessions = QUERIES["w09_sessionize"](spark, sf_dir).count()
+    assert got.count() == batch_sessions
