@@ -37,6 +37,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # operators may persist() intermediates; isolate queries so one
+        # query's cache does not pressure the next one's executors
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -68,26 +68,27 @@ def cosine_topk(
     )
 
 
+def plane_component(p: int, i: int) -> int:
+    """Deterministic hyperplane component: 60-bit md5 of "p_i" mod 1000,
+    shifted to [-500, 500). Seedless and engine-portable — Python hashlib,
+    Spark md5() and DuckDB md5() all agree, so the SQL oracle can rebuild
+    the identical planes (plans/similarity.py embeds these as literals)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:15], 16) % 1000 - 500
+
+
 def hyperplane_signature(vec, n_planes: int, dim: int) -> F.Column:
     """Deterministic random-hyperplane LSH signature (bigint bucket id).
 
-    Plane components are md5-derived integers in [-500, 500) — seedless,
-    engine-portable pseudo-randomness: plane[p][i] = (md5("p_i") mod 1000)
-    - 500. The signature packs sign(v·plane_p) bits.
-    """
+    Components are precomputed driver-side and embedded as literals — the
+    expression tree carries plain doubles instead of n_planes×dim folded
+    md5 calls, which keeps plan compilation O(ms). The signature packs
+    sign(v·plane_p) bits."""
     sig = None
     for p in range(n_planes):
         comps = F.array(
-            *[
-                (
-                    F.conv(F.md5(F.lit(f"{p}_{i}")).substr(1, 15), 16, 10).cast(
-                        "bigint"
-                    )
-                    % 1000
-                    - 500
-                ).cast("double")
-                for i in range(dim)
-            ]
+            *[F.lit(float(plane_component(p, i))) for i in range(dim)]
         )
         dot = _dot(vec, comps)
         bit = F.when(dot >= 0, F.lit(1 << p).cast("bigint")).otherwise(

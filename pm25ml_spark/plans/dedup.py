@@ -77,12 +77,12 @@ def dd02_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, shared,
            CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
     FROM pairs
-    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6
+    WHERE shared * 5 >= 3 * (na + nb - shared)
     """,
 )
 def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, n=3, threshold=0.6)
+    return D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
 
 
 @query(
@@ -92,12 +92,12 @@ def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
     FROM pairs
-    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.9
+    WHERE shared * 10 >= 9 * (na + nb - shared)
     """,
 )
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, threshold=0.9)
+    return D.minhash_dedup_pairs(docs, t_num=9, t_den=10)
 
 
 @query(

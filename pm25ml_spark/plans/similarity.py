@@ -91,16 +91,19 @@ def ss02_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plane_sql(n_planes: int, dim: int, vec: str) -> str:
-    """DuckDB spelling of the md5-derived hyperplane signature."""
+    """DuckDB spelling of the hyperplane signature — embeds the SAME
+    md5-derived integer components the Spark operator uses (see
+    operators.similarity.plane_component), as literals."""
+    from pm25ml_spark.operators.similarity import plane_component
+
     bits = []
     for p in range(n_planes):
         comps = ", ".join(
-            f"(('0x' || substr(md5('{p}_{i}'), 1, 15))::BIGINT % 1000 - 500)"
-            for i in range(dim)
+            f"{float(plane_component(p, i))}" for i in range(dim)
         )
         bits.append(
             f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * CAST(([{comps}])[i] AS DOUBLE))) >= 0 "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{comps}])[i])) >= 0 "
             f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
         )
     return " + ".join(bits)
