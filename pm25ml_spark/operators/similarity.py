@@ -68,6 +68,38 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ t).
+
+    Exact all-pairs at corpus scale is O(n²·d); this baseline keeps the
+    whole computation JVM-side (zip_with/aggregate, no Python) and prunes
+    half the matrix with the id ordering. The scale path is the
+    hyperplane-bucketed variant (:func:`lsh_bucket_topk` machinery):
+    near-dup pairs at cos ≥ 0.99 collide in all low-resolution buckets
+    with overwhelming probability, shrinking candidates ~2^n_planes-fold.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    score = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        pairs.withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def plane_component(p: int, i: int) -> int:
     """Deterministic hyperplane component: 60-bit md5 of "p_i" mod 1000,
     shifted to [-500, 500). Seedless and engine-portable — Python hashlib,

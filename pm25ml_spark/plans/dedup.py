@@ -101,6 +101,29 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd06_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.99
+    """,
+)
+def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.99)
+
+
+@query(
     "dd05_simhash",
     """
     WITH tok AS (

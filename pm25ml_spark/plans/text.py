@@ -196,6 +196,77 @@ def t04_bag_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish regex tokenization: letter runs / digit runs / single symbols —
+# the whitespace-independent token count a trainer's data pipeline uses.
+@query(
+    "t06_bpe_token_count",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_bpe) AS total_bpe_tokens,
+           SUM(n_ws) AS total_ws_tokens
+    FROM (
+        SELECT source,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+               len(string_split(text, ' ')) AS n_ws
+        FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def t06_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    per_doc = docs.select(
+        "source", n_bpe.alias("n_bpe"), F.size(_tokens()).alias("n_ws")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling-hash (Karp-Rabin) document fingerprint: ordered left fold of
+# token hashes, h' = (h·B + x) mod p. F.aggregate IS an ordered fold, and
+# DuckDB's list_reduce folds left too (seeded by prepending 0) — the two
+# engines produce identical 31-bit fingerprints.
+_RH_P = 2_147_483_647
+_RH_B = 131
+
+
+@query(
+    "t07_rolling_hash_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '),
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {_RH_P})),
+             (a, x) -> (a * {_RH_B} + x) % {_RH_P}) AS fingerprint,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def t07_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % _RH_P,
+    )
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _RH_B + x) % _RH_P,
+    )
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.size(_tokens()).alias("n_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
 # term frequency via explode (the unnest/flatten operator) + top-k terms.
 @query(
     "t05_term_frequency_top20",

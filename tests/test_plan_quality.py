@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the scale contract, enforced in CI.
+
+A plan that passes row-count checks but scans every column, shuffles
+needlessly, or sort-merge-joins a dimension table is wrong at 100 TB even
+if correct at sf0.001. These tests pin the properties that matter:
+predicate pushdown into the parquet scan, column pruning, broadcast joins
+for dimensions, and exchange reuse across window frames.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+load_all_plans()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q06_forecast_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan
+    # the range predicates must reach the parquet reader
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    plan = physical_plan(df)
+    # ReadSchema must not include columns the query never touches
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q02_dimensions_broadcast(spark, sf_dir):
+    df = QUERIES["q02_region_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q14_part_broadcast_no_smj(spark, sf_dir):
+    df = QUERIES["q14_promo_share"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_w01_single_exchange_for_both_frames(spark, sf_dir):
+    """Both rolling frames share one (user_id, ts) sort/partition — the
+    plan must not shuffle twice."""
+    df = QUERIES["w01_rolling_means"](spark, sf_dir)
+    plan = physical_plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_metadata_profile_never_reads_payload(spark):
+    from pm25ml_spark.sources.multimodal import (
+        metadata_only_profile,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=8)
+    plan = optimized_plan(metadata_only_profile(media))
+    before_agg = plan.split("Aggregate", 1)[0]
+    assert "payload" not in before_agg
+
+
+def test_whole_stage_codegen_on_agg_path(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes THIS dataframe's plan on execution
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(N)" prefixes mark WholeStageCodegen stages in the compact form
+    assert "*(1)" in plan and "*(2)" in plan
+    # partial aggregation (map-side combine) before the exchange
+    assert "partial_sum" in plan
+
+
+@pytest.mark.parametrize("name", ["q09_user_day_scaffold", "d03_feature_chain"])
+def test_scaffold_day_side_broadcast(spark, sf_dir, name):
+    """The day scaffold (≤ a few thousand rows) must be the broadcast side
+    of the cross join, never a shuffled one."""
+    df = QUERIES[name](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
