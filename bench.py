@@ -29,6 +29,13 @@ def main() -> None:
 
     # Warm up: JVM JIT + file listing; untimed.
     QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
+    # Warm up the Python worker pool (spark.python.worker.reuse keeps the
+    # daemons alive): first pandas-UDF stage otherwise pays ~7 s of
+    # one-time worker forking that is not query cost.
+    from pyspark.sql import functions as F
+
+    warm = spark.range(64).withColumn("g", F.col("id") % 32)
+    warm.groupBy("g").applyInPandas(lambda p: p, "id long, g long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -192,11 +192,41 @@ def jaccard_pairs(
     # floor-in-double is safe here: ulp error can only lengthen the prefix
     min_overlap = (F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)) / F.lit(t_den)
     prefix_len = F.col("n_sh") - min_overlap.cast("long") + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s").persist()
+    prefix = (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "s", "rn", "n_sh")
+        .persist()
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("rn").alias("rn_a"),
+        F.col("n_sh").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "s",
+        F.col("rn").alias("rn_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    # ppjoin-style pruning on top of the prefix collision:
+    #  - length filter: J ≥ t ⇒ min(na,nb)·den ≥ num·max(na,nb)
+    #  - positional filter: a collision at prefix positions (rn_a, rn_b)
+    #    can extend to at most 1 + min(na−rn_a, nb−rn_b) shared shingles,
+    #    which must reach α = ceil(num·(na+nb) / (num+den)), the minimum
+    #    overlap J ≥ t implies. Integer arithmetic throughout.
+    alpha = (
+        F.lit(t_num) * (F.col("na") + F.col("nb")) + F.lit(t_num + t_den - 1)
+    ).cast("long") / F.lit(t_num + t_den)
+    alpha = alpha.cast("long")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        pa.join(pb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
+        .filter(overlap_ub >= alpha)
         .select("doc_a", "doc_b")
         .distinct()
     )
