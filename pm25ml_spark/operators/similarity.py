@@ -48,23 +48,59 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each query vector.
 
-    The query side is broadcast (typical ANN workloads probe with a small
-    batch); candidates stream through without a shuffle until the per-query
-    top-k window, which is partitioned by query id — never a single-
-    partition sort.
+    The probe batch is broadcast (typical ANN workloads probe with a small
+    query set, like a broadcast-join build side); candidates stream through
+    ``mapInPandas`` where one float64 BLAS matmul scores each
+    queries × batch tile and emits only a per-batch partial top-k (with a
+    1e-6 margin that provably covers the 6-dp rounding step). The global
+    top-k window then runs over ~k·n_batches rows per query instead of the
+    full candidate set — the classic distributed top-k combine; never a
+    single-partition sort, no O(n_q·n_c) row materialization.
     """
-    pairs = candidates.crossJoin(F.broadcast(queries)).filter(
-        F.col(q_id) != F.col(c_id)
-    )
-    score = F.round(
-        _dot(F.col(q_vec), F.col(c_vec)) / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
-        6,
+    import numpy as np
+    import pandas as pd
+
+    sc = candidates.sparkSession.sparkContext
+    qrows = queries.select(q_id, q_vec).collect()  # probe batch: small by contract
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bq = sc.broadcast((qids, Q, qn))
+
+    def partial_topk(batches):
+        # Per-batch partial top-k: one BLAS matmul scores the whole
+        # queries × batch tile; each query emits its batch rows with
+        # raw ≥ (k-th best raw in batch) − 1e-6. The margin covers the
+        # 6-dp rounding step exactly (round moves a score by ≤ 5e-7),
+        # so no row that could win the global rounded-score/cid ranking
+        # is dropped; the global window below finishes the top-k.
+        q_ids, q_mat, q_norms = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[c_id].to_numpy(dtype=np.int64)
+            C = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            S = (q_mat @ C.T) / np.outer(q_norms, np.sqrt((C * C).sum(axis=1)))
+            S[q_ids[:, None] == cids[None, :]] = -np.inf  # self-pairs
+            kth = (
+                -np.partition(-S, k - 1, axis=1)[:, k - 1]
+                if S.shape[1] > k
+                else np.full(S.shape[0], -np.inf)
+            )
+            ii, jj = np.nonzero((S >= (kth[:, None] - 1e-6)) & np.isfinite(S))
+            yield pd.DataFrame(
+                {q_id: q_ids[ii], c_id: cids[jj], "raw": S[ii, jj]}
+            )
+
+    partial = candidates.select(c_id, c_vec).mapInPandas(
+        partial_topk, f"{q_id} long, {c_id} long, raw double"
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
-        pairs.select(q_id, c_id, score.alias("score"))
+        partial.withColumn("score", F.round(F.col("raw"), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "score", "rk")
     )
 
 
