@@ -77,6 +77,25 @@ def wide_combine(
     return cast_values_float32(out, id_cols) if downcast else out
 
 
+def regex_project(df: DataFrame, pattern: str, keep=INDEX_COLUMNS) -> DataFrame:
+    """Runtime-regex column projection (SURVEY P2): keep the id columns
+    plus every column whose name matches ``pattern``.
+
+    The reference selects dataset families with ``pl.col("^era5__.*$")``
+    (spatial_imputation_manager.py:54-59, regression_model_predictor.py:
+    91-95). Spark schemas are known driver-side, so this is a plain list
+    comprehension over ``df.columns`` — the projection is resolved before
+    the plan is built and Catalyst prunes the parquet scan to exactly
+    these columns.
+    """
+    import re
+
+    rx = re.compile(pattern)
+    cols = [c for c in keep if c in df.columns]
+    cols += [c for c in df.columns if c not in cols and rx.match(c)]
+    return df.select(*cols)
+
+
 def scaffold_complete(
     data: DataFrame,
     scaffold: DataFrame,

@@ -226,6 +226,124 @@ def hyperplane_signature(vec, n_planes: int, dim: int) -> F.Column:
     return sig
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    centroid_stride: int = 100,
+    centroid_offset: int = 7,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k over an embedding column.
+
+    The other half of the ANN scale path next to :func:`lsh_bucket_topk`:
+
+    1. **Coarse quantizer** — a deterministic centroid set (every
+       ``centroid_stride``-th candidate by id; on a real corpus swap in
+       k-means centroids — the index/search machinery is identical and
+       the deterministic seed set keeps the operator oracle-checkable).
+    2. **Inverted lists** — every candidate is assigned to its nearest
+       centroid by cosine (one BLAS tile per batch; ties broken by
+       rounded score DESC, centroid id ASC — the engine-portable order).
+    3. **Probe** — each query searches only the lists of its ``nprobe``
+       nearest centroids: a broadcast (qid, centroid) probe table joins
+       against the assignment, shrinking the scored set
+       ~n_centroids/nprobe-fold; scoring is vectorized per batch.
+
+    At 10^9 vectors the assignment pass is a single narrow map, the
+    probe join shuffles only list-sized slices, and nothing ever
+    materializes the n_q × n_c cross product.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    sc = spark.sparkContext
+
+    cent = candidates.filter(
+        (F.col(c_id) % centroid_stride) == centroid_offset
+    ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
+    crows = cent.collect()  # coarse codebook: small by construction
+    cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
+    CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cn = np.sqrt((CM * CM).sum(axis=1))
+    bc = sc.broadcast((cen_ids, CM, cn))
+
+    def nearest_centroids(V):
+        """Rounded-cosine scores against the codebook, engine-tie-broken."""
+        cids, M, n = bc.value
+        S = (V @ M.T) / np.outer(np.sqrt((V * V).sum(axis=1)), n)
+        return np.round(S, 6), cids
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            S, cids = nearest_centroids(V)
+            # argmax by (score DESC, cen_id ASC): scan columns in
+            # ascending-id order, keep strict improvements only
+            order = np.argsort(cids)
+            best = np.full(len(V), -1)
+            best_s = np.full(len(V), -np.inf)
+            for j in order:
+                better = S[:, j] > best_s
+                best[better] = cids[j]
+                best_s[better] = S[better, j]
+            out = pdf[[c_id, c_vec]].copy()
+            out["cen"] = best
+            yield out
+
+    vec_type = dict(candidates.dtypes)[c_vec]
+    assigned = candidates.select(c_id, c_vec).mapInPandas(
+        assign, f"{c_id} long, {c_vec} {vec_type}, cen long"
+    )
+
+    qrows = queries.select(q_id, q_vec).collect()  # probe batch: small
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    QS, cids = nearest_centroids(Q)
+    probe_rows = []
+    for qi in range(len(qids)):
+        order = sorted(range(len(cids)), key=lambda j: (-QS[qi, j], cids[j]))
+        probe_rows.extend(
+            (int(qids[qi]), int(cids[j])) for j in order[:nprobe]
+        )
+    probes = spark.createDataFrame(probe_rows, f"{q_id} long, cen long")
+    bq = sc.broadcast((qids, Q, np.sqrt((Q * Q).sum(axis=1))))
+
+    def score(batches):
+        q_ids, q_mat, q_norms = bq.value
+        pos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            idx = pdf[q_id].map(pos).to_numpy()
+            raw = (C * q_mat[idx]).sum(axis=1) / (
+                np.sqrt((C * C).sum(axis=1)) * q_norms[idx]
+            )
+            out = pd.DataFrame(
+                {q_id: pdf[q_id].to_numpy(), c_id: pdf[c_id].to_numpy(), "raw": raw}
+            )
+            yield out[out[q_id] != out[c_id]]
+
+    pairs = assigned.join(F.broadcast(probes), "cen").mapInPandas(
+        score, f"{q_id} long, {c_id} long, raw double"
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        pairs.withColumn("score", F.round(F.col("raw"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "score", "rk")
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     candidates: DataFrame,

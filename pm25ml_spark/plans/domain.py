@@ -264,3 +264,34 @@ def d04_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d05 — regex column projection (P2: spatial_imputation_manager.py:54-59)
+# over the d01 wide table: the Spark side resolves the family regex
+# against the known schema driver-side; the oracle spells the columns out.
+@query(
+    "d05_regex_projection",
+    f"""
+    WITH purchases AS (
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               {dsum_expr('value')} AS total, COUNT(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.day,
+           p.total AS purchases__total,
+           p.n AS purchases__n
+    FROM purchases p
+    JOIN clicks c ON p.user_id = c.user_id AND p.day = c.day
+    """,
+)
+def d05_regex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.combine import regex_project
+
+    wide = d01_wide_combine(spark, sf_dir)
+    return regex_project(wide, r"^purchases__.*$", keep=("user_id", "day"))

@@ -142,3 +142,58 @@ def _plane_sql(n_planes: int, dim: int, vec: str) -> str:
 def ss03_lsh_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, c = _qc(spark, sf_dir)
     return S.lsh_bucket_topk(q, c, k=1, n_planes=8, dim=64)
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({av}) + 1), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({av}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({bv}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+@query(
+    "ss04_ivf_top3",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 100 = 7
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT cid, cen_id,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY ROUND({_cos_sql('ce', 'cv')}, 6) DESC,
+                                           cen_id) AS r
+        FROM c, cent
+    ),
+    lists AS (SELECT cid, cen_id FROM assign WHERE r = 1),
+    probe AS (
+        SELECT qid, cen_id FROM (
+            SELECT qid, cen_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ROUND({_cos_sql('qe', 'cv')}, 6) DESC,
+                                               cen_id) AS r
+            FROM q, cent)
+        WHERE r <= 2
+    ),
+    scored AS (
+        SELECT p.qid, l.cid, ROUND({_cos_sql('qe', 'ce')}, 6) AS score
+        FROM probe p
+        JOIN lists l USING (cen_id)
+        JOIN q USING (qid)
+        JOIN c ON c.cid = l.cid
+        WHERE l.cid <> p.qid
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def ss04_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.ivf_topk(q, c, k=3, nprobe=2, centroid_stride=100, centroid_offset=7)
