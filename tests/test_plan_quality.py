@@ -94,3 +94,43 @@ def test_scaffold_day_side_broadcast(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ss04_probe_table_broadcast(spark, sf_dir):
+    """The (query, centroid) probe table is tiny; the inverted-list join
+    must broadcast it — a shuffled probe join would move every candidate
+    row at 10^9-vector scale."""
+    df = QUERIES["ss04_ivf_top3"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dd03_no_cartesian_product(spark, sf_dir):
+    """Prefix-filtered Jaccard must candidate-join on the shingle key —
+    never fall back to a cartesian pair explosion."""
+    df = QUERIES["dd03_jaccard_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dd06_tiles_not_cross_join(spark, sf_dir):
+    """Blocked all-pairs cosine: block-pair replication joins must be
+    broadcast of the 36-row pair table; the n x n cross product must never
+    appear as a join operator."""
+    df = QUERIES["dd06_embedding_neardup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both replication joins
+
+
+def test_d05_regex_projection_prunes_scan(spark, sf_dir):
+    """Regex projection resolves driver-side, so Catalyst must prune the
+    events scan to the columns the projected families need."""
+    df = QUERIES["d05_regex_projection"](spark, sf_dir)
+    plan = physical_plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "user_id" in read_schema
+    # payload columns never touched by the projected families
+    assert "props" not in read_schema and "event_id" not in read_schema
