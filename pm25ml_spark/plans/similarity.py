@@ -197,3 +197,36 @@ def _cos_sql(av: str, bv: str) -> str:
 def ss04_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, c = _qc(spark, sf_dir)
     return S.ivf_topk(q, c, k=3, nprobe=2, centroid_stride=100, centroid_offset=7)
+
+
+# --------------------------------------------------------------------------
+# ss05 — per-label embedding centroids, long form (label, dim, centroid).
+# This is the k-means centroid UPDATE step; ivf_topk's assignment pass is
+# the ASSIGN step — together they form one distributed Lloyd iteration.
+# posexplode → hash agg is two shuffles and map-side combinable; no
+# collect_list materialization, no driver reduction.
+@query(
+    "ss05_label_centroids",
+    """
+    WITH ex AS (
+        SELECT label, UNNEST(embedding) AS x,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    )
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY label, i
+    """,
+)
+def ss05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vectors")
+    )

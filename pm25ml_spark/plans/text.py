@@ -289,3 +289,57 @@ def t05_term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# t08 — TF-IDF: tf(t,d) · ln(N/df(t)), top-5 terms per document. The
+# corpus stats (df, N) are broadcast-joined onto the term-frequency table;
+# everything else is the same explode → hash-agg shape as t05, so the
+# whole query is two shuffles (tf and df) regardless of corpus size.
+@query(
+    "t08_tfidf_top5",
+    """
+    WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.t AS term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def t08_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
