@@ -181,7 +181,12 @@ def jaccard_pairs(
     Output: (doc_a, doc_b, shared, jaccard) with doc_a < doc_b.
     """
     sh_arr = shingle_arrays(docs, n=n)
-    sh = sh_arr.select("doc_id", "n_sh", F.explode("sh_arr").alias("s"))
+    # rank/prefix machinery runs on the 60-bit shingle hashes (h_arr), not
+    # the shingle strings: every shuffle/join below keys on a bigint
+    # instead of a ~20-byte string. Any global order satisfies the prefix
+    # guarantee; (df, hash) keeps rarest-first. Hash collisions are the
+    # same 3e-8 event the verification path already accepts.
+    sh = sh_arr.select("doc_id", "n_sh", F.explode("h_arr").alias("s"))
     df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_freq, "s").withColumn(
         "rn",
