@@ -18,18 +18,22 @@ from pm25ml_spark.session import ensure_runtime_confs
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the events table (nanos ts handled as in
-    the batch catalog)."""
+    the batch catalog). ``glob`` selects which files in the directory feed
+    the stream (tests point it at multi-file duplicate corpora)."""
     ensure_runtime_confs(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    static = spark.read.parquet(f"{sf_dir}/{glob}")
     # the file-stream source needs a directory basePath; select the events
-    # file out of the table directory with a glob filter
+    # file(s) out of the table directory with a glob filter
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -103,13 +107,35 @@ def session_windows(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, tmp_dir: str):
+def dedup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys=("event_id",),
+) -> DataFrame:
+    """Streaming exact dedup — the streaming dual of the batch dd01
+    hash-groupBy dedup. ``dropDuplicatesWithinWatermark`` keeps one row
+    per key and bounds the dedup state by the event-time watermark, so
+    state stays O(keys-per-watermark-window) instead of O(stream) — the
+    only viable shape for an unbounded 100 TB/day ingest."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    tmp_dir: str,
+    output_mode: str = "complete",
+):
     """Drain the stream with AvailableNow into an in-memory sink; returns
-    the finished StreamingQuery (caller reads ``spark.table(query_name)``)."""
+    the finished StreamingQuery (caller reads ``spark.table(query_name)``).
+    Aggregating streams drain in ``complete`` mode; row-level operators
+    (dedup) drain in ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", f"{tmp_dir}/chk_{query_name}")
         .trigger(availableNow=True)
         .start()

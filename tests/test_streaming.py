@@ -56,3 +56,27 @@ def test_session_windows_match_batch_sessionize(spark, sf_dir, events_stream, tm
     load_all_plans()
     batch_sessions = QUERIES["w09_sessionize"](spark, sf_dir).count()
     assert got.count() == batch_sessions
+
+
+def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    """The same file fed twice as two micro-batches: every event_id is a
+    cross-batch duplicate, so the dedup state (bounded by the watermark)
+    must drop the entire second batch."""
+    import shutil
+
+    from pm25ml_spark.streaming.events import dedup_stream
+
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, str(tmp_path / "events1.parquet"))
+    shutil.copy(src, str(tmp_path / "events2.parquet"))
+    stream = read_events_stream(
+        spark, str(tmp_path), max_files_per_trigger=1, glob="events*.parquet"
+    )
+    out = dedup_stream(stream, watermark="10 days", keys=("event_id",))
+    run_available_now(out, "dedup_stream", str(tmp_path), output_mode="append")
+    got = spark.table("dedup_stream")
+    n_distinct = (
+        load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
