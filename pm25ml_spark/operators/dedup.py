@@ -290,18 +290,19 @@ def lsh_candidate_pairs(
 
     Band keys are emitted in ONE projection (array + posexplode), not one
     union branch per band — a per-band union makes Spark re-derive the
-    whole signature subtree n_bands× per join side."""
+    whole signature subtree n_bands× per join side. Keys are xxhash64
+    bigints (band index + its signature rows), not md5 hex strings: the
+    self-join shuffles 8 bytes per key instead of 32, and band keys are
+    internal to candidate generation (the oracle checks the verified pair
+    set), so the hash only has to be self-consistent."""
     band_keys = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    F.lit(b),
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(n_bands)
         ]

@@ -185,3 +185,51 @@ def test_metrics_and_gate(spark):
     check_quality_gate(0.85, 0.8, 0.9)
     with pytest.raises(ModelQualityError):
         check_quality_gate(0.5, 0.8, 0.9)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pm25ml_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"cold{i % 5}")],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("cold0", 2.0), ("cold3", 3.0)], "k string, w double"
+    )
+    got = salted_join(left, right, on="k", n_salts=4)
+    want = left.join(right, on="k")
+    assert got.count() == want.count()
+    assert (
+        got.groupBy("k").count().orderBy("k").collect()
+        == want.groupBy("k").count().orderBy("k").collect()
+    )
+
+
+def test_salted_agg_sum_matches_groupby(spark):
+    from pyspark.sql import functions as F2
+
+    from pm25ml_spark.operators.skew import salted_agg_sum
+
+    df = spark.createDataFrame(
+        [("hot" if i % 3 else f"k{i % 7}", i) for i in range(1000)],
+        "k string, v long",
+    ).repartition(8)
+    got = {r.k: r.sum_v for r in salted_agg_sum(df, "k", "v", n_salts=4).collect()}
+    want = {
+        r.k: r.s for r in df.groupBy("k").agg(F2.sum("v").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_grid_dimension_export_roundtrip(spark, tmp_path):
+    # SURVEY S19: grid dim table written into the archive layout and read
+    # back broadcast-ready.
+    from pm25ml_spark.sources.grid import synthetic_grid
+
+    grid = synthetic_grid(spark, nx=4, ny=4)
+    dest = str(tmp_path / "dataset=grid/type=static")
+    grid.write.parquet(dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == grid.count()
+    assert set(back.columns) == set(grid.columns)
