@@ -501,3 +501,31 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(promo) / dsum(disc_price)).alias("promo_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q15 — JSON/struct extraction (SURVEY §2.8 struct parse: the reference
+# parses station `coordinates` strings into a struct then flattens —
+# pm25/data_source.py:99-113). Here: parse the events `props` JSON with a
+# declared schema, bucket the extracted field, aggregate. from_json runs
+# JVM-side inside codegen — no Python in the parse path.
+@query(
+    "q15_props_extract",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           {dsum_expr('value')} AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q15_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.floor(k / 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
