@@ -166,3 +166,39 @@ def asof_fallback_months(
         earlier = [a for a in avail if a < m]
         out[m] = earlier[-1] if earlier else None
     return out
+
+
+class BucketedStorage:
+    """Bucketed-table layout for co-located joins (SURVEY §7 scale path).
+
+    The wide-combine and feature stages join repeatedly on the same keys
+    (``grid_id`` / ``(grid_id, date)``). Writing both sides bucketed by
+    the join key lets Spark plan a SortMergeJoin with ZERO Exchange —
+    at 100 TB the bucketed layout amortizes one shuffle at write time
+    against every downstream join (tests/test_plan_quality.py pins the
+    no-Exchange property). Bucketed tables must live in a metastore
+    (``saveAsTable``), so this wraps table names, not raw paths.
+    """
+
+    def __init__(self, spark: SparkSession, database: str = "default"):
+        self.spark = spark
+        self.database = database
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        writer = writer.sortBy(*(sort_cols or bucket_cols))
+        writer.saveAsTable(f"{self.database}.{table}")
+
+    def read_table(self, table: str) -> DataFrame:
+        return self.spark.table(f"{self.database}.{table}")
