@@ -1,0 +1,159 @@
+"""Property-based (hypothesis) tests — randomized adversarial inputs for
+the operators whose correctness depends on algebraic invariants rather
+than fixtures. The reference has no randomized testing (SURVEY §5); these
+go beyond it on the operators where a filter/prune step could silently
+drop results.
+
+Settings: small bounded examples (Spark round-trip per example is ~100 ms,
+so examples are capped and deadlines disabled).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of backward join ≡ per-row brute force max(ts' <= ts)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_asof_backward_matches_bruteforce(spark, left, right):
+    from pm25ml_spark.operators.asof import asof_join_backward
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k long, ts long, lid long",
+    )
+    # unique (key, ts) on the right so the expected match is unambiguous
+    right = list({(k, t) for (k, t) in right})
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in right] or [(99, 0, 0)],
+        "k long, ts long, mark long",
+    )
+    out = {
+        r.lid: r.asof_mark
+        for r in asof_join_backward(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts", payload=["mark"]
+        ).collect()
+    }
+    rset = right or [(99, 0)]
+    for i, (k, t) in enumerate(left):
+        earlier = [rt for (rk, rt) in rset if rk == k and rt <= t]
+        want = (k * 1000 + max(earlier)) if earlier else None
+        assert out[i] == want, (i, k, t, out[i], want)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered Jaccard ≡ brute-force pair set (the filter must never
+# drop a qualifying pair)
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_jaccard_prefix_filter_is_lossless(spark, docs):
+    from pm25ml_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(df, n=3, t_num=1, t_den=2).collect()
+    }
+
+    def shingle_set(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingle_set(docs[a]), shingle_set(docs[b])
+            inter = len(sa & sb)
+            if inter * 2 >= 1 * (len(sa) + len(sb) - inter):
+                want.add((a, b))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact stratified split: per-stratum training count is exactly
+# ceil(fraction * n_stratum), regardless of data shape
+
+
+@given(
+    sizes=st.lists(st.integers(1, 9), min_size=1, max_size=4),
+    frac=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+@SETTINGS
+def test_stratified_split_exact_counts(spark, sizes, frac):
+    from pm25ml_spark.operators.sampling import stratified_split
+
+    rows = [(f"s{g}", g * 100 + i) for g, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "stratum string, id long")
+    out = stratified_split(df, "stratum", frac, seed=42, key="id")
+    counts = {
+        r.stratum: r.n
+        for r in out.filter(out.split == "training")
+        .groupBy("stratum")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for g, n in enumerate(sizes):
+        assert counts.get(f"s{g}", 0) == math.ceil(n * frac), (g, n, frac)
+
+
+# ---------------------------------------------------------------------------
+# blocked cosine near-dup: block count must not change the result
+
+
+@given(
+    n_blocks=st.sampled_from([1, 2, 3, 7]),
+    n_vecs=st.integers(3, 10),
+)
+@SETTINGS
+def test_blocked_neardup_invariant_to_block_count(spark, n_blocks, n_vecs):
+    from pm25ml_spark.operators.similarity import cosine_neardup_pairs
+
+    rows = [
+        (i, [1.0, 0.01 * (i % 3), 0.02 * (i % 2)]) for i in range(n_vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b, r.score)
+        for r in cosine_neardup_pairs(df, threshold=0.99, n_blocks=n_blocks).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b, r.score)
+        for r in cosine_neardup_pairs(df, threshold=0.99, n_blocks=1).collect()
+    }
+    assert got == ref
