@@ -529,3 +529,69 @@ def q15_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# q16 — hierarchical ROLLUP aggregate (region → nation → grand total).
+# Beyond the reference's flat group-bys: one shuffle produces every level
+# of the hierarchy (Spark expands grouping sets map-side). NULL group
+# labels are coalesced to 'ALL' so the hash compare is unambiguous.
+@query(
+    "q16_rollup_revenue",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           COUNT(*) AS n_customers,
+           {dsum_expr('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q16_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — left-semi join (EXISTS): customers with ≥1 1997 order; the probe
+# side never materializes order columns (complements q13's anti join).
+@query(
+    "q17_active_customers_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    """,
+)
+def q17_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
