@@ -38,28 +38,32 @@ def main() -> None:
     warm.groupBy("g").applyInPandas(lambda p: p, "id long, g long").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep the suite result even if one dies
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         # operators may persist() intermediates; isolate queries so one
         # query's cache does not pressure the next one's executors
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "pm25ml_spark query suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "pm25ml_spark query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    raise SystemExit(1 if errors else 0)
 
 
 if __name__ == "__main__":
