@@ -167,3 +167,57 @@ def metadata_only_profile(media: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, every_n: int | None = None
+) -> DataFrame:
+    """Frame sampling for video payloads — one output row per sampled
+    frame (1 → N row explosion inside ``mapInPandas``, the shape a real
+    ffmpeg keyframe pass has).
+
+    The deterministic fake treats the payload as ``height`` stacked
+    "frames" of ``width`` bytes and samples evenly (``n_frames`` total) or
+    systematically (``every_n``-th). A real decoder replaces
+    ``decode_to_array`` only; the row-explosion plumbing, output schema,
+    and partitioning stay exactly as tested.
+
+    At scale the explosion multiplies rows, not bytes-per-row — each
+    output frame is payload/`height`-sized, so downstream per-frame
+    feature extraction parallelizes beyond the per-video grain.
+    """
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "video":
+                    continue
+                arr = decode_to_array(bytes(row.payload), row.width, row.height)
+                total = arr.shape[0]
+                if every_n is not None:
+                    idxs = list(range(0, total, every_n))
+                else:
+                    step = max(total // max(n_frames, 1), 1)
+                    idxs = list(range(0, total, step))[:n_frames]
+                for fi in idxs:
+                    frame = arr[fi].tobytes()
+                    rows.append(
+                        (row.media_id, int(fi), int(row.width), 1, bytearray(frame))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)

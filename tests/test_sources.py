@@ -89,3 +89,26 @@ def test_metadata_profile_prunes_payload(spark):
     plan = prof._jdf.queryExecution().optimizedPlan().toString()
     first_project_has_payload = "payload" in plan.split("Aggregate")[0]
     assert not first_project_has_payload
+
+
+def test_media_frame_sampling(spark):
+    from pm25ml_spark.sources.multimodal import sample_frames, synthesize_media_table
+
+    media = synthesize_media_table(spark, n=12)
+    n_videos = media.filter("kind = 'video'").count()
+    frames = sample_frames(media, n_frames=3)
+    got = frames.collect()
+    # only video rows explode; ≤ 3 frames each, deterministic indices
+    assert {r.media_id for r in got} == {
+        r.media_id for r in media.filter("kind = 'video'").collect()
+    }
+    assert len(got) <= 3 * n_videos and len(got) >= n_videos
+    per = {}
+    for r in got:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+        assert r.height == 1 and len(bytes(r.frame)) == r.width
+    for idxs in per.values():
+        assert idxs == sorted(idxs)
+    # systematic variant: every 2nd frame
+    sys_frames = sample_frames(media, every_n=2).collect()
+    assert all(r.frame_idx % 2 == 0 for r in sys_frames)
