@@ -595,3 +595,27 @@ def q17_active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_semi"
     ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# q18 — statistical aggregates: Pearson correlation + sample covariance of
+# quantity vs extended price per return flag. Single-pass map-side-
+# combinable moments; 6-dp rounding absorbs summation-order float drift.
+@query(
+    "q18_price_qty_corr",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q18_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qp_covar"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -306,3 +306,34 @@ def w09_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w10 — ntile ranking buckets: quartile of each order within its priority
+# class by total price (ties broken by orderkey for engine determinism).
+@query(
+    "w10_ntile_quartiles",
+    """
+    SELECT o_orderpriority, quartile, COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def w10_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Distributed Lloyd k-means vs an exact local numpy replica."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _local_lloyd(X, k, n_iter):
+    C = X[:k].astype(np.float64).copy()  # ids 0..k-1 are the seeds
+    for _ in range(n_iter):
+        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    return C, a
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 5
+    X = np.vstack([c + rng.normal(size=(30, 8)) for c in centers])
+    return X
+
+
+def test_kmeans_matches_local_reference(spark, corpus):
+    from pm25ml_spark.operators.kmeans import kmeans_fit
+
+    X = corpus
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    C, assigned = kmeans_fit(df, k=4, n_iter=3)
+    C_ref, a_ref = _local_lloyd(X, k=4, n_iter=3)
+    # float drift between distributed and local summation is ~1e-12;
+    # assignments must be identical, centroids near-identical
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    # final assignment returned is from the LAST iteration's centroids
+    # (before the final update) — recompute the reference the same way
+    d2 = (X * X).sum(1, keepdims=True) - 2 * X @ _ref_before_last(X, 4, 3).T \
+         + (_ref_before_last(X, 4, 3) ** 2).sum(1)[None, :]
+    a_last = np.argmin(d2, axis=1)
+    assert [got[i] for i in range(len(X))] == list(a_last)
+    assert np.allclose(C, C_ref, atol=1e-9)
+
+
+def _ref_before_last(X, k, n_iter):
+    C = X[:k].astype(np.float64).copy()
+    for _ in range(n_iter - 1):
+        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    return C
+
+
+def test_kmeans_inertia_non_increasing(spark, corpus):
+    from pm25ml_spark.operators.kmeans import kmeans_fit, kmeans_inertia
+
+    X = corpus
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    inertias = []
+    for it in (1, 2, 4):
+        C, _ = kmeans_fit(df, k=4, n_iter=it)
+        inertias.append(kmeans_inertia(df, C))
+    assert inertias[0] >= inertias[1] - 1e-9 >= inertias[2] - 2e-9
