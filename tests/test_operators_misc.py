@@ -233,3 +233,32 @@ def test_grid_dimension_export_roundtrip(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == grid.count()
     assert set(back.columns) == set(grid.columns)
+
+
+def test_sink_stage_returns_observed_count_and_compacts(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from pm25ml_spark.sources.archive import StageStorage
+
+    store = StageStorage(spark, str(tmp_path))
+    df = (
+        spark.range(500)
+        .withColumn("month", F2.when(F2.col("id") % 2 == 0, "2024-01").otherwise("2024-02"))
+        .withColumn("v", F2.col("id") * 2)
+        .repartition(16)  # force many small files
+    )
+    n = store.sink_stage(df, "demo")
+    assert n == 500  # observed during the write job, no second scan
+    import glob as g
+
+    files_before = len(g.glob(f"{tmp_path}/stage=demo/month=*/*.parquet"))
+    assert files_before > 2
+    store.compact_stage("demo", target_rows_per_file=1000)
+    files_after = len(g.glob(f"{tmp_path}/stage=demo/month=*/*.parquet"))
+    assert files_after < files_before
+    back = store.scan_stage("demo")
+    assert back.count() == 500
+    assert set(back.select("month").distinct().toPandas()["month"]) == {
+        "2024-01",
+        "2024-02",
+    }
