@@ -123,6 +123,47 @@ def train_imputation_model(
     return TrainedImputer(final, features, target, cv_r2)
 
 
+def derive_imputed_stats(
+    pred: DataFrame,
+    target: str,
+    mean_cv_r2: float,
+    date_col: str = "date",
+    key_col: str = "grid_id",
+) -> DataFrame:
+    """M7: the five imputed-stats columns
+    (regression_model_predictor.py:132-229), given a frame that already
+    carries ``{target}__predicted``. Engine-deterministic: the share is
+    integer-sum/count, the 7-row rolling mean uses decimal sums — so the
+    derivation is DuckDB-oracle-checkable independent of the model
+    (plan ``d06_imputed_stats``)."""
+    from pm25ml_spark.functions.exact import DEC
+
+    t = target
+    flag = F.col(t).isNull().cast("int")
+    imputed = F.coalesce(F.col(t), F.col(f"{t}__predicted"))
+    score = F.when(
+        flag == 1, F.col(f"{t}__predicted") * mean_cv_r2
+    ).otherwise(F.col(t))
+    wd = Window.partitionBy(date_col)
+    w7 = Window.partitionBy(key_col).orderBy(date_col).rowsBetween(-6, 0)
+    imputed_col = f"{t}__imputed"
+    return (
+        pred.withColumn(f"{t}__imputed_flag", flag)
+        .withColumn(imputed_col, imputed)
+        .withColumn(f"{t}__score", score)
+        .withColumn(
+            f"{t}__share_imputed_across_all_grids",
+            F.sum(f"{t}__imputed_flag").over(wd).cast("double")
+            / F.count(F.lit(1)).over(wd),
+        )
+        .withColumn(
+            f"{t}__imputed_r7d",
+            F.sum(F.col(imputed_col).cast(DEC)).over(w7).cast("double")
+            / F.count(imputed_col).over(w7),
+        )
+    )
+
+
 def predict_with_stats(
     df: DataFrame,
     imputer: TrainedImputer,
@@ -140,21 +181,6 @@ def predict_with_stats(
         .withColumnRenamed("prediction", f"{t}__predicted")
         .drop("features")
     )
-    flag = F.col(t).isNull().cast("int")
-    imputed = F.coalesce(F.col(t), F.col(f"{t}__predicted"))
-    score = F.when(
-        flag == 1, F.col(f"{t}__predicted") * imputer.mean_cv_r2
-    ).otherwise(F.col(t))
-    wd = Window.partitionBy(date_col)
-    w7 = Window.partitionBy(key_col).orderBy(date_col).rowsBetween(-6, 0)
-    out = (
-        pred.withColumn(f"{t}__imputed_flag", flag)
-        .withColumn(f"{t}__imputed", imputed)
-        .withColumn(f"{t}__score", score)
-        .withColumn(
-            f"{t}__share_imputed_across_all_grids",
-            F.avg(f"{t}__imputed_flag").over(wd),
-        )
-        .withColumn(f"{t}__imputed_r7d", F.avg(f"{t}__imputed").over(w7))
+    return derive_imputed_stats(
+        pred, t, imputer.mean_cv_r2, date_col=date_col, key_col=key_col
     )
-    return out

@@ -295,3 +295,95 @@ def d05_regex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wide = d01_wide_combine(spark, sf_dir)
     return regex_project(wide, r"^purchases__.*$", keep=("user_id", "day"))
+
+
+# --------------------------------------------------------------------------
+# d06 — the M7 imputed-stats column block (regression_model_predictor.py:
+# 132-229) with a deterministic SQL-expressible "model" (per-user mean of
+# observed values) standing in for the GBT so the whole derivation —
+# flag, coalesce, score, per-day share, 7-row rolling — hash-checks
+# against the oracle. predict_with_stats applies the SAME derive_imputed_
+# stats to real MLlib predictions.
+@query(
+    "d06_imputed_stats",
+    """
+    WITH purchases AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT UNNEST(generate_series(
+            (SELECT MIN(CAST(ts AS DATE)) FROM events),
+            (SELECT MAX(CAST(ts AS DATE)) FROM events),
+            INTERVAL 1 DAY)) AS d
+    ),
+    scaffold AS (
+        SELECT u.user_id, CAST(days.d AS DATE) AS d FROM
+        (SELECT DISTINCT user_id FROM events) u CROSS JOIN days
+    ),
+    base AS (
+        SELECT s.user_id, s.d, p.mean_value FROM scaffold s
+        LEFT JOIN purchases p ON p.user_id = s.user_id AND p.d = s.d
+    ),
+    pred AS (
+        SELECT user_id, d, mean_value,
+               ROUND(CAST(SUM(CAST(mean_value AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+                 / NULLIF(COUNT(mean_value) OVER (PARTITION BY user_id), 0), 6) AS predicted
+        FROM base
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN mean_value IS NULL THEN 1 ELSE 0 END AS imputed_flag,
+           COALESCE(mean_value, predicted) AS imputed,
+           CASE WHEN mean_value IS NULL THEN predicted * 0.5 ELSE mean_value END AS score,
+           CAST(SUM(CASE WHEN mean_value IS NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY d) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY d) AS share_imputed,
+           CAST(SUM(CAST(COALESCE(mean_value, predicted) AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(COALESCE(mean_value, predicted))
+                    OVER (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS imputed_r7d
+    FROM pred
+    """,
+)
+def d06_imputed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.functions.exact import DEC
+    from pm25ml_spark.ml.pipeline import derive_imputed_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.round(davg("value"), 6).alias("mean_value"))
+    )
+    days = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    users = ev.select("user_id").distinct()
+    base = (
+        users.crossJoin(F.broadcast(days))
+        .join(purchases, ["user_id", "d"], "left")
+    )
+    wu = Window.partitionBy("user_id")
+    pred = base.withColumn(
+        "mean_value__predicted",
+        F.round(
+            F.sum(F.col("mean_value").cast(DEC)).over(wu).cast("double")
+            / F.nullif(F.count("mean_value").over(wu), F.lit(0)),
+            6,
+        ),
+    )
+    stats = derive_imputed_stats(
+        pred, "mean_value", 0.5, date_col="d", key_col="user_id"
+    )
+    return stats.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("mean_value__imputed_flag").alias("imputed_flag"),
+        F.col("mean_value__imputed").alias("imputed"),
+        F.col("mean_value__score").alias("score"),
+        F.col("mean_value__share_imputed_across_all_grids").alias("share_imputed"),
+        F.col("mean_value__imputed_r7d").alias("imputed_r7d"),
+    )
