@@ -78,3 +78,69 @@ def nearest_grid_join(
             yield pdf
 
     return points.mapInPandas(fn, schema=out_schema)
+
+
+def _haversine_col(lat1, lon1, lat2, lon2):
+    """Haversine distance (km) as a JVM-side column expression."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp, dl = p2 - p1, F.radians(lon2) - F.radians(lon1)
+    a = F.pow(F.sin(dp / 2), 2) + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dl / 2), 2)
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def nearest_grid_join_bucketed(
+    points: DataFrame,
+    grid: DataFrame,
+    cell_deg: float = 0.5,
+    point_id: str = "id",
+    grid_id: str = "grid_id",
+    lat: str = "latitude",
+    lon: str = "longitude",
+    grid_lat: str = "lat",
+    grid_lon: str = "lon",
+) -> DataFrame:
+    """The 100 TB shape of the NN join (SURVEY J8 scale note): bucket both
+    sides into ``cell_deg``-degree cells, replicate each grid row to its
+    3×3 neighborhood, equi-join on the cell key, and keep the per-point
+    minimum via a (distance, grid_id)-ordered window. Everything is
+    JVM-side column algebra — no Python, no broadcast of the full grid —
+    and the join shuffles only same-neighborhood pairs.
+
+    EXACT whenever each point's true nearest cell is < one cell away
+    (cell_deg ≥ grid pitch guarantees it for points inside the grid
+    envelope); points with an empty 3×3 neighborhood violate that
+    precondition and are dropped by the inner join.
+    """
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    g = (
+        grid.select(grid_id, grid_lat, grid_lon)
+        .withColumn("o", F.explode(offsets))
+        .select(
+            grid_id,
+            grid_lat,
+            grid_lon,
+            (F.floor(F.col(grid_lon) / cell_deg) + F.col("o.dx")).alias("cx"),
+            (F.floor(F.col(grid_lat) / cell_deg) + F.col("o.dy")).alias("cy"),
+        )
+    )
+    p = points.withColumn("cx", F.floor(F.col(lon) / cell_deg)).withColumn(
+        "cy", F.floor(F.col(lat) / cell_deg)
+    )
+    cand = p.join(g, ["cx", "cy"]).withColumn(
+        "nn_distance_km",
+        _haversine_col(F.col(lat), F.col(lon), F.col(grid_lat), F.col(grid_lon)),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(point_id).orderBy("nn_distance_km", grid_id)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "cx", "cy", grid_lat, grid_lon)
+    )

@@ -262,3 +262,37 @@ def test_sink_stage_returns_observed_count_and_compacts(spark, tmp_path):
         "2024-01",
         "2024-02",
     }
+
+
+def test_bucketed_nn_join_matches_broadcast(spark):
+    import numpy as np
+
+    from pm25ml_spark.operators.nn_join import (
+        nearest_grid_join,
+        nearest_grid_join_bucketed,
+    )
+    from pm25ml_spark.sources.grid import synthetic_grid
+
+    grid = synthetic_grid(spark, nx=6, ny=6)  # ~10km pitch lattice
+    rng = np.random.default_rng(3)
+    glims = grid.agg(
+        F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")
+    ).first()
+    lats = rng.uniform(glims[0], glims[1], size=40)
+    lons = rng.uniform(glims[2], glims[3], size=40)
+    pts = spark.createDataFrame(
+        [(i, float(lats[i]), float(lons[i])) for i in range(40)],
+        "id long, latitude double, longitude double",
+    )
+    exact = {
+        r.id: (r.grid_id, r.nn_distance_km)
+        for r in nearest_grid_join(pts, grid).collect()
+    }
+    bucketed = {
+        r.id: (r.grid_id, r.nn_distance_km)
+        for r in nearest_grid_join_bucketed(pts, grid, cell_deg=0.5).collect()
+    }
+    assert set(bucketed) == set(exact)
+    for i in exact:
+        assert bucketed[i][0] == exact[i][0], (i, bucketed[i], exact[i])
+        assert abs(bucketed[i][1] - exact[i][1]) < 1e-9
