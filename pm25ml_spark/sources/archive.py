@@ -61,10 +61,20 @@ class ArchiveStorage:
         return f"{self._dir(subpath)}/data.parquet"
 
     # -- S2: write one asset ----------------------------------------------
-    def write_to_destination(self, df: DataFrame, subpath: HivePath | str) -> None:
+    def write_to_destination(
+        self,
+        df: DataFrame,
+        subpath: HivePath | str,
+        sort_cols: tuple[str, ...] = ("date", "grid_id"),
+    ) -> None:
         """Single-asset write. The reference writes exactly one file per
-        dataset-month (~1M rows); coalesce(1) keeps that layout contract.
-        Larger artifacts should use :meth:`sink_stage` instead."""
+        dataset-month (~1M rows), sorted [date, grid_id] (O1:
+        gee_export_pipeline.py:198-208); coalesce(1) + orderBy keeps that
+        layout contract. Larger artifacts should use :meth:`sink_stage`
+        (partitioned, sortWithinPartitions) instead."""
+        cols = [c for c in sort_cols if c in df.columns]
+        if cols:
+            df = df.orderBy(*cols)
         df.coalesce(1).write.mode("overwrite").parquet(self._data_file(subpath))
 
     # -- S1: read one asset ------------------------------------------------
