@@ -86,27 +86,33 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.join(counts, "doc_id")
 
 
-def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh_arr, n_sh) — one row per doc, the distinct-shingle set
-    as an array. Persisted: every dedup pipeline stage (prefix candidates,
-    signatures, verification) re-reads it, and without persistence Spark
-    re-derives the whole subtree once per consumer (observed 4-16×
-    recompute in the naive plan)."""
+def shingle_arrays(
+    docs: DataFrame, n: int = 3, keep_strings: bool = False
+) -> DataFrame:
+    """(doc_id, h_arr, n_sh) — one row per doc, the distinct-shingle set
+    as a 60-bit-hash array. Persisted: every dedup pipeline stage (prefix
+    candidates, signatures, verification) re-reads it, and without
+    persistence Spark re-derives the whole subtree once per consumer
+    (observed 4-16× recompute in the naive plan).
+
+    The shingle STRINGS exist only transiently inside the expression
+    (md5 needs them); no consumer reads them, so by default the persisted
+    frame carries longs only — ~4× smaller cache/shuffle footprint than
+    keeping the string arrays. Set-intersection on longs is also ~5×
+    cheaper; a cross-doc 60-bit collision (P ≈ 3e-8 corpus-wide) is the
+    only divergence from string-set semantics. ``keep_strings`` restores
+    the ``sh_arr`` column for debugging."""
     toks = docs.select("doc_id", tokens().alias("t"))
     idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice("t", i, n), " "))
     )
+    cols = [F.col("doc_id")]
+    if keep_strings:
+        cols.append(sh.alias("sh_arr"))
     out = (
-        toks.select("doc_id", sh.alias("sh_arr"))
-        .withColumn("n_sh", F.size("sh_arr"))
-        # 60-bit hashes of the shingles: set-intersection counts on longs
-        # are ~5× cheaper than on strings and shrink the broadcast ~4×;
-        # a cross-doc 60-bit collision (P ≈ 3e-8 corpus-wide) is the only
-        # divergence from string-set semantics.
-        .withColumn(
-            "h_arr", F.transform("sh_arr", lambda s: _md5_long(s))
-        )
+        toks.select(*cols, F.transform(sh, lambda s: _md5_long(s)).alias("h_arr"))
+        .withColumn("n_sh", F.size("h_arr"))
     )
     return out.persist()
 
