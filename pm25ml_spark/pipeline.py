@@ -60,10 +60,21 @@ class Pm25Pipeline:
         self.s = settings
         self.store = StageStorage(spark, settings.bucket)
 
+    def _validate_rows(self, stage: str, got: int, expected: int) -> None:
+        """§4.3 exact-row validation using the count the write job itself
+        observed (no re-scan): the reference fails loudly on any drift
+        (days_in_month × grid_size there; scaffold arithmetic here)."""
+        if got != expected:
+            raise ValueError(
+                f"stage={stage}: wrote {got} rows, expected {expected}"
+            )
+
     # -- stage 1: ingest ----------------------------------------------------
     def ingest(self, granules: list[RasterGranule]) -> None:
         """Granule manifest → long rows → (grid×date) scaffold completion →
-        stage=ingested partitioned by month."""
+        stage=ingested partitioned by month. Scaffold arithmetic fixes the
+        exact output row count (grid × distinct dates), validated against
+        the write-observed count."""
         grid_pdf = self.grid.select("grid_id", "lon", "lat").toPandas()
         long_rows = read_granules_to_grid(self.spark, granules, grid_pdf)
         per_var = (
@@ -75,7 +86,10 @@ class Pm25Pipeline:
         scaffold = self.grid.select("grid_id").crossJoin(dates)
         complete = scaffold_complete(per_var, scaffold, id_cols=("grid_id", "date"))
         out = complete.withColumn("month", F.substring("date", 1, 7))
-        self.store.sink_stage(out, "ingested")
+        n = self.store.sink_stage(out, "ingested")
+        self._validate_rows(
+            "ingested", n, self.grid.count() * dates.count()
+        )
 
     # -- stage 2: combine ---------------------------------------------------
     def combine(self, datasets: dict[str, DataFrame]) -> None:
