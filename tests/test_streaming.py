@@ -80,3 +80,39 @@ def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
     )
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stateful_user_totals_accumulate_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: the same file fed as two micro-batches must
+    produce running totals that end at exactly 2x the single-file batch
+    aggregate (state carries across batches)."""
+    import shutil
+
+    from pm25ml_spark.streaming.events import stateful_user_totals
+
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, str(tmp_path / "ev1.parquet"))
+    shutil.copy(src, str(tmp_path / "ev2.parquet"))
+    stream = read_events_stream(
+        spark, str(tmp_path), max_files_per_trigger=1, glob="ev*.parquet"
+    )
+    out = stateful_user_totals(stream)
+    run_available_now(out, "stateful_totals", str(tmp_path), output_mode="update")
+    got = spark.table("stateful_totals")
+    # last (= max n_events) update per user is the final running total
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in got.orderBy("n_events").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("tv"),
+        )
+    )
+    for r in batch.collect():
+        n, tv = final[r.user_id]
+        assert n == 2 * r.n, (r.user_id, n, r.n)
+        assert abs(tv - 2 * r.tv) < 1e-6
