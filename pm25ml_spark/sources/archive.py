@@ -173,6 +173,17 @@ class StageStorage:
         dirs = glob.glob(f"{self.stage_path(stage)}/month=*")
         return sorted(d.rsplit("month=", 1)[1] for d in dirs)
 
+    def missing_months(self, in_stage: str, out_stage: str) -> list[str]:
+        """Stage-level incremental skip (spatial_imputation_manager.py:
+        206-215): the months present upstream but absent downstream —
+        the only partitions the next run needs to process. Driver-side
+        set difference over partition listings; combined with a
+        ``filter(col("month").isin(...))`` the scan prunes to exactly
+        those directories."""
+        return sorted(
+            set(self.months_present(in_stage)) - set(self.months_present(out_stage))
+        )
+
     def compact_stage(
         self, stage: str, target_rows_per_file: int = 1_000_000
     ) -> None:

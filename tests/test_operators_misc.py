@@ -296,3 +296,28 @@ def test_bucketed_nn_join_matches_broadcast(spark):
     for i in exact:
         assert bucketed[i][0] == exact[i][0], (i, bucketed[i], exact[i])
         assert abs(bucketed[i][1] - exact[i][1]) < 1e-9
+
+
+def test_missing_months_incremental_skip(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from pm25ml_spark.sources.archive import StageStorage
+
+    store = StageStorage(spark, str(tmp_path))
+    src = spark.range(60).withColumn(
+        "month",
+        F2.when(F2.col("id") % 3 == 0, "2024-01")
+        .when(F2.col("id") % 3 == 1, "2024-02")
+        .otherwise("2024-03"),
+    )
+    store.sink_stage(src, "upstream")
+    store.sink_stage(src.filter(F2.col("month") == "2024-01"), "downstream")
+    assert store.missing_months("upstream", "downstream") == ["2024-02", "2024-03"]
+    # processing exactly the missing months closes the gap
+    todo = store.missing_months("upstream", "downstream")
+    store.sink_stage(
+        store.scan_stage("upstream").filter(F2.col("month").isin(todo)),
+        "downstream",
+        mode="append",
+    )
+    assert store.missing_months("upstream", "downstream") == []
