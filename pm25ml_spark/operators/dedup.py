@@ -376,3 +376,56 @@ def simhash(docs: DataFrame, n_bits: int = 60) -> DataFrame:
         )
         fp = term if fp is None else fp + term
     return scores.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bits: int = 60
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Candidate generation uses the PIGEONHOLE band trick: split the
+    fingerprint into ``max_hamming + 1`` chunks — two signatures within
+    ``max_hamming`` bits of each other must agree exactly on at least one
+    chunk, so only chunk-collisions become candidates (an equi-join on
+    (band, chunk), never an all-pairs scan). Candidates are then exact-
+    verified with ``bit_count(xor)``. Both stages are JVM-side integer
+    ops; the result is EXACT, so the oracle is the brute-force pair set.
+    """
+    n_bands = max_hamming + 1
+    band_bits = -(-n_bits // n_bands)
+    mask = (1 << band_bits) - 1
+    sig = simhash(docs, n_bits=n_bits)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(mask)
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", "c.band", "c.chunk")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band", "chunk",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band", "chunk",
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -149,3 +149,41 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs)
+
+
+_SIMHASH_CTE = """
+    tok AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    hh AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM (SELECT doc_id, hv, UNNEST(range(0, 60)) AS j FROM hh)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN score > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dd07_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dd07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pigeonhole-banded candidates + exact hamming verify; the oracle is
+    # the brute-force pair set because banding is lossless at ≤ 3 bits.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
