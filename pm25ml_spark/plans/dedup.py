@@ -187,3 +187,38 @@ def dd07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the brute-force pair set because banding is lossless at ≤ 3 bits.
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=3)
+
+
+@query(
+    "dd08_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM qual
+        UNION SELECT doc_b, doc_a FROM qual
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT doc_id, cluster_id, cluster_size,
+           CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_keeper
+    FROM comp JOIN sizes USING (cluster_id)
+    """,
+)
+def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs (dd03's exact Jaccard graph) -> connected components ->
+    # duplicate clusters with keep-lowest-id policy. The oracle computes
+    # the same clusters with a recursive-CTE transitive closure.
+    from pm25ml_spark.operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    return dedup_clusters(pairs)

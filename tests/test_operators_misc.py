@@ -321,3 +321,23 @@ def test_missing_months_incremental_skip(spark, tmp_path):
         mode="append",
     )
     assert store.missing_months("upstream", "downstream") == []
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from pm25ml_spark.operators.components import connected_components, dedup_clusters
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == 20 and comp[21] == 20
+
+    clusters = dedup_clusters(edges, id_a="src", id_b="dst").collect()
+    by_doc = {r.doc_id: r for r in clusters}
+    assert by_doc[3].cluster_id == 1 and by_doc[3].cluster_size == 5
+    assert by_doc[1].is_keeper == 1 and by_doc[5].is_keeper == 0
+    assert by_doc[12].cluster_size == 3
