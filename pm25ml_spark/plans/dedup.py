@@ -222,3 +222,97 @@ def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
     return dedup_clusters(pairs)
+
+
+@query(
+    "cp01_corpus_curation",
+    f"""
+    WITH RECURSIVE
+    quality AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 10
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    survivors AS (
+        SELECT q.doc_id, q.text, q.n_tokens FROM quality q
+        JOIN exact_keep USING (doc_id)
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM survivors),
+    sh_raw AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh_raw),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ca.n_sh AS na, cb.n_sh AS nb, COUNT(*) AS shared
+        FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        JOIN counts cb ON cb.doc_id = b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    qual_pairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM qual_pairs
+        UNION SELECT doc_b, doc_a FROM qual_pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+    curated AS (
+        SELECT s.doc_id, s.n_tokens FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+    )
+    SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM curated
+    """,
+)
+def cp01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus curation pipeline as ONE composed plan: quality
+    filter → exact dedup (keep lowest id) → near-dup clustering over the
+    survivors (prefix-filtered Jaccard + connected components) → drop
+    cluster non-keepers → corpus stats. Every stage is one of the
+    catalog's own operators; the oracle recomputes the identical chain in
+    SQL (recursive CTE for the clustering)."""
+    from pm25ml_spark.operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    ).filter(F.col("n_tokens") >= 10)
+    exact_keep = (
+        quality.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = quality.join(exact_keep, "doc_id").persist()
+    pairs = D.jaccard_pairs(
+        survivors.select("doc_id", "text"), n=3, t_num=3, t_den=5
+    )
+    dropped = (
+        dedup_clusters(pairs)
+        .filter(F.col("is_keeper") == 0)
+        .select("doc_id")
+    )
+    curated = survivors.join(dropped, "doc_id", "left_anti")
+    return curated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
