@@ -343,3 +343,42 @@ def t08_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# t09 — feature-hashed document vectors (the hashing trick): token →
+# md5-derived bucket, tf weights L2-normalized per doc, emitted long-form
+# (doc_id, bucket, w). The text → vector bridge into the similarity
+# operators; at corpus scale this is two hash aggregates, no vocabulary
+# build, no driver state. 6-dp rounding on the normalized weight makes
+# the value engine-portable (norm is an exact integer sum of tf²).
+@query(
+    "t09_hashed_doc_vectors",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(UNNEST(string_split(text, ' '))), 1, 15))::BIGINT % 32 AS bucket
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM tok GROUP BY doc_id, bucket),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, tf.bucket,
+           ROUND(tf.tf / sqrt(CAST(n.n2 AS DOUBLE)), 6) AS w
+    FROM tf JOIN norms n ON tf.doc_id = n.doc_id
+    """,
+)
+def t09_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.dedup import _md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select("doc_id", (_md5_long(F.col("t")) % 32).alias("bucket"))
+    tf = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    return tf.join(norms, "doc_id").select(
+        "doc_id",
+        "bucket",
+        F.round(F.col("tf") / F.sqrt(F.col("n2").cast("double")), 6).alias("w"),
+    )

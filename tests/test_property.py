@@ -157,3 +157,43 @@ def test_blocked_neardup_invariant_to_block_count(spark, n_blocks, n_vecs):
         for r in cosine_neardup_pairs(df, threshold=0.99, n_blocks=1).collect()
     }
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# connected components ≡ local union-find on random graphs
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    from pm25ml_spark.operators.components import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        want[n] = find(n)
+    assert got == want
