@@ -619,3 +619,56 @@ def q18_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qp_covar"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q19 — PIVOT: per-user event counts spread into one column per event
+# type (the relational face of the K4 wide pivot). Spark pivot() with
+# explicit values keeps the plan static; the oracle spells the CASE sums.
+@query(
+    "q19_pivot_event_types",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS n_click,
+           COUNT(*) FILTER (event_type = 'view') AS n_view,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q19_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase", "error")
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — UNPIVOT (wide → long): part metrics melted into (metric, value)
+# rows via stack(); the inverse of q19's pivot.
+@query(
+    "q20_unpivot_metrics",
+    """
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+)
+def q20_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice, "
+            "'size', CAST(p_size AS DOUBLE)) AS (metric, value)"
+        ),
+    )

@@ -337,3 +337,50 @@ def w10_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w11 — RANGE frame (value-based, not row-based): 30-day trailing order
+# total per customer. Distinct from every ROWS frame above: gaps in the
+# date axis mean a 30-row frame and a 30-day frame differ whenever a
+# customer skips days. Ordered by epoch-day int so both engines use
+# integer RANGE offsets.
+@query(
+    "w11_range_frame",
+    """
+    SELECT o_custkey, day_int,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY day_int
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY day_int
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_in_window
+    FROM (
+        SELECT o_custkey,
+               datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_int,
+               o_totalprice
+        FROM orders
+    )
+    """,
+)
+def w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day_int"
+        ),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_int")
+        .rangeBetween(-29, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "day_int",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_30d"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
