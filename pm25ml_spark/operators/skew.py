@@ -37,7 +37,16 @@ def salted_join(
     Use when the RIGHT side is replicable (dimension-sized or already
     filtered); for two huge skewed fact tables prefer AQE skew-join or
     isolate the hot keys into a broadcast sub-join.
+
+    Only ``inner`` and ``left`` are legal: the exploded right side would
+    emit each UNMATCHED right row ``n_salts`` times under a right/full
+    join, silently corrupting the result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — the "
+            "exploded right side duplicates unmatched right rows"
+        )
     salted_left = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).cast(
