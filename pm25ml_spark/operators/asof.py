@@ -30,38 +30,44 @@ def asof_join_backward(
     before its timestamp (per key). Left columns are preserved; payload
     columns arrive as ``asof_<name>`` (null when no earlier right row).
 
+    Row integrity: the payload travels as ONE struct per right row, so
+    the matched values always come from the same right row — a per-column
+    ignore-nulls carry would skip a genuine null in the latest row and
+    substitute an older row's value, emitting a chimera of several rows.
+    A null payload field in the matched right row surfaces as null.
+
     Ties: a right row with ts equal to the left row's ts IS matched
-    (<=); among equal-ts right rows the one with the largest payload
-    ordering wins deterministically via the (ts, side, row-order) sort.
+    (<=); among equal-ts right rows the largest payload struct (field-
+    wise comparison) wins — a total, engine-portable order, so the result
+    is deterministic even with duplicate right timestamps.
     """
     lcols = left.columns
+    pstruct = F.struct(*[F.col(p).alias(p) for p in payload])
+    pstruct_type = right.select(pstruct.alias("__p")).schema["__p"].dataType
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+        F.lit(None).cast(pstruct_type).alias("__p"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        pstruct.alias("__p"),
     )
     merged = l_tag.unionByName(r_tag)
-    # right rows (__side=0) sort before left rows at equal ts → <= semantics
+    # right rows (__side=0) sort before left rows at equal ts → <= semantics;
+    # __p as the final sort key makes equal-ts right rows deterministic
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__p")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = merged.withColumns(
-        {
-            f"asof_{p}": F.last(f"__p_{p}", ignorenulls=True).over(w)
-            for p in payload
-        }
-    )
+    carried = merged.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
     return carried.filter(F.col("__side") == 1).select(
-        *lcols, *[f"asof_{p}" for p in payload]
+        *lcols,
+        *[F.col(f"__asof.{p}").alias(f"asof_{p}") for p in payload],
     )

@@ -68,6 +68,13 @@ def wide_combine(
     def join_two(acc: DataFrame, item) -> DataFrame:
         right, orig_cols = item
         keys = [c for c in id_cols if c in acc.columns and c in right.columns]
+        if not keys:
+            # join(on=[]) is a silent cross join — a misnamed id column
+            # would explode row counts multiplicatively with no error
+            raise ValueError(
+                f"wide_combine: dataset shares no id columns {id_cols} "
+                f"with the accumulated table (its columns: {sorted(orig_cols)})"
+            )
         if broadcast_static and "date" in id_cols and "date" not in orig_cols:
             right = F.broadcast(right)
         return acc.join(right, on=keys, how="inner")

@@ -89,8 +89,11 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -
     policy used by exact dedup)."""
     comp = connected_components(pairs, src=id_a, dst=id_b)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # NO broadcast hint on sizes: component cardinality is corpus-
+    # proportional (one row per duplicate cluster) — let AQE pick the
+    # join strategy from the actual size
     return (
-        comp.join(F.broadcast(sizes), "component")
+        comp.join(sizes, "component")
         .select(
             F.col("node").alias("doc_id"),
             F.col("component").alias("cluster_id"),

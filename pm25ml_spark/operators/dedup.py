@@ -15,6 +15,12 @@ Scale notes (the operators are designed for ~10^9-document corpora):
   groupBy doc); banding emits ``n_bands`` rows per doc; candidate pairs are
   verified with exact Jaccard so precision is 1.0 and only recall is
   probabilistic ((1-t^r)^b miss rate).
+
+Cache lifecycle: the intermediates persisted here (shingle arrays,
+prefixes, band keys) are QUERY-scoped — they persist with the default
+MEMORY_AND_DISK level (LRU-evictable, so they degrade rather than OOM)
+and are released by ``spark.catalog.clearCache()`` or ``df.unpersist()``
+between queries; the bench runner does exactly that per query.
 """
 
 from __future__ import annotations
@@ -40,9 +46,16 @@ def shingles(col="text", n: int = 3) -> F.Column:
 
     slice+array_join instead of per-position element_at: one array window
     per shingle (measured ~4× cheaper; ~12× when the token array is
-    materialized in a prior projection as :func:`shingle_arrays` does)."""
+    materialized in a prior projection as :func:`shingle_arrays` does).
+
+    Documents with fewer than n tokens yield an EMPTY shingle set —
+    ``sequence(1, stop)`` with stop < 1 would generate a DESCENDING
+    sequence and ``slice(toks, 0, n)`` then throws, so the sequence is
+    gated on size ≥ n."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
@@ -103,7 +116,11 @@ def shingle_arrays(
     only divergence from string-set semantics. ``keep_strings`` restores
     the ``sh_arr`` column for debugging."""
     toks = docs.select("doc_id", tokens().alias("t"))
-    idx = F.sequence(F.lit(1), F.size("t") - (n - 1))
+    # same short-doc gate as shingles(): size < n -> empty set, never a
+    # descending sequence feeding slice()
+    idx = F.when(
+        F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice("t", i, n), " "))
     )

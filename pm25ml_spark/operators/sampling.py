@@ -32,8 +32,19 @@ def stratified_split(
     key: str | None = None,
     split_col: str = "split",
 ) -> DataFrame:
-    """Exact per-stratum fraction split with deterministic seeding."""
-    order = [F.rand(seed)] + ([F.col(key)] if key else [])
+    """Exact per-stratum fraction split with deterministic seeding.
+
+    With ``key`` given the shuffle order is ``xxhash64(key, seed)`` —
+    a pure function of the row, so the split is identical under ANY
+    upstream partitioning/parallelism. Without a key it falls back to
+    ``rand(seed)``, which Spark seeds per-partition: deterministic only
+    for a fixed partitioning (pass a key for experiment-grade
+    reproducibility).
+    """
+    if key:
+        order = [F.xxhash64(F.col(key), F.lit(seed)), F.col(key)]
+    else:
+        order = [F.rand(seed)]
     w = Window.partitionBy(stratum).orderBy(*order)
     wc = Window.partitionBy(stratum)
     return (
@@ -63,8 +74,12 @@ def stratified_split_approx(
     hash: rand(seed) is row-order-dependent in Spark, so instead we hash
     stable key columns — callers must pass fractions per stratum value.
     """
-    # deterministic per-row uniform in [0,1) from the row's stable id hash
-    u = (F.abs(F.hash(*df.columns, F.lit(seed))) % 1_000_000) / 1_000_000.0
+    # deterministic per-row uniform in [0,1) from the row's stable id
+    # hash; pmod, NOT abs(hash)%N — abs(Integer.MIN_VALUE) overflows
+    # (ANSI mode aborts the job; legacy mode goes negative and the row is
+    # always 'training'), and at the row counts this path targets that
+    # 2^-32 event is near-certain to occur
+    u = F.pmod(F.hash(*df.columns, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
     frac_col = F.lit(None).cast("double")
     expr = None
     for k, f in fractions.items():

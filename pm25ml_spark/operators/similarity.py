@@ -148,13 +148,21 @@ def cosine_neardup_pairs(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )
-    left = e.join(F.broadcast(block_pairs), e["_blk"] == block_pairs["bi"]).select(
-        "bi", "bj", F.lit(0).alias("_side"), "_id", "_v"
+    # ONE scan of the (possibly expensive) embeddings subtree: an
+    # OR-condition broadcast join against the 36-row pair table replaces
+    # the two-join union, which would execute the whole upstream twice.
+    joined = e.join(
+        F.broadcast(block_pairs),
+        (e["_blk"] == block_pairs["bi"]) | (e["_blk"] == block_pairs["bj"]),
     )
-    right = e.join(F.broadcast(block_pairs), e["_blk"] == block_pairs["bj"]).select(
-        "bi", "bj", F.lit(1).alias("_side"), "_id", "_v"
+    sides = (
+        F.when(F.col("bi") == F.col("bj"), F.array(F.lit(0), F.lit(1)))
+        .when(F.col("_blk") == F.col("bi"), F.array(F.lit(0)))
+        .otherwise(F.array(F.lit(1)))
     )
-    tagged = left.unionByName(right)
+    tagged = joined.select(
+        "bi", "bj", F.explode(sides).alias("_side"), "_id", "_v"
+    )
 
     prefilter = threshold - 1e-6
 
@@ -268,6 +276,13 @@ def ivf_topk(
         (F.col(c_id) % centroid_stride) == centroid_offset
     ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
     crows = cent.collect()  # coarse codebook: small by construction
+    if not crows:
+        raise ValueError(
+            "ivf_topk: centroid selection (id % "
+            f"{centroid_stride} == {centroid_offset}) matched no candidates — "
+            "choose a stride/offset that hits the id space, or use "
+            "cosine_topk / lsh_bucket_topk"
+        )
     cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
     CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
     cn = np.sqrt((CM * CM).sum(axis=1))

@@ -341,3 +341,42 @@ def test_connected_components_chain_and_triangle(spark):
     assert by_doc[3].cluster_id == 1 and by_doc[3].cluster_size == 5
     assert by_doc[1].is_keeper == 1 and by_doc[5].is_keeper == 0
     assert by_doc[12].cluster_size == 3
+
+
+def test_shingle_operators_survive_short_docs(spark):
+    # regression: docs with < n tokens previously generated a DESCENDING
+    # sequence whose slice(toks, 0, n) crashed the whole job
+    from pm25ml_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc dd ee ff"),
+            (3, "aa bb"),          # 2 tokens < n=3
+            (4, ""),               # empty text
+        ],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs(docs, n=3, t_num=1, t_den=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    mh = minhash_dedup_pairs(docs, t_num=1, t_den=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in mh} == {(1, 2)}
+
+
+def test_asof_payload_row_integrity(spark):
+    # regression: a genuine NULL in the latest right row must surface as
+    # NULL, not be replaced by an older row's value; multi-payload
+    # columns must all come from the SAME right row
+    from pm25ml_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, "u", 10)], "event_id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 1, "A", 100), ("u", 5, None, 500)],
+        "k string, ts long, mark string, score long",
+    )
+    out = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload=["mark", "score"],
+    ).collect()[0]
+    assert out.asof_mark is None  # latest row's null, not 'A'
+    assert out.asof_score == 500  # and score from the SAME (ts=5) row

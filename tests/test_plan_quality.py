@@ -117,13 +117,15 @@ def test_dd03_no_cartesian_product(spark, sf_dir):
 
 
 def test_dd06_tiles_not_cross_join(spark, sf_dir):
-    """Blocked all-pairs cosine: block-pair replication joins must be
-    broadcast of the 36-row pair table; the n x n cross product must never
-    appear as a join operator."""
+    """Blocked all-pairs cosine: block-pair replication is ONE broadcast
+    join of the 36-row pair table (OR-condition → BroadcastNestedLoop
+    over 36 rows, then a side-explode); the n x n cross product must
+    never appear, and the embeddings subtree must be scanned once."""
     df = QUERIES["dd06_embedding_neardup"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # both replication joins
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Scan parquet") == 1  # single pass over embeddings
 
 
 def test_d05_regex_projection_prunes_scan(spark, sf_dir):
