@@ -27,9 +27,15 @@ def assign_group_folds(
     df: DataFrame, group_col: str, k: int = 10, fold_col: str = "fold"
 ) -> DataFrame:
     """GroupKFold (M1): all rows of a group land in one fold;
-    dense_rank(group) % k balances groups across folds deterministically."""
+    dense_rank(group) % k balances groups across folds deterministically.
+
+    The rank runs over the DISTINCT group keys (dimension-sized) and
+    broadcast-joins back — a dense_rank over the full frame would funnel
+    every row through one unpartitioned-window task."""
+    groups = df.select(group_col).distinct()
     w = Window.orderBy(group_col)
-    return df.withColumn(fold_col, (F.dense_rank().over(w) - 1) % k)
+    fold_map = groups.withColumn(fold_col, (F.dense_rank().over(w) - 1) % k)
+    return df.join(F.broadcast(fold_map), on=group_col, how="left")
 
 
 def assign_stratified_group_folds(
@@ -40,19 +46,24 @@ def assign_stratified_group_folds(
     fold_col: str = "fold",
 ) -> DataFrame:
     """StratifiedGroupKFold (M2): groups are ranked within their stratum
-    so each fold sees every stratum; still group-atomic."""
-    groups = df.select(stratum_col, group_col).distinct()
-    w = Window.partitionBy(stratum_col).orderBy(group_col)
-    fold_map = groups.withColumn(fold_col, (F.row_number().over(w) - 1) % k)
-    return df.join(
-        F.broadcast(fold_map), on=[stratum_col, group_col], how="left"
+    so each fold sees every stratum — and fold assignment is GROUP-atomic
+    even when a group spans strata: each group is first reduced to one
+    representative stratum (its minimum), then ranked. Ranking per
+    (stratum, group) pair instead would hand the same group different
+    folds in different strata, leaking the group across train/test."""
+    groups = df.groupBy(group_col).agg(F.min(stratum_col).alias("__stratum"))
+    w = Window.partitionBy("__stratum").orderBy(group_col)
+    fold_map = groups.withColumn(fold_col, (F.row_number().over(w) - 1) % k).drop(
+        "__stratum"
     )
+    return df.join(F.broadcast(fold_map), on=group_col, how="left")
 
 
 def regression_metrics(
     pred: DataFrame, label: str, prediction: str = "prediction"
 ) -> dict[str, float]:
-    """M5: r2 + rmse via plain aggregates (one pass)."""
+    """M5: r2 + rmse via plain aggregates (one pass). An empty frame
+    (e.g. a CV fold with no groups) yields NaN metrics, not a crash."""
     row = pred.agg(
         F.count(label).alias("n"),
         F.avg(label).alias("mean_y"),
@@ -60,9 +71,11 @@ def regression_metrics(
         F.sum(F.col(label) ** 2).alias("ss_y2"),
         F.sum(label).alias("s_y"),
     ).first()
+    if not row.n or row.mean_y is None:
+        return {"r2": float("nan"), "rmse": float("nan"), "n": row.n or 0}
     ss_tot = row.ss_y2 - row.n * row.mean_y**2
     r2 = 1.0 - row.ss_res / ss_tot if ss_tot else float("nan")
-    rmse = (row.ss_res / row.n) ** 0.5 if row.n else float("nan")
+    rmse = (row.ss_res / row.n) ** 0.5
     return {"r2": r2, "rmse": rmse, "n": row.n}
 
 
@@ -88,6 +101,23 @@ class TrainedImputer:
         return sum(self.cv_r2) / len(self.cv_r2)
 
 
+def check_no_null_features(df: DataFrame, features: list[str], where: str) -> None:
+    """P11 (imputation_model_pipeline.py:232-241): predictors must be
+    fully non-null — GBT rejects the NaN the assembler would emit, so
+    without this guard a single missing feature cell kills the job with
+    an opaque executor error deep in training/scoring. Implemented as a
+    limit-1 existence probe, not a full count."""
+    any_null = F.lit(False)
+    for f in features:
+        any_null = any_null | F.col(f).isNull() | F.isnan(F.col(f))
+    bad = df.filter(any_null).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"{where}: null/NaN in predictor columns {features} — run the "
+            "interpolation/fill stages first (reference P11 contract)"
+        )
+
+
 def train_imputation_model(
     df: DataFrame,
     features: list[str],
@@ -102,6 +132,7 @@ def train_imputation_model(
     Training data is the stratified sample (2-3 % of the corpus) — small
     relative to the cluster, but the GBT still trains distributed.
     """
+    check_no_null_features(df, features, "train_imputation_model")
     data = assign_group_folds(df, group_col, n_folds).filter(
         F.col(target).isNotNull()
     )
@@ -173,6 +204,7 @@ def predict_with_stats(
     """M4+M7: batch predict + the five imputed-stats columns
     (regression_model_predictor.py:132-229)."""
     t = imputer.target
+    check_no_null_features(df, imputer.features, "predict_with_stats")
     assembler = VectorAssembler(
         inputCols=imputer.features, outputCol="features", handleInvalid="keep"
     )

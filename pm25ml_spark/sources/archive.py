@@ -44,13 +44,54 @@ class ValidationError(RuntimeError):
     pass
 
 
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _fs_glob(spark: SparkSession, pattern: str) -> list[str]:
+    """Glob via the Hadoop FileSystem API — works for any scheme the
+    cluster has a connector for (hdfs://, s3a://, gs://...). Plain
+    ``glob.glob`` silently returns [] for object-store URLs, which would
+    disable the skip-if-valid idempotency layer exactly in prod."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]
+
+
+def _fs_list_recursive(spark: SparkSession, root: str) -> list[str]:
+    """Recursive file listing via Hadoop FS (the remote stand-in for a
+    ``**`` glob, which Hadoop's globStatus does not support)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return out
+
+
 class ArchiveStorage:
     """Read/write/validate hive-pathed Parquet artifacts on any
-    Hadoop-compatible FS (local dirs in tests; object stores in prod)."""
+    Hadoop-compatible FS (local dirs in tests; object stores in prod).
+    Listings/existence go through the Hadoop FileSystem API when the
+    bucket has a non-local scheme; footer reads fall back to a Spark
+    metadata read remotely (pyarrow locally)."""
 
     def __init__(self, spark: SparkSession, bucket: str):
         self.spark = spark
         self.bucket = bucket.rstrip("/")
+
+    def _glob(self, pattern: str) -> list[str]:
+        if _is_local(self.bucket):
+            return glob.glob(pattern)
+        return _fs_glob(self.spark, pattern)
 
     # -- paths -------------------------------------------------------------
     def _dir(self, subpath: HivePath | str) -> str:
@@ -83,27 +124,50 @@ class ArchiveStorage:
 
     # -- S3: metadata-only footer read ------------------------------------
     def read_dataframe_metadata(self, subpath: HivePath | str):
-        """Row count + arrow schema from Parquet footers — no data scan."""
-        files = sorted(glob.glob(f"{self._data_file(subpath)}/*.parquet"))
-        if not files:
-            raise FileNotFoundError(self._data_file(subpath))
-        total = 0
-        schema = None
-        for f in files:
-            meta = pq.ParquetFile(f)
-            total += meta.metadata.num_rows
-            schema = meta.schema_arrow if schema is None else schema
-        return total, schema
+        """Row count + arrow schema from Parquet footers — no data scan.
+        Locally via pyarrow footers; on remote schemes via a Spark
+        metadata read (parquet ``count()`` is footer-only, the schema
+        comes from the reader) so the validation layer works against
+        object stores too."""
+        data_file = self._data_file(subpath)
+        if _is_local(self.bucket):
+            files = sorted(glob.glob(f"{data_file}/*.parquet"))
+            if not files:
+                raise FileNotFoundError(data_file)
+            total = 0
+            schema = None
+            for f in files:
+                meta = pq.ParquetFile(f)
+                total += meta.metadata.num_rows
+                schema = meta.schema_arrow if schema is None else schema
+            return total, schema
+        if not self.does_dataset_exist(subpath):
+            raise FileNotFoundError(data_file)
+        df = self.spark.read.parquet(data_file)
+        # StructType exposes .names like the arrow schema does, so the
+        # validate() column checks work identically on both branches
+        return df.count(), df.schema
 
     # -- S6: existence probe ----------------------------------------------
     def does_dataset_exist(self, subpath: HivePath | str) -> bool:
-        return bool(glob.glob(f"{self._data_file(subpath)}/*.parquet"))
+        return bool(self._glob(f"{self._data_file(subpath)}/*.parquet"))
 
     # -- S7: path glob by key-value ---------------------------------------
     def filter_paths_by_kv(self, key: str, value: str) -> list[str]:
-        hits = glob.glob(f"{self.bucket}/**/{key}={value}/**/data.parquet", recursive=True) + glob.glob(
-            f"{self.bucket}/**/{key}={value}/data.parquet", recursive=True
-        )
+        if _is_local(self.bucket):
+            hits = glob.glob(
+                f"{self.bucket}/**/{key}={value}/**/data.parquet", recursive=True
+            ) + glob.glob(
+                f"{self.bucket}/**/{key}={value}/data.parquet", recursive=True
+            )
+        else:
+            seg = f"/{key}={value}/"
+            hits = [
+                p
+                for p in _fs_list_recursive(self.spark, self.bucket)
+                if seg in p and p.rstrip("/").endswith(".parquet")
+                and "/data.parquet" in p
+            ]
         return sorted({os.path.dirname(h)[len(self.bucket) + 1 :] for h in hits})
 
     # -- §4.3: declared-config validation ---------------------------------
@@ -170,7 +234,11 @@ class StageStorage:
         return int(obs.get["rows"])
 
     def months_present(self, stage: str) -> list[str]:
-        dirs = glob.glob(f"{self.stage_path(stage)}/month=*")
+        pattern = f"{self.stage_path(stage)}/month=*"
+        if _is_local(self.bucket):
+            dirs = glob.glob(pattern)
+        else:
+            dirs = _fs_glob(self.spark, pattern)
         return sorted(d.rsplit("month=", 1)[1] for d in dirs)
 
     def missing_months(self, in_stage: str, out_stage: str) -> list[str]:
@@ -192,20 +260,29 @@ class StageStorage:
         stage directories with thousands of small files; at 100 TB the
         file-listing and per-file open costs dominate scan startup.
         Row-count-proportional coalescing keeps file sizes uniform
-        without a full shuffle (coalesce, not repartition); the rewrite
-        goes to a sibling directory then swaps in, so a crashed
-        compaction never corrupts the stage."""
+        without a full shuffle (coalesce bounds the WRITER task count, so
+        the per-month file count is ≤ that bound, not exactly
+        ⌈rows/target⌉ per stage). The rewrite lands in a sibling dir and
+        swaps in via rename-out → rename-in → delete-old: a crash leaves
+        either the old stage intact or a complete new stage plus an
+        ``__old`` dir to clean — never a deleted/partial stage (the
+        rmtree-first spelling loses the whole stage if the process dies
+        before the rename)."""
         import shutil
 
         path = self.stage_path(stage)
         df = self.spark.read.parquet(path)
         n_files = max(1, -(-df.count() // max(target_rows_per_file, 1)))
         tmp = f"{path}__compacting"
+        old = f"{path}__old"
         df.coalesce(n_files).write.partitionBy("month").mode(
             "overwrite"
         ).parquet(tmp)
-        shutil.rmtree(path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
 
 
 def asof_fallback_months(

@@ -25,9 +25,15 @@ class HivePath:
     @classmethod
     def from_path(cls, path: str) -> "HivePath":
         segs = []
+        seen = set()
         for part in path.strip("/").split("/"):
             if "=" in part:
                 k, v = part.split("=", 1)
+                if k in seen:
+                    # a duplicate key would silently collapse in the
+                    # metadata dict and corrupt with_args' rebuild
+                    raise ValueError(f"duplicate hive key {k!r} in {path!r}")
+                seen.add(k)
                 segs.append((k, v))
         return cls(tuple(segs))
 

@@ -63,7 +63,13 @@ def decode_granule(path: str, variable: str) -> tuple[np.ndarray, np.ndarray, np
             "real NetCDF decode: open h5netcdf, validate dims (lon,lat,time), "
             "bbox-subset, mean over time — port of data_reader_merra.py:26-98"
         )
-    seed = abs(hash(path)) % 1000
+    # md5, NOT builtin hash(): str hash is salted per process (pyspark
+    # only pins PYTHONHASHSEED when the env doesn't set one), and a
+    # retried/speculative task re-decoding the same granule to different
+    # values breaks Spark's recompute-on-failure assumption
+    import hashlib
+
+    seed = int(hashlib.md5(path.encode()).hexdigest()[:8], 16) % 1000
     lons = np.arange(60.0, 100.0, 2.0)
     lats = np.arange(5.0, 40.0, 2.5)
     a, b, c = 0.1 + seed * 1e-4, 0.2, float(seed % 7)

@@ -46,15 +46,14 @@ def pivot_to_raster(
     ys = np.sort(joined[y_col].unique())
     xs = np.sort(joined[x_col].unique())
     cube = np.full((len(dates), len(ys), len(xs)), np.nan, dtype=np.float32)
-    t_idx = {d: i for i, d in enumerate(dates)}
-    y_idx = {v: i for i, v in enumerate(ys)}
-    x_idx = {v: i for i, v in enumerate(xs)}
-    for row in joined.dropna(subset=[date_col]).itertuples(index=False):
-        cube[
-            t_idx[getattr(row, date_col)],
-            y_idx[getattr(row, y_col)],
-            x_idx[getattr(row, x_col)],
-        ] = getattr(row, value_col)
+    # vectorized fill: factorize each axis into index arrays and assign
+    # in one fancy-indexing statement — a per-row Python loop costs
+    # minutes at the reference scale (33k cells × 365 days ≈ 12M rows)
+    filled = joined.dropna(subset=[date_col])
+    ti = np.searchsorted(dates, filled[date_col].to_numpy())
+    yi = np.searchsorted(ys, filled[y_col].to_numpy())
+    xi = np.searchsorted(xs, filled[x_col].to_numpy())
+    cube[ti, yi, xi] = filled[value_col].to_numpy(dtype=np.float32)
     return cube, dates, ys, xs
 
 

@@ -127,6 +127,7 @@ def run_available_now(
     query_name: str,
     tmp_dir: str,
     output_mode: str = "complete",
+    timeout_s: int = 120,
 ):
     """Drain the stream with AvailableNow into an in-memory sink; returns
     the finished StreamingQuery (caller reads ``spark.table(query_name)``).
@@ -140,7 +141,14 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # a silent partial drain would hand the caller an incomplete
+        # memory table with no error — stop the query and fail loudly
+        q.stop()
+        raise TimeoutError(
+            f"stream '{query_name}' did not drain within {timeout_s}s"
+        )
     return q
 
 
