@@ -4,10 +4,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed to completion (collect-less: count() forces the full
-plan including aggregation/exchange stages; wide per-row outputs are
-counted, small aggregates are collected) after one untimed warm-up of the
-session (JVM + parquet footer caches).
+Each query is executed to completion via the noop sink
+(``write.format("noop")``): every output row and expression is fully
+evaluated with zero sink cost. A ``count()`` instead would let Catalyst
+PRUNE the projected expressions (a windowed projection collapses to
+``Aggregate [count(1)] <- Relation`` — the window never runs), silently
+benchmarking a row-count scan instead of the operator. One untimed
+warm-up (JVM + parquet footers + Python worker pool) precedes timing.
 """
 
 from __future__ import annotations
@@ -19,7 +22,10 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.0  # non-sf-suffixed dir: still run and emit the JSON line
 
     from pm25ml_spark.plans.registry import QUERIES, load_all_plans
     from pm25ml_spark.session import get_spark
@@ -49,8 +55,7 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = QUERIES[name](spark, sf_dir)
-                n = df.count()
-                assert n >= 0
+                df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 4)
                 timings[name] = min(timings.get(name, elapsed), elapsed)
             except Exception as exc:  # keep the suite result even if one dies
@@ -65,7 +70,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
     }
     if errors:
         result["errors"] = errors

@@ -76,7 +76,11 @@ class Pm25Pipeline:
         exact output row count (grid × distinct dates), validated against
         the write-observed count."""
         grid_pdf = self.grid.select("grid_id", "lon", "lat").toPandas()
-        long_rows = read_granules_to_grid(self.spark, granules, grid_pdf)
+        # persist the decoded long rows: the write plan reads them through
+        # TWO join branches (pivot side + scaffold side) and the pivot's
+        # value discovery is a third pass — without the cache the granule
+        # decode (the heaviest I/O of the pipeline) executes ~3x
+        long_rows = read_granules_to_grid(self.spark, granules, grid_pdf).persist()
         per_var = (
             long_rows.groupBy("grid_id", "date")
             .pivot("variable")
@@ -87,9 +91,9 @@ class Pm25Pipeline:
         complete = scaffold_complete(per_var, scaffold, id_cols=("grid_id", "date"))
         out = complete.withColumn("month", F.substring("date", 1, 7))
         n = self.store.sink_stage(out, "ingested")
-        self._validate_rows(
-            "ingested", n, self.grid.count() * dates.count()
-        )
+        expected = self.grid.count() * dates.count()
+        long_rows.unpersist()
+        self._validate_rows("ingested", n, expected)
 
     # -- stage 2: combine ---------------------------------------------------
     def combine(self, datasets: dict[str, DataFrame]) -> None:

@@ -193,7 +193,7 @@ def d03_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN COUNT(e.value) OVER w5 = 5
                      AND ABS(e.value - CAST(SUM(CAST(e.value AS DECIMAL(38,6))) OVER w5 AS DOUBLE) / 5) < 0.05
                     THEN 1 ELSE 0 END AS f_repeat,
-               CASE WHEN e.value > s.q3 + 15 * (s.q3 - s.q1) THEN 1 ELSE 0 END AS f_anomaly,
+               CASE WHEN e.value > ROUND(s.q3 + 15 * (s.q3 - s.q1), 4) THEN 1 ELSE 0 END AS f_anomaly,
                CASE WHEN e.value >= 450.0 THEN 1 ELSE 0 END AS f_max
         FROM events e JOIN stats s ON e.user_id = s.user_id
         WINDOW w5 AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
@@ -239,7 +239,9 @@ def d04_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "f_anomaly",
             F.when(
-                F.col("value") > F.col("q3") + 15 * (F.col("q3") - F.col("q1")), 1
+                F.col("value")
+                > F.round(F.col("q3") + 15 * (F.col("q3") - F.col("q1")), 4),
+                1,
             ).otherwise(0),
         )
         .withColumn("f_max", F.when(F.col("value") >= 450.0, 1).otherwise(0))
@@ -309,7 +311,7 @@ def d05_regex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH purchases AS (
         SELECT user_id, CAST(ts AS DATE) AS d,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_value
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS mean_value
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     days AS (

@@ -33,6 +33,10 @@ def query(name: str, oracle: str | None = None):
     """Decorator registering a query plan and its optional DuckDB oracle."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # a silent overwrite would shrink the bench + correctness
+            # suite with no error — coverage loss must be loud
+            raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -512,7 +512,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q15_props_extract",
     f"""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) AS k_bucket,
            COUNT(*) AS n,
            {dsum_expr('value')} AS total_value
     FROM events

@@ -214,7 +214,7 @@ def ss04_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-           ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS centroid,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY label, i
     """,
@@ -225,7 +225,13 @@ def ss05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            # decimal sum, not float AVG: partial-aggregation order must
+            # not be able to flip the 6-dp rounding (registry contract)
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vectors")
