@@ -133,8 +133,12 @@ def train_imputation_model(
     relative to the cluster, but the GBT still trains distributed.
     """
     check_no_null_features(df, features, "train_imputation_model")
-    data = assign_group_folds(df, group_col, n_folds).filter(
-        F.col(target).isNotNull()
+    # persist: the fold-assigned frame is re-read n_folds+1 times (each
+    # CV fold's train/test split + the final fit)
+    data = (
+        assign_group_folds(df, group_col, n_folds)
+        .filter(F.col(target).isNotNull())
+        .persist()
     )
     assembler = VectorAssembler(
         inputCols=features, outputCol="features", handleInvalid="keep"
@@ -151,6 +155,7 @@ def train_imputation_model(
     final = GBTRegressor(
         labelCol=target, featuresCol="features", maxIter=max_iter, seed=seed
     ).fit(assembler.transform(data))
+    data.unpersist()
     return TrainedImputer(final, features, target, cv_r2)
 
 

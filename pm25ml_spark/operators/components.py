@@ -46,6 +46,7 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("node")).persist()
     labels.count()
 
+    converged = False
     for _it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -77,8 +78,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # silently-wrong labels (a long chain split into several
+        # components) would silently KEEP duplicates downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter (diameter exceeds it)"
+        )
     return labels
 
 

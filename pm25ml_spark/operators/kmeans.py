@@ -104,6 +104,15 @@ def kmeans_fit(
         if prev_bc is not None:
             prev_bc.destroy()
         prev_bc = bc
+    # re-assign against the FINAL centroids so the returned pair is
+    # mutually consistent (the in-loop assignment used the previous
+    # round's centroids — rows could sit closer to a different returned
+    # centroid than their label)
+    final_bc = sc.broadcast(C)
+    assigned = vecs.mapInPandas(
+        _assign_batches(final_bc, vec_col, id_col),
+        f"{id_col} long, cluster int",
+    )
     return C, assigned
 
 

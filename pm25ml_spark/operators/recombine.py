@@ -28,6 +28,13 @@ def recombine(
 
     def join_two(acc: DataFrame, right: DataFrame) -> DataFrame:
         keys = [c for c in id_cols if c in acc.columns and c in right.columns]
+        if not keys:
+            # join(on=[]) silently degenerates to a cross join — same
+            # guard as wide_combine
+            raise ValueError(
+                f"recombine: stage shares no id columns {id_cols} with the "
+                f"accumulated table (its columns: {sorted(right.columns)})"
+            )
         clashes = [
             c
             for c in right.columns

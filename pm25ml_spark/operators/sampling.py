@@ -34,15 +34,19 @@ def stratified_split(
 ) -> DataFrame:
     """Exact per-stratum fraction split with deterministic seeding.
 
-    With ``key`` given the shuffle order is ``xxhash64(key, seed)`` —
-    a pure function of the row, so the split is identical under ANY
-    upstream partitioning/parallelism. Without a key it falls back to
-    ``rand(seed)``, which Spark seeds per-partition: deterministic only
-    for a fixed partitioning (pass a key for experiment-grade
-    reproducibility).
+    ``key`` (a column name or list of names) must identify rows UNIQUELY
+    within a stratum: the shuffle order is ``xxhash64(*key, seed)`` then
+    the key columns themselves — a total order that is a pure function
+    of the row, so the split is identical under ANY upstream
+    partitioning. A non-unique key would leave boundary ties to shuffle
+    encounter order (nondeterministic split). Without a key it falls
+    back to ``rand(seed)``: deterministic only for a fixed partitioning.
     """
     if key:
-        order = [F.xxhash64(F.col(key), F.lit(seed)), F.col(key)]
+        keys = [key] if isinstance(key, str) else list(key)
+        order = [F.xxhash64(*[F.col(k) for k in keys], F.lit(seed))] + [
+            F.col(k) for k in keys
+        ]
     else:
         order = [F.rand(seed)]
     w = Window.partitionBy(stratum).orderBy(*order)
@@ -66,20 +70,21 @@ def stratified_split_approx(
     fractions: dict,
     seed: int = 42,
     split_col: str = "split",
+    id_cols: list | None = None,
 ) -> DataFrame:
     """Shuffle-free Bernoulli stratified sampling (the 100 TB path).
 
-    ``sampleBy`` marks the sampled subset; a join-free anti-mark is
-    achieved by re-deriving the Bernoulli draw from a deterministic
-    hash: rand(seed) is row-order-dependent in Spark, so instead we hash
-    stable key columns — callers must pass fractions per stratum value.
+    The Bernoulli draw derives from a deterministic hash of ``id_cols``
+    (the row's IDENTITY — not its measurements, which would flip the
+    split whenever an upstream value is revised). Without ``id_cols``
+    every column is hashed, which is only stable for immutable rows.
     """
-    # deterministic per-row uniform in [0,1) from the row's stable id
-    # hash; pmod, NOT abs(hash)%N — abs(Integer.MIN_VALUE) overflows
+    hash_cols = id_cols if id_cols else df.columns
+    # pmod, NOT abs(hash)%N — abs(Integer.MIN_VALUE) overflows
     # (ANSI mode aborts the job; legacy mode goes negative and the row is
     # always 'training'), and at the row counts this path targets that
     # 2^-32 event is near-certain to occur
-    u = F.pmod(F.hash(*df.columns, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+    u = F.pmod(F.hash(*hash_cols, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
     frac_col = F.lit(None).cast("double")
     expr = None
     for k, f in fractions.items():

@@ -131,7 +131,14 @@ class Pm25Pipeline:
         feat = self.store.scan_stage("generated_features")
         nonnull = feat.filter(F.col(self.s.target).isNotNull())
         sampled = stratified_split(
-            nonnull, "grid__id_50km", self.s.sample_fraction, seed=42, key="grid_id"
+            nonnull,
+            "grid__id_50km",
+            self.s.sample_fraction,
+            seed=42,
+            # (grid_id, date) is the frame's unique row key — a bare
+            # grid_id is not unique here and would leave split-boundary
+            # ties to shuffle encounter order
+            key=["grid_id", "date"],
         )
         self.store.sink_stage(sampled, "sampled")
 

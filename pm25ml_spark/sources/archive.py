@@ -45,7 +45,10 @@ class ValidationError(RuntimeError):
 
 
 def _is_local(path: str) -> bool:
-    return "://" not in path or path.startswith("file:")
+    # plain paths only; ANY scheme (file:, s3a:, hdfs:, gs:) routes
+    # through the Hadoop FS API — glob.glob/os.* on a "file:///x" URI
+    # silently return nothing, which would disable skip-if-valid
+    return "://" not in path and not path.startswith("file:")
 
 
 def _fs_glob(spark: SparkSession, pattern: str) -> list[str]:
@@ -228,9 +231,13 @@ class StageStorage:
 
         obs = Observation(f"sink_{stage}")
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        observed.write.partitionBy("month").mode(mode).parquet(
-            self.stage_path(stage)
-        )
+        # dynamic partition overwrite: replace ONLY the month partitions
+        # present in df. Static overwrite would clear the whole stage —
+        # with the missing_months incremental workflow that silently
+        # destroys every previously written month.
+        observed.write.partitionBy("month").mode(mode).option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(self.stage_path(stage))
         return int(obs.get["rows"])
 
     def months_present(self, stage: str) -> list[str]:
@@ -278,11 +285,25 @@ class StageStorage:
         df.coalesce(n_files).write.partitionBy("month").mode(
             "overwrite"
         ).parquet(tmp)
-        if os.path.exists(old):
+        if _is_local(self.bucket):
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
             shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        else:
+            # same swap through the Hadoop FS API — os.rename/shutil on a
+            # scheme URI raises after the (expensive) rewrite already ran
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            jold = jvm.org.apache.hadoop.fs.Path(old)
+            jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            if fs.exists(jold):
+                fs.delete(jold, True)
+            fs.rename(jpath, jold)
+            fs.rename(jtmp, jpath)
+            fs.delete(jold, True)
 
 
 def asof_fallback_months(

@@ -34,28 +34,15 @@ def test_kmeans_matches_local_reference(spark, corpus):
         "vec_id long, embedding array<double>",
     )
     C, assigned = kmeans_fit(df, k=4, n_iter=3)
-    C_ref, a_ref = _local_lloyd(X, k=4, n_iter=3)
+    C_ref, _ = _local_lloyd(X, k=4, n_iter=3)
     # float drift between distributed and local summation is ~1e-12;
-    # assignments must be identical, centroids near-identical
+    # centroids near-identical, and the returned assignment must be
+    # consistent with the RETURNED centroids (final re-assign pass)
     got = {r.vec_id: r.cluster for r in assigned.collect()}
-    # final assignment returned is from the LAST iteration's centroids
-    # (before the final update) — recompute the reference the same way
-    d2 = (X * X).sum(1, keepdims=True) - 2 * X @ _ref_before_last(X, 4, 3).T \
-         + (_ref_before_last(X, 4, 3) ** 2).sum(1)[None, :]
-    a_last = np.argmin(d2, axis=1)
-    assert [got[i] for i in range(len(X))] == list(a_last)
+    d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C_ref.T + (C_ref * C_ref).sum(1)[None, :]
+    a_final = np.argmin(d2, axis=1)
+    assert [got[i] for i in range(len(X))] == list(a_final)
     assert np.allclose(C, C_ref, atol=1e-9)
-
-
-def _ref_before_last(X, k, n_iter):
-    C = X[:k].astype(np.float64).copy()
-    for _ in range(n_iter - 1):
-        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)[None, :]
-        a = np.argmin(d2, axis=1)
-        for c in range(k):
-            if (a == c).any():
-                C[c] = X[a == c].mean(axis=0)
-    return C
 
 
 def test_kmeans_inertia_non_increasing(spark, corpus):
