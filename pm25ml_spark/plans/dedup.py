@@ -316,3 +316,50 @@ def cp01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# dd09 — edit-distance near-dup pairs via blocking: candidate pairs share
+# (lang, 8-char prefix) — an equi-join key, so generation is a shuffle
+# hash join, never a cross join — then exact Levenshtein over the 32-char
+# prefix verifies. Integer distances, integer threshold: bit-exact across
+# engines. The blocking key is the knob that keeps the candidate set
+# near-linear at scale (tighten to 12/16 chars as the corpus grows).
+@query(
+    "dd09_editdist_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               substr(text, 1, 8) AS blk, substr(text, 1, 32) AS prefix
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 8
+    """,
+)
+def dd09_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 32).alias("prefix"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+    )

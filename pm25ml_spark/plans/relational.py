@@ -672,3 +672,36 @@ def q20_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'size', CAST(p_size AS DOUBLE)) AS (metric, value)"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q21 — CUBE aggregate: every grouping-set combination of (returnflag,
+# linestatus) in ONE shuffle (Spark expands the sets map-side, same as
+# q16's ROLLUP but with the cross-dimensional subtotals too). NULL group
+# labels coalesced to 'ALL' so the hash compare is unambiguous.
+@query(
+    "q21_cube_revenue",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           {dsum_expr('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q21_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_price",
+        )
+    )

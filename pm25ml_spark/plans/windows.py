@@ -384,3 +384,31 @@ def w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+# --------------------------------------------------------------------------
+# w12 — relative-rank windows: percent_rank ((rank-1)/(N-1)) and
+# cume_dist (rows ≤ current / N) of each order inside its priority
+# class. Both are pure integer-ratio doubles over an identical total
+# order (o_totalprice, o_orderkey unique tiebreak), so the IEEE results
+# are bit-identical across engines — no rounding needed.
+@query(
+    "w12_relative_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS cume
+    FROM orders
+    """,
+)
+def w12_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
