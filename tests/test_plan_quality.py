@@ -178,3 +178,18 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dd09_blocking_is_equi_join(spark, sf_dir):
+    """dd09's candidate generation must hash-join on the block key.
+
+    The Levenshtein threshold and the doc_id< inequality are residual
+    predicates ON an equi join — if they leaked into the join strategy
+    the plan would degrade to BroadcastNestedLoop/Cartesian, which is
+    quadratic shuffle at corpus scale.
+    """
+    df = QUERIES["dd09_editdist_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
