@@ -259,7 +259,7 @@ def jaccard_pairs(
         .distinct()
     )
     return _verify_pairs(cand, sh_arr, t_num, t_den).select(
-        "doc_a", "doc_b", "shared", "jaccard"
+        "doc_a", "doc_b", F.col("shared").cast("long").alias("shared"), "jaccard"
     )
 
 
@@ -442,7 +442,7 @@ def simhash_pairs(
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -100,8 +100,8 @@ def calendar_features(df: DataFrame, date_col: str = "date") -> DataFrame:
     d = F.to_date(date_col)
     return df.withColumns(
         {
-            "year": F.year(d),
-            "day_of_year": F.dayofyear(d),
+            "year": F.year(d).cast("long"),
+            "day_of_year": F.dayofyear(d).cast("long"),
             "cos_day_of_year": F.cos(F.dayofyear(d) * (2.0 * math.pi / 365.0)),
             "month_of_year": F.month(d),
             "monsoon_season": monsoon_flag(date_col),

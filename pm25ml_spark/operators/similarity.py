@@ -98,7 +98,7 @@ def cosine_topk(
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         partial.withColumn("score", F.round(F.col("raw"), 6))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(q_id, c_id, "score", "rk")
     )
@@ -353,7 +353,7 @@ def ivf_topk(
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         pairs.withColumn("score", F.round(F.col("raw"), 6))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(q_id, c_id, "score", "rk")
     )
@@ -388,6 +388,6 @@ def lsh_bucket_topk(
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
         pairs.select(q_id, c_id, score.alias("score"))
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )

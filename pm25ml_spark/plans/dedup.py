@@ -142,7 +142,8 @@ def dd06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, j
     )
     SELECT doc_id,
-           SUM(CASE WHEN score > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN score > 0 THEN 1::BIGINT << j ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )
@@ -177,7 +178,7 @@ _SIMHASH_CTE = """
     f"""
     WITH {_SIMHASH_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -277,7 +278,7 @@ def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.doc_id, s.n_tokens FROM survivors s
         WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
     )
-    SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
     FROM curated
     """,
@@ -359,7 +360,9 @@ def dd09_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("long")
+            .alias("dist"),
         )
         .filter(F.col("dist") <= 8)
     )

@@ -159,7 +159,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
            COUNT(*) FILTER (WHERE n_orders = 0) AS n_inactive,
-           SUM(n_orders) AS total_orders,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
            {dsum_expr('total_spend')} AS segment_spend
     FROM (
         SELECT c.c_custkey, c.c_mktsegment,

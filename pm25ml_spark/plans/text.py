@@ -27,7 +27,7 @@ def _tokens():
     f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            {davg_expr('n_tokens')} AS avg_tokens,
            {davg_expr('n_chars')} AS avg_chars,
            {davg_expr('avg_word_len')} AS mean_word_len
@@ -100,8 +100,8 @@ def t02_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         "n_chars",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
         n_stop.alias("n_stop"),
         n_vowels.alias("n_vowels"),
     )
@@ -157,9 +157,9 @@ def t03_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
-        n_en.alias("n_en"),
-        n_data.alias("n_data"),
-        n_query.alias("n_query"),
+        n_en.cast("long").alias("n_en"),
+        n_data.cast("long").alias("n_data"),
+        n_query.cast("long").alias("n_query"),
     )
     best = F.greatest("n_en", "n_data", "n_query")
     pred = (
@@ -203,8 +203,8 @@ def t04_bag_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_bpe) AS total_bpe_tokens,
-           SUM(n_ws) AS total_ws_tokens
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens
     FROM (
         SELECT source,
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
@@ -262,7 +262,9 @@ def t07_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * _RH_B + x) % _RH_P,
     )
     return docs.select(
-        "doc_id", fp.alias("fingerprint"), F.size(_tokens()).alias("n_tokens")
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
     )
 
 
@@ -339,7 +341,7 @@ def t08_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select("doc_id", "term", "tfidf", "rk")
     )

@@ -228,7 +228,13 @@ def w07_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rk"))
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            # cast to long so the dtype matches the oracle's BIGINT exactly
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
         .filter(F.col("rk") <= 3)
     )
 
@@ -276,8 +282,9 @@ def w08_decimate_100(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts_us,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -329,7 +336,7 @@ def w10_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        orders.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("o_orderpriority", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -366,9 +373,9 @@ def w10_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w11_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
-            "day_int"
-        ),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_int"),
         "o_totalprice",
     )
     w = (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pm25ml_spark.catalog import _normalize_event_ts
 from pm25ml_spark.session import ensure_runtime_confs
 
 
@@ -36,11 +37,9 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    # normalize nanos-as-long / TIMESTAMP_NTZ to TIMESTAMP: withWatermark
+    # rejects NTZ event-time columns
+    return _normalize_event_ts(stream)
 
 
 def windowed_counts(
