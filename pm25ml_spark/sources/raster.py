@@ -9,11 +9,19 @@ to the 33k grid centroids (`collectors/ned/*`). Spark-first shape:
       → long rows (grid_id, date, value)
       → scaffold completion + archive write
 
-The container has no NetCDF/HDF libraries, so the *decode* step is behind
-an import-try: with h5netcdf/xarray present the real decoder runs; without
-them a clearly-marked deterministic fake produces a plane-valued raster so
-the plumbing (schema, batching, regrid math, scaffold join) is fully
-testable. The regrid kernel (K2) is pure numpy bilinear — no scipy.
+Decode resolution order (S12):
+
+1. classic NetCDF-3 granules decode for real via the numpy-only codec
+   (`sources/netcdf3`) with MERRA semantics (`data_reader_merra.py:26-98`):
+   validate dims {lon, lat, time} (+ optional lev), CF-unpack
+   (scale_factor/add_offset/_FillValue), bbox subset, mean over time;
+2. NetCDF-4/HDF5 granules need h5netcdf — that import seam stays and
+   raises a marked NotImplementedError until the library is installed;
+3. missing paths (tests, dry runs) produce a clearly-marked deterministic
+   plane-valued fake so the plumbing (schema, batching, regrid math,
+   scaffold join) stays testable anywhere.
+
+The regrid kernel (K2) is pure numpy bilinear — no scipy.
 """
 
 from __future__ import annotations
@@ -49,19 +57,104 @@ class RasterGranule:
     variable: str
 
 
+_EXPECTED_DIMS = ("lon", "lat", "time")
+_OPTIONAL_DIMS = ("lev",)
+
+
+def _cf_unpack(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF number unpacking: mask _FillValue/missing_value, apply
+    scale_factor/add_offset (what xarray does implicitly for the
+    reference)."""
+    out = arr.astype(np.float64)
+    for key in ("_FillValue", "missing_value"):
+        if key in attrs:
+            fv = float(np.asarray(attrs[key]).ravel()[0])
+            if np.isnan(fv):
+                continue
+            out[arr == np.asarray(attrs[key]).ravel()[0]] = np.nan
+    if "scale_factor" in attrs or "add_offset" in attrs:
+        out = out * float(attrs.get("scale_factor", 1.0)) + float(
+            attrs.get("add_offset", 0.0)
+        )
+    return out
+
+
+def decode_granule_netcdf3(
+    path: str,
+    variable: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    level: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Real decode of a classic NetCDF granule with MERRA reader semantics
+    (`data_reader_merra.py:26-98`): validate dims, optional lev select,
+    bbox subset (lon/lat slice), CF-unpack, mean over time. Returns
+    (lons, lats, grid2d[lat, lon])."""
+    from pm25ml_spark.sources.netcdf3 import read_netcdf3
+
+    dims, variables, _ = read_netcdf3(path)
+    missing = [d for d in _EXPECTED_DIMS if d not in dims]
+    if missing:
+        raise ValueError(
+            f"granule missing expected dimensions {missing}; has {list(dims)}"
+        )
+    unexpected = [
+        d for d in dims if d not in _EXPECTED_DIMS + _OPTIONAL_DIMS
+    ]
+    if unexpected:
+        raise ValueError(f"granule has unexpected dimensions {unexpected}")
+    if variable not in variables:
+        raise ValueError(f"variable {variable!r} not in granule {list(variables)}")
+    vdims, arr, vattrs = variables[variable]
+    lons = variables["lon"][1].astype(np.float64)
+    lats = variables["lat"][1].astype(np.float64)
+    vals = _cf_unpack(np.asarray(arr), vattrs)
+
+    if "lev" in vdims:
+        if level is None:
+            raise ValueError(
+                "granule has a 'lev' dimension but no level was specified"
+            )
+        vals = np.take(vals, level, axis=vdims.index("lev"))
+        vdims = tuple(d for d in vdims if d != "lev")
+    elif level is not None:
+        raise ValueError("level specified but granule has no 'lev' dimension")
+
+    # canonical (time, lat, lon) order, then time mean
+    order = [vdims.index(d) for d in ("time", "lat", "lon")]
+    vals = np.transpose(vals, order)
+    if bbox is not None:
+        min_lon, max_lon, min_lat, max_lat = bbox
+        li = np.flatnonzero((lons >= min_lon) & (lons <= max_lon))
+        la = np.flatnonzero((lats >= min_lat) & (lats <= max_lat))
+        lons, lats = lons[li], lats[la]
+        vals = vals[:, la[:, None], li[None, :]]
+    with np.errstate(invalid="ignore"):
+        grid = np.nanmean(vals, axis=0)
+    return lons, lats, grid
+
+
 def decode_granule(path: str, variable: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Return (lons, lats, grid2d) for a granule.
 
-    STUB when NetCDF libs are absent: a deterministic synthetic raster on a
-    fixed lattice whose value is a plane a·lon + b·lat + c derived from the
-    path hash — bilinear regridding of a plane is exact, which the tests
-    exploit. Replace-by-import: installing h5netcdf activates the real
-    reader (`data_reader_merra.py:26-98` semantics: open, validate dims,
-    bbox subset, mean over time)."""
-    if HAS_NETCDF:  # pragma: no cover - not installed in this container
-        raise NotImplementedError(
-            "real NetCDF decode: open h5netcdf, validate dims (lon,lat,time), "
-            "bbox-subset, mean over time — port of data_reader_merra.py:26-98"
+    Classic NetCDF-3 files decode for real (``decode_granule_netcdf3``);
+    NetCDF-4/HDF5 needs the h5netcdf seam; nonexistent paths fall back to
+    a clearly-marked deterministic plane-valued fake so pipeline tests run
+    without granule fixtures."""
+    import os
+
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        if magic[:3] == b"CDF":
+            return decode_granule_netcdf3(path, variable)
+        if HAS_NETCDF:  # pragma: no cover - not installed in this container
+            raise NotImplementedError(
+                "NetCDF-4/HDF5 decode: open with h5netcdf, then apply "
+                "decode_granule_netcdf3's validate/subset/mean semantics "
+                "(data_reader_merra.py:26-98)"
+            )
+        raise ValueError(
+            f"{path}: not a classic NetCDF file and h5netcdf is unavailable"
         )
     # md5, NOT builtin hash(): str hash is salted per process (pyspark
     # only pins PYTHONHASHSEED when the env doesn't set one), and a
