@@ -1,0 +1,190 @@
+"""Booster-parity training path (SURVEY M3/M4 exact-parity option).
+
+The reference fits single-node XGBoost/LightGBM regressors on the 2-3 %
+stratified sample (`imputation_model_pipeline.py:90-112`) with the paper's
+hyperparameters (`setup/training.py:68-139`). MLlib's GBTRegressor
+(`ml/pipeline.py`) is the distributed default; this module adds the
+booster path behind the same interface for bit-parity with the reference
+when xgboost/lightgbm are installed:
+
+* fit: collect the SAMPLE (small by contract — the reference itself fits
+  it in one process) to the driver and fit the booster there;
+* predict: pickle-broadcast the fitted booster and score in Arrow batches
+  via ``mapInPandas`` — M4 stays fully distributed.
+
+Neither library is in this container, so construction raises a clear
+error unless a ``model_factory`` is injected — which is also how the
+tests drive the collect/fit/broadcast/score plumbing with a stub model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# paper hyperparameters, verbatim from setup/training.py:68-139
+XGB_AOD_PARAMS = {
+    "eta": 0.1,
+    "gamma": 0.8,
+    "max_depth": 20,
+    "min_child_weight": 1,
+    "subsample": 0.8,
+    "reg_lambda": 100,
+    "n_estimators": 1000,
+    "booster": "gbtree",
+}
+LGBM_NO2_PARAMS = {
+    "boosting": "gbdt",
+    "lambda_l2": 10,
+    "learning_rate": 0.1,
+    "max_bin": 500,
+    "max_depth": 10,
+    "min_data_in_leaf": 10,
+    "num_iterations": 3000,
+    "num_leaves": 1500,
+    "objective": "regression",
+}
+LGBM_CO_PARAMS = {**LGBM_NO2_PARAMS, "max_bin": 1000}
+
+
+def _default_factory(backend: str, params: dict) -> Callable[[], object]:
+    if backend == "xgb":
+        try:
+            from xgboost import XGBRegressor
+        except ImportError as exc:
+            raise ImportError(
+                "booster backend 'xgb' needs xgboost; use the MLlib path "
+                "(ml/pipeline.py) or inject model_factory"
+            ) from exc
+        return lambda: XGBRegressor(**params)
+    if backend == "lgbm":
+        try:
+            from lightgbm import LGBMRegressor
+        except ImportError as exc:
+            raise ImportError(
+                "booster backend 'lgbm' needs lightgbm; use the MLlib path "
+                "(ml/pipeline.py) or inject model_factory"
+            ) from exc
+        return lambda: LGBMRegressor(**params)
+    raise ValueError(f"unknown booster backend {backend!r}")
+
+
+@dataclass
+class BoosterImputer:
+    """Fitted single-node booster + the distributed scoring contract.
+
+    Interface-compatible with ``TrainedImputer`` where it matters
+    (features/target/cv_r2/mean_cv_r2) so `predict_with_stats`-style
+    call sites can switch backends."""
+
+    model: object
+    features: list[str]
+    target: str
+    cv_r2: list[float] = field(default_factory=list)
+
+    @property
+    def mean_cv_r2(self) -> float:
+        return sum(self.cv_r2) / len(self.cv_r2) if self.cv_r2 else float("nan")
+
+    def transform(self, df: DataFrame, output_col: str | None = None) -> DataFrame:
+        """M4: distributed batch predict. The fitted booster is broadcast
+        once; each Arrow batch scores in-process (no per-row Python)."""
+        out = output_col or f"{self.target}__predicted"
+        feats = list(self.features)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        sc = df.sparkSession.sparkContext
+        bmodel = sc.broadcast(self.model)
+        # StructType.add mutates in place — never call it on df's cached
+        # schema object; build a fresh one
+        schema = StructType(
+            list(df.schema.fields) + [StructField(out, DoubleType())]
+        )
+
+        def score(batches):
+            model = bmodel.value
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[out] = model.predict(pdf[feats])
+                yield pdf
+
+        return df.mapInPandas(score, schema=schema)
+
+
+def train_booster_on_sample(
+    df: DataFrame,
+    features: list[str],
+    target: str,
+    *,
+    backend: str = "xgb",
+    params: dict | None = None,
+    model_factory: Callable[[], object] | None = None,
+    n_jobs: int | None = None,
+) -> BoosterImputer:
+    """M3 booster path: collect the (sampled, small-by-contract) training
+    frame and fit exactly as the reference does
+    (`imputation_model_pipeline.py:90-112`). ``model_factory`` injects any
+    sklearn-style regressor — the seam for tests and for future backends.
+    """
+    if model_factory is None:
+        model_factory = _default_factory(
+            backend, params if params is not None else XGB_AOD_PARAMS
+        )
+    sample = (
+        df.filter(F.col(target).isNotNull())
+        .select(*features, target)
+        .toPandas()
+    )
+    if sample.empty:
+        raise ValueError("no non-null training rows to fit the booster on")
+    model = model_factory()
+    if n_jobs is not None and hasattr(model, "set_params"):
+        model.set_params(n_jobs=n_jobs)
+    model.fit(sample[features], sample[target])
+    return BoosterImputer(model=model, features=list(features), target=target)
+
+
+def cross_validate_booster(
+    df: DataFrame,
+    features: list[str],
+    target: str,
+    group_col: str,
+    *,
+    n_folds: int = 3,
+    model_factory: Callable[[], object] | None = None,
+    backend: str = "xgb",
+    params: dict | None = None,
+) -> BoosterImputer:
+    """Group-aware CV (M1) + final fit, mirroring
+    `train_imputation_model` but on the booster backend. Each fold's test
+    split is scored distributed; only train folds are collected."""
+    from pm25ml_spark.ml.pipeline import assign_group_folds, regression_metrics
+
+    data = assign_group_folds(df, group_col, n_folds).filter(
+        F.col(target).isNotNull()
+    ).persist()
+    cv_r2 = []
+    for fold in range(n_folds):
+        imputer = train_booster_on_sample(
+            data.filter(F.col("fold") != fold),
+            features,
+            target,
+            backend=backend,
+            params=params,
+            model_factory=model_factory,
+        )
+        scored = imputer.transform(
+            data.filter(F.col("fold") == fold), output_col="prediction"
+        )
+        cv_r2.append(regression_metrics(scored, target)["r2"])
+    final = train_booster_on_sample(
+        data, features, target,
+        backend=backend, params=params, model_factory=model_factory,
+    )
+    data.unpersist()
+    final.cv_r2 = cv_r2
+    return final
