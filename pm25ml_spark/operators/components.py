@@ -45,6 +45,7 @@ def connected_components(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).persist()
     labels.count()
+    prev_materialized = labels  # whatever holds the previous round's blocks
 
     converged = False
     for _it in range(max_iter):
@@ -57,26 +58,27 @@ def connected_components(
         # the lineage, so the convergence count and the next round read a
         # flat plan. Lazy persist() instead lets the plan (and the
         # convergence-check job) grow with every round — measured 10-20×
-        # slower on the same graph.
-        new_labels = (
+        # slower on the same graph. The ``changed`` flag is computed
+        # INSIDE the same plan so convergence is a filter-count over the
+        # checkpointed rows — joining new labels back to old ones for the
+        # check would add a second shuffle join per iteration.
+        new_component = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_label"), F.col("component")),
+        )
+        checkpointed = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_label"), F.col("component")),
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component < F.col("component")).alias("changed"),
             )
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        n_changed = checkpointed.filter("changed").count()
+        prev_materialized.unpersist()
+        prev_materialized = checkpointed
+        labels = checkpointed.select("node", "component")
         if n_changed == 0:
             converged = True
             break
