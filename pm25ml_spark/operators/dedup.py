@@ -446,3 +446,82 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span detection (boilerplate / exact
+    substring dedup, the Pile/RefinedWeb-style unit): chop each document
+    into consecutive disjoint ``span_tokens``-token spans, hash each span,
+    and report spans appearing in ≥ ``min_docs`` distinct documents.
+
+    Scale shape: one narrow pass builds the spans (explode ≈ tokens/span
+    rows per doc), then a single map-side-combinable groupBy on the span
+    digest — identical cost profile to exact dedup, just at sub-document
+    granularity. Downstream removal is a join of flagged spans back onto
+    the corpus.
+    """
+    toks = tokens(text_col)
+    n_chunks = (F.size(toks) / span_tokens).cast("int")
+    idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(toks, i * span_tokens + 1, span_tokens), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(spans).alias("span")
+    )
+    return (
+        exploded.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination (n-gram overlap): flag corpus documents
+    containing any word n-gram that occurs in the benchmark set. Returns
+    (doc_id, n_hits, n_spans): total matching n-gram instances and
+    distinct matching n-grams per contaminated document.
+
+    Scale shape: the benchmark n-gram set is eval-suite-sized (thousands
+    of docs at most) → distinct + broadcast; the corpus side is one
+    narrow explode, so the flagging is a broadcast hash join with zero
+    corpus shuffle. Real pipelines use n of 8-13; the catalog entry uses
+    a small n only so the synthetic corpus produces hits.
+    """
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    bench = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    corp = corpus.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("gram").alias("n_spans"),
+        )
+    )

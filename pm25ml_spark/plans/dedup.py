@@ -366,3 +366,69 @@ def dd09_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 8)
     )
+
+
+# --------------------------------------------------------------------------
+# dd10 — cross-document repeated spans (boilerplate / exact substring
+# dedup at sub-document granularity). Span length 3 only because the
+# synthetic vocabulary is tiny; real corpora use 10-50 token spans with
+# the identical plan (one explode + one digest groupBy).
+@query(
+    "dd10_repeated_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(0, CAST(floor(len(t) / 3) AS INT)),
+                   i -> array_to_string(t[i*3+1 : i*3+3], ' '))) AS span
+        FROM toks
+    )
+    SELECT md5(span) AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY md5(span)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dd10_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.repeated_spans(docs, span_tokens=3, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# cp02 — n-gram test-set decontamination: treat one source as the held-out
+# benchmark and flag every other document sharing an n-gram with it.
+# Bigrams only because the synthetic vocabulary is tiny; real pipelines
+# run n=8-13 with the identical broadcast-join plan.
+@query(
+    "cp02_decontamination",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams
+        JOIN documents USING (doc_id) WHERE source = 'src0'
+    ),
+    corp AS (
+        SELECT g.doc_id, g.gram FROM grams g
+        JOIN documents USING (doc_id) WHERE source <> 'src0'
+    )
+    SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT gram) AS n_spans
+    FROM corp JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def cp02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.contamination_hits(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=2,
+    )

@@ -380,3 +380,62 @@ def test_asof_payload_row_integrity(spark):
     ).collect()[0]
     assert out.asof_mark is None  # latest row's null, not 'A'
     assert out.asof_score == 500  # and score from the SAME (ts=5) row
+
+
+def test_repeated_spans_flags_shared_boilerplate(spark):
+    import pandas as pd
+    from pm25ml_spark.operators.dedup import repeated_spans
+
+    boiler = "subscribe to our newsletter now"  # 5 tokens
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    boiler + " unique alpha beta gamma delta",
+                    boiler + " other words entirely here now",
+                    "no shared content in this document at all yes",
+                ],
+            }
+        )
+    )
+    out = repeated_spans(docs, span_tokens=5, min_docs=2).toPandas()
+    # exactly the shared leading 5-token span qualifies
+    assert len(out) == 1
+    assert out.iloc[0].n_docs == 2
+    assert out.iloc[0].first_doc == 1
+
+
+def test_repeated_spans_short_doc_safe(spark):
+    import pandas as pd
+    from pm25ml_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["too short"]})
+    )
+    assert repeated_spans(docs, span_tokens=5).count() == 0
+
+
+def test_contamination_hits_counts_instances(spark):
+    import pandas as pd
+    from pm25ml_spark.operators.dedup import contamination_hits
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox"]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    # 'quick brown' appears twice -> 2 hits, 1 distinct
+                    "a quick brown b quick brown c",
+                    "totally clean document here",
+                ],
+            }
+        )
+    )
+    out = contamination_hits(corpus, bench, n=2).toPandas()
+    assert out.doc_id.tolist() == [1]
+    assert out.iloc[0].n_hits == 2
+    assert out.iloc[0].n_spans == 1

@@ -193,3 +193,10 @@ def test_dd09_blocking_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cp02_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram side is eval-suite-sized by contract: the
+    flagging join must be a broadcast hash join (zero corpus shuffle)."""
+    df = QUERIES["cp02_decontamination"](spark, sf_dir)
+    assert "BroadcastHashJoin" in physical_plan(df)
