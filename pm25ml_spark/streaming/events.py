@@ -200,3 +200,46 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the documents table — the ingest shape of
+    a continuously-crawled corpus."""
+    ensure_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def contamination_stream(
+    docs_stream: DataFrame, benchmark_static: DataFrame, n: int = 2
+) -> DataFrame:
+    """Streaming n-gram decontamination: the stream-static dual of the
+    batch ``cp02`` operator. Each micro-batch of crawled documents is
+    exploded into n-grams and broadcast-joined against the STATIC
+    benchmark n-gram set; output is (doc_id, gram) match rows in append
+    mode — completely stateless, so state never grows with the stream
+    (the aggregation to per-doc verdicts happens downstream, batch-side
+    or in a watermarked window)."""
+    from pm25ml_spark.operators.dedup import tokens
+
+    toks = tokens("text")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    bench = (
+        benchmark_static.select(F.explode(grams).alias("gram")).distinct()
+    )
+    stream_grams = docs_stream.select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return stream_grams.join(F.broadcast(bench), "gram").select(
+        "doc_id", "gram"
+    )

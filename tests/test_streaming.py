@@ -116,3 +116,45 @@ def test_stateful_user_totals_accumulate_across_batches(spark, sf_dir, tmp_path)
         n, tv = final[r.user_id]
         assert n == 2 * r.n, (r.user_id, n, r.n)
         assert abs(tv - 2 * r.tv) < 1e-6
+
+
+def test_contamination_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static decontamination drains to the same per-doc hit
+    counts as the batch cp02 operator."""
+    from pm25ml_spark.operators.dedup import contamination_hits
+    from pm25ml_spark.streaming.events import (
+        contamination_stream,
+        read_documents_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus_stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    )
+    stream = contamination_stream(corpus_stream, bench, n=2)
+    run_available_now(
+        stream, "contam", str(tmp_path), output_mode="append"
+    )
+    got = (
+        spark.table("contam")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("gram").alias("n_spans"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = (
+        contamination_hits(
+            docs.filter(F.col("source") != "src0"), bench, n=2
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(expect)
