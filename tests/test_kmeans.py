@@ -58,3 +58,57 @@ def test_kmeans_inertia_non_increasing(spark, corpus):
         C, _ = kmeans_fit(df, k=4, n_iter=it)
         inertias.append(kmeans_inertia(df, C))
     assert inertias[0] >= inertias[1] - 1e-9 >= inertias[2] - 2e-9
+
+
+def test_kmeans_parallel_init_deterministic_and_better(spark):
+    """k-means|| seeding: deterministic across runs, k rows, and the
+    resulting fit's inertia is no worse than the naive lowest-id init on
+    a clearly clustered corpus."""
+    import numpy as np
+    import pandas as pd
+    from pm25ml_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_inertia,
+        kmeans_parallel_init,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0], [10.0, 0.0]])
+    pts = np.vstack(
+        [c + 0.3 * rng.randn(50, 2) for c in centers]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(pts)), "embedding": [list(p) for p in pts]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    init1 = kmeans_parallel_init(df, k=4, rounds=3)
+    init2 = kmeans_parallel_init(df, k=4, rounds=3)
+    assert init1.shape == (4, 2)
+    assert np.array_equal(init1, init2)  # hash-uniform draws → identical
+
+    C_par, _ = kmeans_fit(df, k=4, n_iter=5, init_centroids=init1)
+    C_naive, _ = kmeans_fit(df, k=4, n_iter=5)
+    in_par = kmeans_inertia(df, C_par)
+    in_naive = kmeans_inertia(df, C_naive)
+    assert in_par <= in_naive * 1.0001
+    # with well-separated blobs, k-means|| lands one center per blob
+    matched = sorted(
+        float(np.min(((C_par - c) ** 2).sum(axis=1))) for c in centers
+    )
+    assert matched[-1] < 1.0
+
+
+def test_kmeans_parallel_init_degenerate_corpus(spark):
+    """All-identical points: sampling probability collapses to zero and
+    the init must still return k centers without error."""
+    import numpy as np
+    import pandas as pd
+    from pm25ml_spark.operators.kmeans import kmeans_parallel_init
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(10), "embedding": [[1.0, 2.0]] * 10}
+    )
+    init = kmeans_parallel_init(spark.createDataFrame(pdf), k=3, rounds=2)
+    assert init.shape == (3, 2)
+    assert np.allclose(init, [1.0, 2.0])
