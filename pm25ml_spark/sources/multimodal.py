@@ -3,11 +3,12 @@
 Beyond-reference operator family for training-data pipelines: image/audio/
 video payloads travel as ``binary`` columns with a metadata struct; decode
 / feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over ``mapInPandas``. The media libraries (PIL/ffmpeg/librosa) are not in
-this container, so the decode step is gated: a deterministic fake decoder
-keeps every piece of Spark plumbing (schemas, batch shapes, partitioning)
-real and tested, and a NotImplementedError marks exactly where a real
-decoder plugs in.
+over ``mapInPandas``. Decode is resolved by payload magic bytes: PNG, BMP,
+and PGM/PPM decode for REAL via the stdlib-only codecs in
+``sources/imaging`` (zlib inflate + unfilter for PNG); 16-bit WAV decodes
+via stdlib ``wave``. Formats needing native libraries (JPEG/MP4/...) keep
+the PIL/ffmpeg seam, and ``raw`` synthetic payloads keep the deterministic
+fake so plumbing tests run anywhere.
 
 At 100 TB the payload column dominates I/O: keep metadata in separate
 (pruned) columns so planning queries never read bytes, and size
@@ -70,15 +71,27 @@ def synthesize_media_table(
 
 
 def decode_to_array(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Decode a payload into an (h, w) uint8 array.
+    """Decode a payload into an (h, w) uint8 array (grayscale luma for
+    color images), dispatching on magic bytes:
 
-    Deterministic fake: interpret the raw bytes as the pixel buffer (the
-    synthetic corpus is written that way). With PIL installed, real image
-    decoding replaces this."""
-    if HAS_PIL:  # pragma: no cover - not installed in this container
-        raise NotImplementedError(
-            "real decode: PIL.Image.open(io.BytesIO(payload)) → np.asarray"
-        )
+    - PNG / BMP / PGM / PPM → real stdlib-only decode (`sources/imaging`);
+    - other container formats (JPEG, ...) → PIL seam;
+    - bare ``raw`` payloads → the pixel buffer as-is (synthetic corpus).
+    """
+    from pm25ml_spark.sources import imaging
+
+    if payload[:8] == imaging.PNG_SIGNATURE:
+        return imaging.to_grayscale(imaging.decode_png(payload))
+    if payload[:2] == b"BM":
+        return imaging.to_grayscale(imaging.decode_bmp(payload))
+    if payload[:2] in (b"P5", b"P6"):
+        return imaging.to_grayscale(imaging.decode_pnm(payload))
+    if payload[:4] == b"\xff\xd8\xff\xe0" or payload[:3] == b"\xff\xd8\xff":
+        if HAS_PIL:  # pragma: no cover - not installed in this container
+            raise NotImplementedError(
+                "real decode: PIL.Image.open(io.BytesIO(payload)) → np.asarray"
+            )
+        raise ValueError("JPEG payload needs PIL (not installed)")
     arr = np.frombuffer(payload, dtype=np.uint8)
     return arr[: width * height].reshape(height, width)
 
