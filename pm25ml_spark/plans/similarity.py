@@ -236,3 +236,62 @@ def ss05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vectors")
     )
+
+
+# --------------------------------------------------------------------------
+# ss06 — the 100 TB nearest-neighbour spatial join (J8/K3 scale path):
+# cell-bucketed equi-join + 3×3 neighbourhood replication + min-window,
+# all JVM-side. Synthetic geography: the first two embedding dims scale
+# to a ±20° lat / 70±20° lon field; every 5th vector is a "station", the
+# rest are "grid cells". The oracle is the brute-force all-pairs argmin
+# — the bucketed join must agree exactly (cell 10° ≫ max NN distance).
+@query(
+    "ss06_nn_bucketed_join",
+    """
+    WITH pts AS (
+        SELECT vec_id AS id,
+               CAST(embedding[1] AS DOUBLE) * 50 AS latitude,
+               70 + CAST(embedding[2] AS DOUBLE) * 50 AS longitude
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    g AS (
+        SELECT vec_id AS grid_id,
+               CAST(embedding[1] AS DOUBLE) * 50 AS lat,
+               70 + CAST(embedding[2] AS DOUBLE) * 50 AS lon
+        FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    d AS (
+        SELECT p.id, g.grid_id,
+               ROUND(2 * 6371.0088 * asin(sqrt(
+                   pow(sin(radians(g.lat - p.latitude) / 2), 2)
+                   + cos(radians(p.latitude)) * cos(radians(g.lat))
+                     * pow(sin(radians(g.lon - p.longitude) / 2), 2))), 6)
+                 AS nn_distance_km
+        FROM pts p CROSS JOIN g
+    )
+    SELECT id, grid_id, nn_distance_km
+    FROM d
+    QUALIFY row_number() OVER (
+        PARTITION BY id ORDER BY nn_distance_km, grid_id) = 1
+    """,
+)
+def ss06_nn_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.nn_join import nearest_grid_join_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lat = F.element_at("embedding", 1).cast("double") * 50
+    lon = F.lit(70.0) + F.element_at("embedding", 2).cast("double") * 50
+    pts = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id"),
+        lat.alias("latitude"),
+        lon.alias("longitude"),
+    )
+    grid = emb.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("grid_id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+    out = nearest_grid_join_bucketed(pts, grid, cell_deg=10.0)
+    return out.select(
+        "id", "grid_id", F.round("nn_distance_km", 6).alias("nn_distance_km")
+    )
