@@ -1,0 +1,73 @@
+"""Raster-kernel plans (SURVEY K2 + the S12 distributed reader plumbing).
+
+k02 drives the granule-manifest → ``mapInPandas`` decode → bilinear
+regrid chain end-to-end under the DuckDB oracle. The granule paths are
+nonexistent by construction, so ``decode_granule`` produces its
+deterministic synthetic plane (value = a·lon + b·lat + c with a, b, c
+derived from ``md5(path)`` — `sources/raster.py`); a plane is the one
+raster family whose bilinear interpolation is exact everywhere inside
+the lattice and equals coordinate-clamped evaluation outside it, so the
+oracle can recompute the regrid in closed form — including the md5
+seeding — without any raster in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.plans.registry import query
+
+_G1 = "synthetic://merra/2023-06-01.nc4"
+_G2 = "synthetic://merra/2023-06-02.nc4"
+
+# the synthetic lattice bounds from decode_granule: lons 60..98 step 2,
+# lats 5..37.5 step 2.5 — clamping a plane's bilinear sample to the
+# lattice equals clamping the coordinates
+_ORACLE = f"""
+    WITH pts AS (
+        SELECT vec_id AS grid_id,
+               70 + CAST(embedding[2] AS DOUBLE) * 50 AS lon,
+               20 + CAST(embedding[1] AS DOUBLE) * 50 AS lat
+        FROM embeddings
+    ),
+    g AS (
+        SELECT * FROM (VALUES ('{_G1}', '2023-06-01'), ('{_G2}', '2023-06-02'))
+            AS t(path, date)
+    ),
+    seeded AS (
+        SELECT path, date,
+               ('0x' || substr(md5(path), 1, 8))::BIGINT % 1000 AS seed
+        FROM g
+    )
+    SELECT p.grid_id, s.date, 't2m' AS variable,
+           ROUND((0.1 + s.seed * 1e-4) * LEAST(GREATEST(p.lon, 60.0), 98.0)
+                 + 0.2 * LEAST(GREATEST(p.lat, 5.0), 37.5)
+                 + s.seed % 7, 6) AS value
+    FROM pts p CROSS JOIN seeded s
+"""
+
+
+@query("k02_raster_regrid", _ORACLE)
+def k02_raster_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.raster import RasterGranule, read_granules_to_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid_pdf = emb.select(
+        F.col("vec_id").alias("grid_id"),
+        (F.lit(70.0) + F.element_at("embedding", 2).cast("double") * 50).alias(
+            "lon"
+        ),
+        (F.lit(20.0) + F.element_at("embedding", 1).cast("double") * 50).alias(
+            "lat"
+        ),
+    ).toPandas()
+    granules = [
+        RasterGranule(_G1, "2023-06-01", "t2m"),
+        RasterGranule(_G2, "2023-06-02", "t2m"),
+    ]
+    out = read_granules_to_grid(spark, granules, grid_pdf)
+    return out.select(
+        "grid_id", "date", "variable", F.round("value", 6).alias("value")
+    )
