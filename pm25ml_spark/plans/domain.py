@@ -389,3 +389,70 @@ def d06_imputed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_value__share_imputed_across_all_grids").alias("share_imputed"),
         F.col("mean_value__imputed_r7d").alias("imputed_r7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# m01 — GroupKFold assignment (M1): every row of a group lands in one
+# fold; folds balance group counts. Oracle recomputes the dense_rank mod
+# k over the distinct group keys.
+@query(
+    "m01_group_folds",
+    """
+    WITH groups AS (SELECT DISTINCT user_id FROM events),
+    fm AS (
+        SELECT user_id,
+               CAST((DENSE_RANK() OVER (ORDER BY user_id) - 1) % 5 AS BIGINT)
+                 AS fold
+        FROM groups
+    )
+    SELECT fold, COUNT(*) AS n_rows, COUNT(DISTINCT e.user_id) AS n_groups
+    FROM events e JOIN fm USING (user_id)
+    GROUP BY fold
+    """,
+)
+def m01_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.ml.pipeline import assign_group_folds
+
+    ev = load_table(spark, sf_dir, "events")
+    folded = assign_group_folds(ev, "user_id", k=5)
+    return folded.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_groups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m02 — StratifiedGroupKFold assignment (M2): groups are reduced to one
+# representative stratum (their minimum event_type) and round-robined
+# within it, so folds see every stratum and no group leaks across folds.
+@query(
+    "m02_stratified_group_folds",
+    """
+    WITH groups AS (
+        SELECT user_id, MIN(event_type) AS stratum FROM events GROUP BY user_id
+    ),
+    fm AS (
+        SELECT user_id,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY stratum ORDER BY user_id) - 1) % 4 AS BIGINT)
+                 AS fold
+        FROM groups
+    )
+    SELECT fold, g.stratum, COUNT(DISTINCT fm.user_id) AS n_groups
+    FROM fm JOIN groups g USING (user_id)
+    GROUP BY fold, g.stratum
+    """,
+)
+def m02_stratified_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.ml.pipeline import assign_stratified_group_folds
+
+    ev = load_table(spark, sf_dir, "events")
+    folded = assign_stratified_group_folds(ev, "user_id", "event_type", k=4)
+    strata = ev.groupBy("user_id").agg(F.min("event_type").alias("stratum"))
+    return (
+        folded.select("user_id", "fold")
+        .distinct()
+        .join(strata, "user_id")
+        .groupBy(F.col("fold").cast("long").alias("fold"), "stratum")
+        .agg(F.countDistinct("user_id").alias("n_groups"))
+    )
