@@ -41,24 +41,29 @@ def tokens(col="text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-def shingles(col="text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a single-space-tokenized text.
+def word_ngrams(col="text", n: int = 3) -> F.Column:
+    """Word n-gram INSTANCES (not distinct) of a single-space-tokenized
+    text — the shared expression under shingling, decontamination, and
+    the streaming duals.
 
     slice+array_join instead of per-position element_at: one array window
     per shingle (measured ~4× cheaper; ~12× when the token array is
     materialized in a prior projection as :func:`shingle_arrays` does).
 
-    Documents with fewer than n tokens yield an EMPTY shingle set —
+    Documents with fewer than n tokens yield an EMPTY array —
     ``sequence(1, stop)`` with stop < 1 would generate a DESCENDING
     sequence and ``slice(toks, 0, n)`` then throws, so the sequence is
-    gated on size ≥ n."""
+    gated on size ≥ n. Every caller relies on this gate."""
     toks = tokens(col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def shingles(col="text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles (see :func:`word_ngrams`)."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -508,11 +513,7 @@ def contamination_hits(
     corpus shuffle. Real pipelines use n of 8-13; the catalog entry uses
     a small n only so the synthetic corpus produces hits.
     """
-    toks = tokens(text_col)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    grams = word_ngrams(text_col, n)
     bench = (
         benchmark.select(F.explode(grams).alias("gram")).distinct()
     )

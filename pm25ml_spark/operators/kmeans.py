@@ -228,9 +228,13 @@ def kmeans_parallel_init(
 
     for r in range(rounds):
         bc = sc.broadcast(C)
-        d2 = _min_d2_frame(vecs, bc, id_col, vec_col)
+        # persist the distance pass: both the φ aggregate and the
+        # sampling filter consume it, and an unpersisted frame would
+        # recompute the full V·Cᵀ kernel for the second action
+        d2 = _min_d2_frame(vecs, bc, id_col, vec_col).persist()
         phi = d2.agg(F.sum("d2")).first()[0] or 0.0
         if phi <= 0.0:  # every point already coincides with a center
+            d2.unpersist()
             bc.destroy()
             break
         picked = (
@@ -239,6 +243,7 @@ def kmeans_parallel_init(
             .select(vec_col)
             .collect()
         )
+        d2.unpersist()
         bc.destroy()
         if picked:
             C = np.vstack(

@@ -93,14 +93,27 @@ def read_csv_urls(
         for pdf in batches:
             for url in pdf["url"]:
                 raw = _fetch_bytes(url, timeout_s, retries)
-                got = pd.read_csv(io.BytesIO(raw))
-                out = pd.DataFrame(
+                try:
+                    got = pd.read_csv(io.BytesIO(raw))
+                except Exception as exc:  # noqa: BLE001 - name the URL
+                    raise IOError(
+                        f"unparseable CSV from {url!r}: {exc}"
+                    ) from exc
+                if not any(n in got.columns for n in names):
+                    # a schema change or an error page served with 200
+                    # must fail loudly with the URL, not as an opaque
+                    # pandas constructor error inside the executor
+                    raise IOError(
+                        f"{url!r}: none of the declared columns {names} "
+                        f"present (got {list(got.columns)[:10]})"
+                    )
+                yield pd.DataFrame(
                     {
                         n: (got[n] if n in got.columns else None)
                         for n in names
-                    }
+                    },
+                    index=got.index,
                 )
-                yield out
 
     return manifest.mapInPandas(fn, schema=target)
 

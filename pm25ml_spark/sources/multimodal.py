@@ -86,7 +86,7 @@ def decode_to_array(payload: bytes, width: int, height: int) -> np.ndarray:
         return imaging.to_grayscale(imaging.decode_bmp(payload))
     if payload[:2] in (b"P5", b"P6"):
         return imaging.to_grayscale(imaging.decode_pnm(payload))
-    if payload[:4] == b"\xff\xd8\xff\xe0" or payload[:3] == b"\xff\xd8\xff":
+    if payload[:3] == b"\xff\xd8\xff":  # any JPEG variant (SOI marker)
         if HAS_PIL:  # pragma: no cover - not installed in this container
             raise NotImplementedError(
                 "real decode: PIL.Image.open(io.BytesIO(payload)) → np.asarray"

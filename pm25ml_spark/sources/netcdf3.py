@@ -72,8 +72,8 @@ def _pack_attr_value(value) -> tuple[int, int, bytes]:
         raw = value.encode()
         return 2, len(raw), _pad4(raw)
     arr = np.atleast_1d(np.asarray(value))
-    if arr.dtype.kind == "i" and arr.dtype.itemsize == 8:
-        arr = arr.astype(np.int32)
+    # int64 attrs narrow through the same range check as variable data —
+    # a silent int32 wraparound would corrupt metadata without an error
     nct = _nc_type_of(arr)
     payload = arr.astype(_TYPES[nct][0]).tobytes()
     return nct, arr.size, _pad4(payload)

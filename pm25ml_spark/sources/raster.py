@@ -88,7 +88,11 @@ def decode_granule_netcdf3(
     """Real decode of a classic NetCDF granule with MERRA reader semantics
     (`data_reader_merra.py:26-98`): validate dims, optional lev select,
     bbox subset (lon/lat slice), CF-unpack, mean over time. Returns
-    (lons, lats, grid2d[lat, lon])."""
+    (lons, lats, grid2d[lat, lon]).
+
+    ``bbox`` is (west, south, east, north) — the same convention as
+    `earthdata.DatasetDescriptor.bbox` and Harmony's rangeset subsets, so
+    a descriptor's bbox can be passed through verbatim."""
     from pm25ml_spark.sources.netcdf3 import read_netcdf3
 
     dims, variables, _ = read_netcdf3(path)
@@ -123,7 +127,7 @@ def decode_granule_netcdf3(
     order = [vdims.index(d) for d in ("time", "lat", "lon")]
     vals = np.transpose(vals, order)
     if bbox is not None:
-        min_lon, max_lon, min_lat, max_lat = bbox
+        min_lon, min_lat, max_lon, max_lat = bbox  # (W, S, E, N)
         li = np.flatnonzero((lons >= min_lon) & (lons <= max_lon))
         la = np.flatnonzero((lats >= min_lat) & (lats <= max_lat))
         lons, lats = lons[li], lats[la]

@@ -92,8 +92,12 @@ def write_raster(
     )
     dx = float(np.diff(xs).mean()) if len(xs) > 1 else 1.0
     dy = abs(float(np.diff(ys).mean())) if len(ys) > 1 else 1.0
-    # GDAL-style GeoTransform, exactly as _add_projection_info computes it
-    gt = f"{xs[0] - dx / 2.0} {dx} 0.0 {ys[0] + dy / 2.0} 0.0 {-dy}"
+    # GDAL-style GeoTransform CONSISTENT WITH THE STORED ROW ORDER: the
+    # cube's row r sits at ys[r] (ascending), so the y origin is the
+    # bottom edge and the row step is +dy. (The reference emits -dy
+    # because its xarray cube is north-up/descending-y; emitting -dy over
+    # ascending rows would georeference the raster vertically mirrored.)
+    gt = f"{xs[0] - dx / 2.0} {dx} 0.0 {ys[0] - dy / 2.0} 0.0 {dy}"
     write_netcdf3(
         out,
         dims={"time": len(days), "y": len(ys), "x": len(xs)},

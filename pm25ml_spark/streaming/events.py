@@ -227,13 +227,9 @@ def contamination_stream(
     mode — completely stateless, so state never grows with the stream
     (the aggregation to per-doc verdicts happens downstream, batch-side
     or in a watermarked window)."""
-    from pm25ml_spark.operators.dedup import tokens
+    from pm25ml_spark.operators.dedup import word_ngrams
 
-    toks = tokens("text")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    grams = word_ngrams("text", n)
     bench = (
         benchmark_static.select(F.explode(grams).alias("gram")).distinct()
     )

@@ -112,3 +112,15 @@ def test_parse_station_coordinates(spark, http_root):
     )
     assert out.loc["st1", "longitude"] == pytest.approx(77.1)
     assert out.loc["st2", "latitude"] == pytest.approx(19.0)
+
+
+def test_schema_mismatch_names_url(spark, http_root):
+    """A 200 response carrying none of the declared columns must fail
+    with the URL in the message, not an opaque pandas error."""
+    root, base = http_root
+    (root / "wrong.csv").write_text("a,b\n1,2\n")
+    df = read_csv_urls(
+        spark, [f"{base}/wrong.csv"], MEASUREMENT_SCHEMA, retries=0
+    )
+    with pytest.raises(Exception, match="wrong.csv"):
+        df.collect()

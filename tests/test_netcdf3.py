@@ -118,8 +118,9 @@ def test_decode_granule_cf_unpack_and_fill(tmp_path):
 def test_decode_granule_bbox_subset(tmp_path):
     p = tmp_path / "bbox.nc"
     lons, lats, data, _ = _write_granule(p)
+    # bbox is (west, south, east, north) — DatasetDescriptor convention
     glons, glats, grid = decode_granule_netcdf3(
-        str(p), "t2m", bbox=(72.0, 77.0, 12.0, 20.0)
+        str(p), "t2m", bbox=(72.0, 12.0, 77.0, 20.0)
     )
     assert glons.tolist() == [72.0, 74.0, 76.0]
     assert glats.tolist() == [13.0, 16.0, 19.0]
@@ -200,3 +201,39 @@ def test_write_raster_cf_netcdf(tmp_path):
     raster = read_raster(out)
     assert np.allclose(raster["value"], cube)
     assert raster["time"][0] == dates[0]
+
+
+def test_attr_int64_overflow_rejected(tmp_path):
+    """int64 attribute values outside NC_INT range must fail loudly, not
+    wrap silently (classic format has no 64-bit integer type)."""
+    with pytest.raises(ValueError, match="NC_INT range"):
+        write_netcdf3(
+            str(tmp_path / "bad.nc"),
+            dims={"x": 1},
+            variables={"v": (("x",), np.zeros(1), {})},
+            global_attrs={"total_rows": 5_000_000_000},
+        )
+    # in-range int64 narrows fine
+    write_netcdf3(
+        str(tmp_path / "ok.nc"),
+        dims={"x": 1},
+        variables={"v": (("x",), np.zeros(1), {})},
+        global_attrs={"total_rows": 12345},
+    )
+    _, _, g = read_netcdf3(str(tmp_path / "ok.nc"))
+    assert g["total_rows"] == 12345
+
+
+def test_geotransform_consistent_with_row_order(tmp_path):
+    """GeoTransform must map row r to the y coordinate the cube actually
+    stores at row r (ascending ys → +dy step, bottom-edge origin)."""
+    cube = np.zeros((1, 3, 2), dtype=np.float32)
+    dates = np.array(["2023-06-01"], dtype="datetime64[D]")
+    ys = np.array([100.0, 200.0, 300.0])
+    xs = np.array([10.0, 20.0])
+    out = write_raster(str(tmp_path / "gt"), cube, dates, ys, xs)
+    _, _, gatts = read_netcdf3(out)
+    g = [float(v) for v in gatts["GeoTransform"].split()]
+    # pixel-center of row r: gt3 + (r + 0.5) * gt5 == ys[r]
+    for r in range(3):
+        assert g[3] + (r + 0.5) * g[5] == pytest.approx(ys[r])
