@@ -200,3 +200,20 @@ def test_cp02_decontamination_broadcasts_benchmark(spark, sf_dir):
     flagging join must be a broadcast hash join (zero corpus shuffle)."""
     df = QUERIES["cp02_decontamination"](spark, sf_dir)
     assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_ss06_nn_join_no_cartesian(spark, sf_dir):
+    """The bucketed NN join must stay an equi-join on the cell key — a
+    cartesian/BNL product here is the exact failure mode the operator
+    exists to avoid."""
+    df = QUERIES["ss06_nn_bucketed_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_m01_fold_map_broadcasts(spark, sf_dir):
+    """The fold map is distinct-group-sized: its join back onto the full
+    frame must broadcast, never shuffle the corpus."""
+    df = QUERIES["m01_group_folds"](spark, sf_dir)
+    assert "BroadcastHashJoin" in physical_plan(df)
