@@ -197,3 +197,105 @@ def test_connected_components_match_union_find(spark, edges):
     for n in parent:
         want[n] = find(n)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips: PNG / NetCDF-3 / LCC projection — pure numpy, so
+# examples are cheap and can run in volume
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_png_roundtrip_property(h, w, ch, seed):
+    import numpy as np
+    from pm25ml_spark.sources.imaging import decode_png, encode_png
+
+    img = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, ch), dtype=np.uint8
+    )
+    out = decode_png(encode_png(img))
+    expect = img[:, :, 0] if ch == 1 else img
+    assert out.shape == expect.shape
+    assert np.array_equal(out, expect)
+
+
+@given(
+    dims=st.lists(st.integers(1, 6), min_size=1, max_size=3),
+    dtype=st.sampled_from(["f4", "f8", "i2", "i4", "i1"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_netcdf3_roundtrip_property(tmp_path_factory, dims, dtype, seed):
+    import numpy as np
+    from pm25ml_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    rng = np.random.RandomState(seed)
+    shape = tuple(dims)
+    if dtype.startswith("f"):
+        arr = rng.randn(*shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.randint(info.min, info.max, size=shape).astype(dtype)
+    p = str(tmp_path_factory.mktemp("nc") / "t.nc")
+    names = [f"d{i}" for i in range(len(shape))]
+    write_netcdf3(
+        p,
+        dims=dict(zip(names, shape)),
+        variables={"v": (tuple(names), arr, {"s": seed % 100})},
+    )
+    _, variables, _ = read_netcdf3(p)
+    got = variables["v"][1]
+    assert got.shape == arr.shape
+    assert np.array_equal(got.astype(arr.dtype), arr)
+    assert variables["v"][2]["s"] == seed % 100
+
+
+@given(
+    lon=st.floats(60.0, 100.0),
+    lat=st.floats(5.0, 38.0),
+)
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_lcc_roundtrip_property(lon, lat):
+    from pm25ml_spark.sources.shapefile_io import LambertConformalConic2SP
+
+    proj = LambertConformalConic2SP(
+        a=6378137.0,
+        inv_f=298.257223563,
+        lat_origin=24.0,
+        lon_origin=80.0,
+        lat_1=12.472955,
+        lat_2=35.172806,
+        false_easting=4e6,
+        false_northing=4e6,
+    )
+    x, y = proj.forward(lon, lat)
+    lon2, lat2 = proj.inverse(x, y)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+@given(
+    n=st.integers(4, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_delaunay_property_random(n, seed):
+    """Empty-circumcircle invariant on arbitrary point sets (degenerate
+    collinear subsets included by construction of small n)."""
+    import numpy as np
+    from pm25ml_spark.operators.interpolation import _circumcircles, _delaunay
+
+    pts = np.random.RandomState(seed).rand(n, 2)
+    tris = _delaunay(pts)
+    if len(tris) == 0:
+        return  # fully collinear draw — nothing to check
+    cc, r2 = _circumcircles(pts, tris)
+    for t in range(len(tris)):
+        d2 = ((pts - cc[t]) ** 2).sum(1)
+        inside = d2 < r2[t] * (1 - 1e-9)
+        inside[tris[t]] = False
+        assert not inside.any()
