@@ -15,7 +15,9 @@ Two strategies:
 
 Seeded-RNG bit-parity with Polars is impossible cross-engine (SURVEY §7.4
 trap #2) — correctness is defined distributionally + deterministically
-within this engine.
+within this engine. ``stratified_split_portable`` goes further: hash-
+ordered membership IS bit-identical across engines (oracle-checked in
+``a03_stratified_split``), at the cost of md5 over xxhash64.
 """
 
 from __future__ import annotations
@@ -106,4 +108,36 @@ def decimate(df: DataFrame, every: int, order_cols: list[str]) -> DataFrame:
         df.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") - 1) % every == 0)
         .drop("__rn")
+    )
+
+
+def stratified_split_portable(
+    df: DataFrame,
+    stratum: str,
+    fraction: float,
+    key: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Exact per-stratum split whose membership is bit-identical across
+    ENGINES, not just runs: rows are ordered by ``md5(seed || key)`` (then
+    the key), both computable verbatim in any SQL engine — so the sampled
+    set itself is oracle-checkable, going beyond the SURVEY §7.4 trap-#2
+    concession that seeded-RNG parity is impossible. Same shuffle shape
+    as :func:`stratified_split` (one rank window per stratum); prefer
+    ``stratified_split`` (xxhash64) when only within-engine determinism is
+    needed — xxhash64 is a cheaper hash than md5."""
+    h = F.md5(F.concat(F.lit(str(seed) + ":"), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    wc = Window.partitionBy(stratum)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            split_col,
+            F.when(
+                F.col("__rn") <= F.ceil(F.col("__n") * fraction), "training"
+            ).otherwise("test"),
+        )
+        .drop("__rn", "__n")
     )

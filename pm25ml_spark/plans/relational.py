@@ -705,3 +705,43 @@ def q21_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# a03 — engine-portable stratified sample (A3): md5-ordered rank split
+# whose MEMBERSHIP (not just counts) the oracle recomputes bit-for-bit —
+# the strongest correctness statement a seeded sampler can make.
+@query(
+    "a03_stratified_split",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5('42:' || CAST(o_orderkey AS VARCHAR)),
+                            o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CASE WHEN rn <= CEIL(n * 0.2) THEN 'training' ELSE 'test' END
+             AS split,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def a03_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.sampling import stratified_split_portable
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = stratified_split_portable(
+        orders, "o_orderpriority", 0.2, key="o_orderkey", seed=42
+    )
+    return split.groupBy("o_orderpriority", "split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
