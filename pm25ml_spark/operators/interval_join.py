@@ -1,0 +1,58 @@
+"""Interval (range-overlap) join — a custom operator Spark lacks natively.
+
+Joining rows to the intervals containing them (`point BETWEEN start AND
+end`) naively plans as a BroadcastNestedLoop/cartesian with a residual
+range predicate — O(|L|·|R|), hopeless at corpus scale. The classic
+distributed shape implemented here:
+
+1. chunk time into fixed buckets;
+2. each interval replicates to every bucket it overlaps (explode of a
+   small ``sequence``), each point lands in exactly ONE bucket;
+3. equi-join on the bucket key with the range predicate as a residual.
+
+Because a point has exactly one bucket, an interval meets each matching
+point exactly once — no post-join dedup. Cost is the equi-join shuffle
+plus an interval replication factor of ``len/bucket + 1`` (pick
+``bucket`` near the typical interval length; SCALING.md discussion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start: str,
+    end: str,
+    point: str,
+    bucket: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``points`` to every interval with ``start <= point <= end``.
+
+    ``start``/``end``/``point`` are integer-comparable columns in the
+    same unit (e.g. epoch micros); ``bucket`` is the chunk width in that
+    unit. ``how='inner'`` only; compose with a re-join for left
+    semantics (see ``iv01``'s plan) — an outer bucketed join would
+    duplicate unmatched intervals per bucket.
+    """
+    if how != "inner":
+        raise ValueError("interval_join supports how='inner' only")
+    b = F.lit(int(bucket))
+    iv = intervals.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                (F.col(start) / b).cast("long"), (F.col(end) / b).cast("long")
+            )
+        ),
+    )
+    pt = points.withColumn("__bk", (F.col(point) / b).cast("long"))
+    return (
+        iv.join(pt, "__bk")
+        .filter((F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end)))
+        .drop("__bk")
+    )

@@ -419,3 +419,79 @@ def w12_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# iv01 — interval-overlap join (the range-join custom operator): each user
+# session, joined to every 'error' event from ANY user whose timestamp
+# falls inside the session's [start, end] — genuinely many-to-many, the
+# shape Spark would otherwise plan as a cartesian with a residual range
+# predicate. Bucketed equi-join (operators/interval_join.py) + a re-join
+# for left semantics (sessions with zero errors keep n_errors = 0).
+@query(
+    "iv01_session_error_overlap",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WIN}) > 1800000000
+                     OR lag(epoch_us(ts)) OVER ({_WIN}) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               MIN(ts_us) AS s_start, MAX(ts_us) AS s_end
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    err AS (SELECT epoch_us(ts) AS e_us FROM events WHERE event_type = 'error')
+    SELECT s.user_id, s.session_id,
+           CAST(COUNT(e.e_us) AS BIGINT) AS n_errors
+    FROM sessions s
+    LEFT JOIN err e ON e.e_us BETWEEN s.s_start AND s.s_end
+    GROUP BY s.user_id, s.session_id
+    """,
+)
+def iv01_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.interval_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        (F.col("ts_us") - prev > 1_800_000_000) | prev.isNull(), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts_us").alias("e_us")
+    )
+    # bucket = the 30-min session gap: intervals rarely span many buckets
+    hits = interval_join(
+        sessions, errors, "s_start", "s_end", "e_us", bucket=1_800_000_000
+    ).groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        sessions.join(hits, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_errors"),
+        )
+    )

@@ -439,3 +439,41 @@ def test_contamination_hits_counts_instances(spark):
     assert out.doc_id.tolist() == [1]
     assert out.iloc[0].n_hits == 2
     assert out.iloc[0].n_spans == 1
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join ≡ brute-force BETWEEN join, including
+    intervals spanning many buckets and zero-width intervals."""
+    import pandas as pd
+    from pm25ml_spark.operators.interval_join import interval_join
+
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iv_id": [1, 2, 3, 4],
+                "s": [0, 50, 95, 40],
+                "e": [10, 400, 95, 60],  # 2 spans many buckets; 3 is a point
+            }
+        )
+    )
+    pt = spark.createDataFrame(
+        pd.DataFrame({"p_id": range(9), "t": [0, 5, 10, 11, 55, 95, 96, 399, 401]})
+    )
+    got = (
+        interval_join(iv, pt, "s", "e", "t", bucket=25)
+        .select("iv_id", "p_id")
+        .toPandas()
+        .sort_values(["iv_id", "p_id"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        iv.crossJoin(pt)
+        .filter("t >= s AND t <= e")
+        .select("iv_id", "p_id")
+        .toPandas()
+        .sort_values(["iv_id", "p_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(expect)
+    # sanity: many-to-many actually happened (t=55 in both 2 and 4)
+    assert (got.p_id == 4).sum() == 2

@@ -217,3 +217,12 @@ def test_m01_fold_map_broadcasts(spark, sf_dir):
     frame must broadcast, never shuffle the corpus."""
     df = QUERIES["m01_group_folds"](spark, sf_dir)
     assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_iv01_interval_join_no_cartesian(spark, sf_dir):
+    """The interval join must be a bucketed equi-join with the range
+    predicate residual — the cartesian/BNL plan it exists to avoid."""
+    df = QUERIES["iv01_session_error_overlap"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
