@@ -1,8 +1,8 @@
 """Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+  {"metric": "suite_sec", "value": total_sec, "unit": "sec", "sf": ...,
+   "queries": {tag: sec, ...}}
 
 Each query is executed to completion via the noop sink
 (``write.format("noop")``): every output row and expression is fully
@@ -11,12 +11,25 @@ PRUNE the projected expressions (a windowed projection collapses to
 ``Aggregate [count(1)] <- Relation`` — the window never runs), silently
 benchmarking a row-count scan instead of the operator. One untimed
 warm-up (JVM + parquet footers + Python worker pool) precedes timing.
+
+Output-capture contract: the round driver keeps only the LAST 2000 chars
+of stdout and JSON-parses what it finds there. A line keyed by full
+catalog names is >2000 chars for 71 queries and truncates (BENCH_r04's
+``parsed: null``), so the stdout line keys each query by its unique
+leading tag — the text before the first ``_`` (``q01`` =
+``q01_pricing_summary``; tags are asserted unique against the catalog).
+Full-name timings at full precision are written to ``BENCH_FULL.json``
+at the repo root for human/judge consumption. To guarantee the JSON line
+is the ONLY stdout content (Spark banners/progress bars otherwise eat
+the capture window), fd 1 is pointed at stderr for the whole run and the
+final line is written to the saved real stdout at exit.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
@@ -26,6 +39,13 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = 0.0  # non-sf-suffixed dir: still run and emit the JSON line
+
+    # Reserve the real stdout for the single JSON line; everything else
+    # (JVM banners, py4j chatter, progress) goes to stderr.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
 
     from pm25ml_spark.plans.registry import QUERIES, load_all_plans
     from pm25ml_spark.session import get_spark
@@ -65,17 +85,37 @@ def main() -> None:
             # query's cache does not pressure the next one's executors
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
-    result = {
+
+    tags = {name: name.split("_", 1)[0] for name in QUERIES}
+    assert len(set(tags.values())) == len(tags), "query tags must stay unique"
+
+    full = {
         "metric": "pm25ml_spark query suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "tag_to_name": {tags[n]: n for n in sorted(QUERIES)},
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        full["errors"] = errors
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    compact = {
+        "metric": "suite_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "sf": sf,
+        "queries": {tags[n]: round(v, 2) for n, v in sorted(timings.items())},
+    }
+    if errors:
+        compact["errors"] = {tags[n]: e[:60] for n, e in errors.items()}
+    line = json.dumps(compact, separators=(",", ":")) + "\n"
     spark.stop()
+    sys.stderr.flush()
+    os.write(real_stdout, line.encode())
     raise SystemExit(1 if errors else 0)
 
 
