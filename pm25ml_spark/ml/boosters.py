@@ -85,20 +85,37 @@ class BoosterImputer:
     features: list[str]
     target: str
     cv_r2: list[float] = field(default_factory=list)
+    # broadcast cache: one broadcast per imputer instance, reused across
+    # transform() calls (a fresh broadcast per call would leak executor
+    # memory until session end). Call release() when done with the imputer.
+    _bmodel: object | None = field(default=None, repr=False, compare=False)
 
     @property
     def mean_cv_r2(self) -> float:
         return sum(self.cv_r2) / len(self.cv_r2) if self.cv_r2 else float("nan")
 
+    def release(self) -> None:
+        """Destroy the cached model broadcast (safe to call repeatedly)."""
+        if self._bmodel is not None:
+            self._bmodel.destroy()
+            self._bmodel = None
+
     def transform(self, df: DataFrame, output_col: str | None = None) -> DataFrame:
         """M4: distributed batch predict. The fitted booster is broadcast
-        once; each Arrow batch scores in-process (no per-row Python)."""
+        once per imputer (cached); each Arrow batch scores in-process (no
+        per-row Python)."""
         out = output_col or f"{self.target}__predicted"
+        if out in df.columns:
+            raise ValueError(
+                f"output column {out!r} already exists in the input frame"
+            )
         feats = list(self.features)
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         sc = df.sparkSession.sparkContext
-        bmodel = sc.broadcast(self.model)
+        if self._bmodel is None:
+            self._bmodel = sc.broadcast(self.model)
+        bmodel = self._bmodel
         # StructType.add mutates in place — never call it on df's cached
         # schema object; build a fresh one
         schema = StructType(

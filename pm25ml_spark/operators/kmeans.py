@@ -237,17 +237,22 @@ def kmeans_parallel_init(
             d2.unpersist()
             bc.destroy()
             break
+        # collect (id, vec) and sort by id client-side: collect() row order
+        # depends on partition layout, and argmax/argmin tie-breaks in
+        # _weighted_reduce_to_k would otherwise make the FINAL centers
+        # layout-dependent even though sample membership never was.
         picked = (
             d2.filter(_hash_uniform(id_col, f"kmpar{r}:") * phi < l * F.col("d2"))
             .join(vecs, id_col)
-            .select(vec_col)
+            .select(id_col, vec_col)
             .collect()
         )
         d2.unpersist()
         bc.destroy()
         if picked:
+            picked.sort(key=lambda p: p[0])
             C = np.vstack(
-                [C, np.array([list(p[0]) for p in picked], dtype=np.float64)]
+                [C, np.array([list(p[1]) for p in picked], dtype=np.float64)]
             )
 
     # weights: how many points each candidate serves (one distributed pass)

@@ -180,7 +180,7 @@ class HarmonyClient:
                 return [
                     link
                     for link in status.get("links", [])
-                    if link.get("rel", "data") == "data"
+                    if link.get("rel") == "data"
                 ]
             raise EarthdataError(
                 f"Job {job_id} failed with status: {state}."

@@ -91,14 +91,33 @@ def process_gee_export(df: DataFrame, plan: FeaturePlan) -> DataFrame:
                 "Feature plan does not have dates defined but has a date "
                 "column."
             )
-        # J2 scaffold completion: full (date × grid) index, broadcast —
-        # dates are a literal list and grid ids are dimension-sized
+        # J2 scaffold completion. The index carries ONLY the key columns,
+        # so FULL OUTER JOIN index ≡ df ∪ (index keys absent from df with
+        # nulls elsewhere) — and the union form never shuffles the big
+        # side (a full outer can't use broadcast-hash, so the join form
+        # would sort-merge-shuffle every payload column by (date,
+        # grid_id); here only the key pairs are shuffled for distinct()
+        # with map-side partial aggregation, and the anti-join runs
+        # between two dimension-sized frames).
         dates_df = df.sparkSession.createDataFrame(
             [(d,) for d in plan.dates], "date string"
         )
         grid_df = df.select("grid_id").distinct()
-        full_index = F.broadcast(dates_df.crossJoin(grid_df))
-        df = full_index.join(df, ["date", "grid_id"], "full")
+        full_index = dates_df.crossJoin(grid_df)
+        present = df.select("date", "grid_id").distinct()
+        absent = full_index.join(
+            F.broadcast(present), ["date", "grid_id"], "left_anti"
+        )
+        pad = absent.select(
+            "date",
+            "grid_id",
+            *[
+                F.lit(None).cast(df.schema[c].dataType).alias(c)
+                for c in df.columns
+                if c not in ("date", "grid_id")
+            ],
+        )
+        df = df.unionByName(pad)
 
     for c in plan.expected_value_columns:
         df = df.withColumn(c, F.col(c).cast("float"))

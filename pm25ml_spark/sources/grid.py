@@ -107,7 +107,9 @@ def load_grid_from_files(
     if region_parquet is not None:
         regions = spark.read.parquet(region_parquet).select(
             F.col("grid_id").cast("long").alias("grid_id"),
-            F.col("k_region").alias("k_region"),
+            # cast to long: the parquet may store int32, and the no-parquet
+            # branch below yields long — both paths must return one schema
+            F.col("k_region").cast("long").alias("k_region"),
         )
         grid = grid.join(F.broadcast(regions), "grid_id", "left")
     else:
