@@ -6,8 +6,8 @@ SURVEY S17) and (b) *really* decode granule files in the distributed
 raster reader (`raster.decode_granule`, SURVEY S12) without any NetCDF
 library in the container. Files written here are readable by ncdump /
 netCDF4 / xarray; files from those tools parse here as long as they are
-classic-format (NetCDF-4/HDF5 granules still need h5netcdf — that import
-seam stays).
+classic-format (NetCDF-4/HDF5 granules decode through the sibling
+`hdf5_min` codec).
 
 Scope intentionally small: fixed dimensions only (no record dimension /
 UNLIMITED), the six classic types, global + per-variable attributes.

@@ -9,14 +9,16 @@ to the 33k grid centroids (`collectors/ned/*`). Spark-first shape:
       → long rows (grid_id, date, value)
       → scaffold completion + archive write
 
-Decode resolution order (S12):
+Decode resolution order (S12/S13):
 
 1. classic NetCDF-3 granules decode for real via the numpy-only codec
    (`sources/netcdf3`) with MERRA semantics (`data_reader_merra.py:26-98`):
    validate dims {lon, lat, time} (+ optional lev), CF-unpack
    (scale_factor/add_offset/_FillValue), bbox subset, mean over time;
-2. NetCDF-4/HDF5 granules need h5netcdf — that import seam stays and
-   raises a marked NotImplementedError until the library is installed;
+2. HDF5 granules decode for real via the numpy-only HDF5 codec
+   (`sources/hdf5_min` + `sources/hdfeos`): HDF-EOS L3 grids (OMI) with
+   GridSpan/GridSpacing coord rebuild, and NetCDF-4-style files with the
+   same MERRA semantics as (1);
 3. missing paths (tests, dry runs) produce a clearly-marked deterministic
    plane-valued fake so the plumbing (schema, batching, regrid math,
    scaffold join) stays testable anywhere.
@@ -40,12 +42,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # optional: real NetCDF decode (not available in this container)
-    import h5netcdf  # noqa: F401
-
-    HAS_NETCDF = True
-except ImportError:
-    HAS_NETCDF = False
 
 
 @dataclass(frozen=True)
@@ -140,26 +136,24 @@ def decode_granule_netcdf3(
 def decode_granule(path: str, variable: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Return (lons, lats, grid2d) for a granule.
 
-    Classic NetCDF-3 files decode for real (``decode_granule_netcdf3``);
-    NetCDF-4/HDF5 needs the h5netcdf seam; nonexistent paths fall back to
-    a clearly-marked deterministic plane-valued fake so pipeline tests run
-    without granule fixtures."""
+    Classic NetCDF-3 files decode for real (``decode_granule_netcdf3``),
+    and so do HDF5 granules — both HDF-EOS L3 grids (OMI) and
+    NetCDF-4-style files (MERRA as HDF5) — via the numpy-only codec in
+    ``sources/hdf5_min`` (``hdfeos.decode_granule_hdf5``). Nonexistent
+    paths fall back to a clearly-marked deterministic plane-valued fake
+    so pipeline tests run without granule fixtures."""
     import os
 
     if os.path.exists(path):
         with open(path, "rb") as fh:
-            magic = fh.read(4)
+            magic = fh.read(8)
         if magic[:3] == b"CDF":
             return decode_granule_netcdf3(path, variable)
-        if HAS_NETCDF:  # pragma: no cover - not installed in this container
-            raise NotImplementedError(
-                "NetCDF-4/HDF5 decode: open with h5netcdf, then apply "
-                "decode_granule_netcdf3's validate/subset/mean semantics "
-                "(data_reader_merra.py:26-98)"
-            )
-        raise ValueError(
-            f"{path}: not a classic NetCDF file and h5netcdf is unavailable"
-        )
+        if magic == b"\x89HDF\r\n\x1a\n":
+            from pm25ml_spark.sources.hdfeos import decode_granule_hdf5
+
+            return decode_granule_hdf5(path, variable)
+        raise ValueError(f"{path}: neither classic NetCDF nor HDF5")
     # md5, NOT builtin hash(): str hash is salted per process (pyspark
     # only pins PYTHONHASHSEED when the env doesn't set one), and a
     # retried/speculative task re-decoding the same granule to different
