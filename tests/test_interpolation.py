@@ -215,3 +215,48 @@ def test_nearest_fill_matches_bruteforce():
         k = np.lexsort((x[vidx], y[vidx], d2))[0]
         exp[i] = v[vidx[k]]
     assert np.array_equal(got, exp, equal_nan=True)
+
+
+def test_numpy_path_directly_pins_ground_truth():
+    """_delaunay_linear_numpy is the semantic ground truth: exact on a
+    linear field inside the hull regardless of which fast path
+    _delaunay_linear dispatches to."""
+    from pm25ml_spark.operators.interpolation import _delaunay_linear_numpy
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 10, 120)
+    y = rng.uniform(0, 10, 120)
+    v = 2.0 * x - 3.0 * y + 1.0
+    miss = rng.choice(120, 30, replace=False)
+    # keep hull corners valid so every missing point is interior-ish
+    truth = v.copy()
+    v = v.copy()
+    v[miss] = np.nan
+    out = _delaunay_linear_numpy(x, y, v)
+    inside = ~np.isnan(out[miss])
+    assert inside.sum() > 0
+    np.testing.assert_allclose(out[miss][inside], truth[miss][inside], atol=1e-9)
+
+
+def test_scipy_fast_path_agrees_with_numpy_kernel():
+    """Import-gated: when scipy is present, griddata and the numpy
+    Bowyer-Watson kernel must agree on the golden field (identical
+    values inside the hull, identical NaN mask outside)."""
+    pytest.importorskip("scipy")
+    from pm25ml_spark.operators.interpolation import (
+        _delaunay_linear,
+        _delaunay_linear_numpy,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(0, 10, 200)
+    y = rng.uniform(0, 10, 200)
+    v = 0.5 * x + 1.5 * y - 2.0
+    miss = rng.choice(200, 60, replace=False)
+    v = v.copy()
+    v[miss] = np.nan
+    fast = _delaunay_linear(x, y, v)
+    slow = _delaunay_linear_numpy(x, y, v)
+    np.testing.assert_array_equal(np.isnan(fast), np.isnan(slow))
+    ok = ~np.isnan(fast)
+    np.testing.assert_allclose(fast[ok], slow[ok], atol=1e-9)
