@@ -12,9 +12,11 @@ when xgboost/lightgbm are installed:
 * predict: pickle-broadcast the fitted booster and score in Arrow batches
   via ``mapInPandas`` — M4 stays fully distributed.
 
-Neither library is in this container, so construction raises a clear
-error unless a ``model_factory`` is injected — which is also how the
-tests drive the collect/fit/broadcast/score plumbing with a stub model.
+Neither library is in this container, so those backends raise a clear
+error unless a ``model_factory`` is injected. The always-available
+``backend="numpy"`` (``ml/numpy_gbm.NumpyHistGBM``, a real histogram
+GBM) exercises the full numeric path — CV folds → fit → broadcast →
+``mapInPandas`` score → quality gate — without either library.
 """
 
 from __future__ import annotations
@@ -52,6 +54,12 @@ LGBM_CO_PARAMS = {**LGBM_NO2_PARAMS, "max_bin": 1000}
 
 
 def _default_factory(backend: str, params: dict) -> Callable[[], object]:
+    if backend == "numpy":
+        # always-available histogram GBM (ml/numpy_gbm.py): the numeric
+        # end-to-end path in containers without xgboost/lightgbm
+        from pm25ml_spark.ml.numpy_gbm import NumpyHistGBM
+
+        return lambda: NumpyHistGBM(**params)
     if backend == "xgb":
         try:
             from xgboost import XGBRegressor

@@ -1,0 +1,191 @@
+"""Numpy-only histogram gradient-boosted regression trees.
+
+A real (nonlinear, interaction-capturing) learner with the sklearn
+estimator contract, so the M3 booster path — CV folds → collect-sample
+fit → broadcast → ``mapInPandas`` score → M6 quality gate — runs
+end-to-end numerically in this container, where xgboost/lightgbm are not
+installed. The algorithm is the standard histogram GBM the real
+backends implement (quantile binning, per-node gradient histograms,
+gain = G_L²/(n_L+λ) + G_R²/(n_R+λ) − G²/(n+λ), shrinkage), scoped to
+squared loss and depth-wise growth; it is a production-shaped learner,
+not a test double (`tests/test_boosters.py` keeps the linear stub for
+plumbing-only tests).
+
+Reference parity note: the reference trains XGB/LGBM single-node on the
+sampled frame (`setup/training.py:68-139`); this class slots into the
+exact same ``model_factory`` seam (`ml/boosters.py`) with the same
+fit/predict surface, and the real backends still activate by import.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_LEAF = -1  # sentinel in the feature column of the node table
+
+
+class NumpyHistGBM:
+    """Histogram GBM for regression (squared loss).
+
+    Parameters mirror the xgboost/lightgbm names the booster configs
+    use, so paper-parameter dicts can be passed through where they
+    apply: ``n_estimators``, ``learning_rate``, ``max_depth``,
+    ``max_bin``, ``min_child_weight`` (min samples per leaf),
+    ``reg_lambda``.
+    """
+
+    def __init__(
+        self,
+        n_estimators: int = 100,
+        learning_rate: float = 0.1,
+        max_depth: int = 4,
+        max_bin: int = 64,
+        min_child_weight: int = 5,
+        reg_lambda: float = 1.0,
+        **_ignored,  # accepts-and-ignores backend-specific params (n_jobs…)
+    ):
+        self.n_estimators = int(n_estimators)
+        self.learning_rate = float(learning_rate)
+        self.max_depth = int(max_depth)
+        self.max_bin = int(max_bin)
+        self.min_child_weight = int(min_child_weight)
+        self.reg_lambda = float(reg_lambda)
+
+    # sklearn contract used by the booster plumbing
+    def set_params(self, **kw):
+        for k, v in kw.items():
+            if hasattr(self, k):
+                setattr(self, k, v)
+        return self
+
+    def get_params(self, deep: bool = True) -> dict:
+        return {
+            k: getattr(self, k)
+            for k in (
+                "n_estimators",
+                "learning_rate",
+                "max_depth",
+                "max_bin",
+                "min_child_weight",
+                "reg_lambda",
+            )
+        }
+
+    # -- binning ------------------------------------------------------------
+
+    def _fit_bins(self, X: np.ndarray) -> None:
+        qs = np.linspace(0.0, 1.0, self.max_bin + 1)[1:-1]
+        self.bin_edges_ = [
+            np.unique(np.quantile(X[:, j], qs)) for j in range(X.shape[1])
+        ]
+
+    def _bin(self, X: np.ndarray) -> np.ndarray:
+        cols = [
+            np.searchsorted(self.bin_edges_[j], X[:, j], side="right")
+            for j in range(X.shape[1])
+        ]
+        return np.stack(cols, axis=1).astype(np.int32)
+
+    # -- tree construction --------------------------------------------------
+
+    def _build_tree(self, Xb: np.ndarray, resid: np.ndarray) -> np.ndarray:
+        """Depth-wise greedy tree on binned features. Returns a node table
+        (n_nodes, 4) float64: [feature, threshold_bin, left, right] for
+        splits, [_LEAF, value, -1, -1] for leaves."""
+        n_features = Xb.shape[1]
+        lam = self.reg_lambda
+        nodes: list[list[float]] = []
+
+        def leaf(idx: np.ndarray) -> int:
+            value = resid[idx].sum() / (len(idx) + lam)
+            nodes.append([_LEAF, value, -1, -1])
+            return len(nodes) - 1
+
+        def grow(idx: np.ndarray, depth: int) -> int:
+            n = len(idx)
+            if depth >= self.max_depth or n < 2 * self.min_child_weight:
+                return leaf(idx)
+            g = resid[idx]
+            G, score_parent = g.sum(), 0.0
+            score_parent = G * G / (n + lam)
+            best = None  # (gain, feature, threshold_bin)
+            for j in range(n_features):
+                nb = len(self.bin_edges_[j]) + 1
+                if nb < 2:
+                    continue
+                b = Xb[idx, j]
+                gh = np.bincount(b, weights=g, minlength=nb)
+                ch = np.bincount(b, minlength=nb)
+                GL = np.cumsum(gh)[:-1]
+                NL = np.cumsum(ch)[:-1]
+                NR = n - NL
+                ok = (NL >= self.min_child_weight) & (NR >= self.min_child_weight)
+                if not ok.any():
+                    continue
+                GR = G - GL
+                gain = GL * GL / (NL + lam) + GR * GR / (NR + lam) - score_parent
+                gain = np.where(ok, gain, -np.inf)
+                t = int(np.argmax(gain))
+                if gain[t] > 1e-12 and (best is None or gain[t] > best[0]):
+                    best = (float(gain[t]), j, t)
+            if best is None:
+                return leaf(idx)
+            _, j, t = best
+            mask = Xb[idx, j] <= t
+            me = len(nodes)
+            nodes.append([j, t, -1, -1])  # patched below
+            left = grow(idx[mask], depth + 1)
+            right = grow(idx[~mask], depth + 1)
+            nodes[me][2], nodes[me][3] = left, right
+            return me
+
+        grow(np.arange(len(resid)), 0)
+        return np.asarray(nodes, dtype=np.float64)
+
+    @staticmethod
+    def _predict_tree(tree: np.ndarray, Xb: np.ndarray) -> np.ndarray:
+        out = np.empty(len(Xb))
+        # vectorized level walk: every row tracks its current node id
+        node = np.zeros(len(Xb), dtype=np.int64)
+        active = np.arange(len(Xb))
+        while active.size:
+            nd = tree[node[active]]
+            is_leaf = nd[:, 0] == _LEAF
+            done = active[is_leaf]
+            out[done] = nd[is_leaf, 1]
+            live = active[~is_leaf]
+            nd = nd[~is_leaf]
+            feat = nd[:, 0].astype(np.int64)
+            go_left = Xb[live, feat] <= nd[:, 1]
+            node[live] = np.where(go_left, nd[:, 2], nd[:, 3]).astype(np.int64)
+            active = live
+        return out
+
+    # -- public API ---------------------------------------------------------
+
+    def fit(self, X, y) -> "NumpyHistGBM":
+        X = np.ascontiguousarray(np.asarray(X, dtype=np.float64))
+        y = np.asarray(y, dtype=np.float64)
+        if X.ndim != 2 or len(X) != len(y):
+            raise ValueError(f"bad shapes X{X.shape} y{y.shape}")
+        self._fit_bins(X)
+        Xb = self._bin(X)
+        self.base_score_ = float(y.mean())
+        pred = np.full(len(y), self.base_score_)
+        self.trees_ = []
+        for _ in range(self.n_estimators):
+            resid = y - pred
+            tree = self._build_tree(Xb, resid)
+            self.trees_.append(tree)
+            pred += self.learning_rate * self._predict_tree(tree, Xb)
+            if len(tree) == 1:  # pure leaf — residuals exhausted
+                break
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        X = np.ascontiguousarray(np.asarray(X, dtype=np.float64))
+        Xb = self._bin(X)
+        out = np.full(len(X), self.base_score_)
+        for tree in self.trees_:
+            out += self.learning_rate * self._predict_tree(tree, Xb)
+        return out
