@@ -56,7 +56,7 @@ class H5Dataset:
     _file: "H5File"
     _layout: tuple  # ("contiguous", addr, size) | ("chunked", ...) | ("compact", bytes)
     _filters: list  # [(filter_id, client_values), ...]
-    _vlen_string: bool = False
+    _vlen_string: object = None  # None | "str" | ("seq", base_dtype)
 
     def read(self) -> np.ndarray:
         return self._file._read_dataset(self)
@@ -132,7 +132,7 @@ class H5File:
         attrs: dict = {}
         shape: tuple[int, ...] | None = None
         dtype = None
-        vlen = False
+        vlen = None
         layout = None
         filters: list = []
         symtab = None
@@ -295,23 +295,31 @@ class H5File:
         )
         return dims
 
-    def _datatype(self, body: bytes) -> tuple[np.dtype, bool]:
+    def _datatype(self, body: bytes):
+        """-> (numpy dtype, vlen marker). Marker: None for fixed types,
+        "str" for VL strings, ("seq", base_dtype) for VL sequences
+        (e.g. netCDF-4's DIMENSION_LIST: VL of object references)."""
         cls = body[0] & 0x0F
         bits0 = body[1]
         size = self._u4(body, 4)
         order = ">" if (bits0 & 0x01) else "<"
         if cls == 0:  # fixed-point
             signed = "i" if (bits0 & 0x08) else "u"
-            return np.dtype(f"{order}{signed}{size}"), False
+            return np.dtype(f"{order}{signed}{size}"), None
         if cls == 1:  # IEEE float
-            return np.dtype(f"{order}f{size}"), False
+            return np.dtype(f"{order}f{size}"), None
         if cls == 3:  # fixed string
-            return np.dtype(f"S{size}"), False
+            return np.dtype(f"S{size}"), None
+        if cls == 7:  # reference (object address)
+            return np.dtype("<u8"), None
         if cls == 9:  # variable-length
             vtype = bits0 & 0x0F
             if vtype == 1:  # VL string
-                return np.dtype(object), True
-            raise ValueError("variable-length non-string datatypes unsupported")
+                return np.dtype(object), "str"
+            base, base_vlen = self._datatype(body[8:])
+            if base_vlen is not None:
+                raise ValueError("nested variable-length datatypes unsupported")
+            return np.dtype(object), ("seq", base)
         raise ValueError(f"unsupported datatype class {cls}")
 
     @staticmethod
@@ -400,9 +408,16 @@ class H5File:
         shape = self._dataspace(ds_body)
         n = int(np.prod(shape)) if shape else 1
         raw = body[p:]
-        if vlen:
+        if vlen == "str":
             vals = [self._vl_string(raw, 16 * i) for i in range(n)]
             return name, vals[0] if not shape else np.array(vals, dtype=object)
+        if vlen is not None:  # ("seq", base): e.g. DIMENSION_LIST obj refs
+            base = vlen[1]
+            vals = [
+                np.frombuffer(self._vl_raw(raw, 16 * i), dtype=base)
+                for i in range(n)
+            ]
+            return name, vals[0] if not shape else vals
         if dtype.kind == "S":
             return name, raw[: dtype.itemsize].split(b"\x00")[0].decode()
         arr = np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype)
@@ -483,11 +498,18 @@ class H5File:
     def _read_dataset(self, ds: H5Dataset) -> np.ndarray:
         kind, *rest = ds._layout
         n = int(np.prod(ds.shape)) if ds.shape else 1
-        if ds._vlen_string:
+        if ds._vlen_string is not None:
             if kind != "contiguous":
-                raise ValueError("VL-string datasets: contiguous layout only")
+                raise ValueError("VL datasets: contiguous layout only")
             addr, _size = rest
-            vals = [self._vl_string(self.buf, addr + 16 * i) for i in range(n)]
+            if ds._vlen_string == "str":
+                vals = [self._vl_string(self.buf, addr + 16 * i) for i in range(n)]
+            else:
+                base = ds._vlen_string[1]
+                vals = [
+                    np.frombuffer(self._vl_raw(self.buf, addr + 16 * i), dtype=base)
+                    for i in range(n)
+                ]
             return np.array(vals, dtype=object).reshape(ds.shape)
         itemsize = ds.dtype.itemsize
         if kind == "compact":
@@ -565,8 +587,13 @@ class H5File:
         return raw
 
     def _vl_string(self, buf: bytes, p: int) -> str:
-        """Decode one VL-string reference: size(4) + gheap addr + index(4)."""
-        size = int.from_bytes(buf[p : p + 4], "little")
+        return self._vl_raw(buf, p).decode()
+
+    def _vl_raw(self, buf: bytes, p: int) -> bytes:
+        """Resolve one VL reference (length(4) + gheap addr + index(4)) to
+        its global-heap payload. ``length`` counts base-type ELEMENTS; the
+        heap object's byte size bounds the slice."""
+        n_elem = int.from_bytes(buf[p : p + 4], "little")
         gaddr = int.from_bytes(buf[p + 4 : p + 4 + self.offsets_size], "little")
         idx = int.from_bytes(
             buf[p + 4 + self.offsets_size : p + 8 + self.offsets_size], "little"
@@ -581,7 +608,8 @@ class H5File:
             )
             if obj_idx == idx:
                 start = q + 8 + self.lengths_size
-                return self.buf[start : start + size].decode()
+                per = obj_size // max(n_elem, 1)
+                return self.buf[start : start + n_elem * per]
             if obj_idx == 0:
                 raise ValueError(f"global heap object {idx} not found")
             q += 8 + self.lengths_size + obj_size + (-obj_size % 8)
@@ -702,11 +730,47 @@ class _H5Writer:
         hdr = struct.pack("<BxHII", 1, len(messages), 1, len(body)) + b"\x00" * 4
         return self.alloc(bytes(hdr) + bytes(body))
 
+    def global_heap(self, objects: list[bytes]) -> tuple[int, list[int]]:
+        """One GCOL collection holding ``objects``; -> (addr, indices).
+        Collections are padded to the spec's 4 KiB minimum."""
+        body = bytearray()
+        idxs = []
+        for i, obj in enumerate(objects, start=1):
+            idxs.append(i)
+            body += struct.pack("<HH4xQ", i, 1, len(obj))
+            body += obj + b"\x00" * (-len(obj) % 8)
+        size = max(4096, 16 + len(body) + 16)
+        out = bytearray(b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", size))
+        out += body
+        # object 0: free space (size counts the remainder incl. its header)
+        out += struct.pack("<HH4xQ", 0, 0, size - len(out))
+        out += b"\x00" * (size - len(out))
+        return self.alloc(bytes(out)), idxs
+
+    def dimension_list_attr(self, scale_addrs: list[int]) -> bytes:
+        """netCDF-4 ``DIMENSION_LIST`` attribute message body: a VL
+        sequence of object references per variable axis, each pointing at
+        that axis's dimension-scale dataset."""
+        gaddr, idxs = self.global_heap(
+            [struct.pack("<Q", a) for a in scale_addrs]
+        )
+        dt = bytes([0x19, 0x00, 0x00, 0x00]) + struct.pack("<I", 16)
+        dt += bytes([0x17, 0x00, 0x00, 0x00]) + struct.pack("<I", 8)
+        ds = _ds_message((len(scale_addrs),))
+        data = b"".join(
+            struct.pack("<IQI", 1, gaddr, idx) for idx in idxs
+        )
+        nm = b"DIMENSION_LIST\x00"
+        body = bytes([1, 0]) + struct.pack("<HHH", len(nm), len(dt), len(ds))
+        body += _pad8(nm) + _pad8(dt) + _pad8(ds) + data
+        return body
+
     def dataset(
         self,
         arr: np.ndarray,
         attrs: dict | None = None,
         compress: bool = False,
+        extra_msgs: list[tuple[int, bytes]] | None = None,
     ) -> int:
         arr = np.ascontiguousarray(arr)
         arr = arr.astype(arr.dtype.newbyteorder("<"))
@@ -746,6 +810,7 @@ class _H5Writer:
             msgs.append((0x0008, layout))
         for name, value in (attrs or {}).items():
             msgs.append((0x000C, _attr_message(name, value)))
+        msgs.extend(extra_msgs or [])
         return self.object_header(msgs)
 
     def group(self, children: dict[str, int], attrs: dict | None = None) -> int:
@@ -793,6 +858,63 @@ class _H5Writer:
         with open(path, "wb") as fh:
             fh.write(bytes(self.out))
         return path
+
+
+def write_netcdf4(
+    path: str,
+    coords: dict[str, tuple[np.ndarray, dict]],
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
+    global_attrs: dict | None = None,
+    compress: bool = True,
+) -> str:
+    """Write a netCDF-4-style HDF5 file (the reference sink's container,
+    `netcdf_final_result_writer.py:87-100`): 1-D coordinate datasets
+    carry the netCDF-4 dimension-scale markers (``CLASS`` /
+    ``NAME`` / ``_Netcdf4Dimid``), data variables carry a real
+    ``DIMENSION_LIST`` (VL object references through a global heap) and,
+    with ``compress=True``, zlib level-5 DEFLATE chunks — the
+    reference's exact encoding. Readable by this module's own reader
+    (round-trip tested); the netCDF-4 conventions follow the public
+    NetCDF-4 file-format mapping documentation."""
+    w = _H5Writer()
+    scale_addrs: dict[str, int] = {}
+    children: dict[str, int] = {}
+    for dimid, (name, (arr, attrs)) in enumerate(coords.items()):
+        arr = np.asarray(arr)
+        full = {
+            **attrs,
+            "CLASS": "DIMENSION_SCALE",
+            "NAME": name,
+            "_Netcdf4Dimid": np.int32(dimid),
+        }
+        addr = w.dataset(arr, full)
+        scale_addrs[name] = addr
+        children[name] = addr
+    for name, (vdims, arr, attrs) in variables.items():
+        arr = np.asarray(arr)
+        expect = tuple(len(coords[d][0]) for d in vdims)
+        if arr.shape != expect:
+            raise ValueError(
+                f"variable {name}: shape {arr.shape} != dims {vdims} {expect}"
+            )
+        extra = []
+        if vdims:  # scalars (e.g. a CF grid-mapping holder) have no dims
+            dim_list = w.dimension_list_attr([scale_addrs[d] for d in vdims])
+            extra.append((0x000C, dim_list))
+        children[name] = w.dataset(
+            arr,
+            attrs,
+            compress=compress and arr.ndim > 0,
+            extra_msgs=extra,
+        )
+    root = w.group(
+        children,
+        {
+            **(global_attrs or {}),
+            "_NCProperties": "version=2,netcdf=pm25ml_spark,hdf5=hdf5_min",
+        },
+    )
+    return w.finish(root, path)
 
 
 def write_hdf5(path: str, tree: dict) -> str:

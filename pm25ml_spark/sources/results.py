@@ -5,11 +5,17 @@ float32 — a few hundred MB at most), so the pivot runs on the driver after
 ``toPandas()`` exactly as the reference does (grid.py:122-185). The sink
 (S17) mirrors `netcdf_final_result_writer.py:46-153`: CF-1.8 attributes,
 days-since-2000 gregorian time, projection-metre x/y axes, grid_mapping +
-GeoTransform — written as real NetCDF via the numpy-only classic codec
-(`sources/netcdf3`). The reference's zlib-5 chunked encoding is an
-HDF5-backed (NetCDF-4) feature: when netCDF4 is importable that path is
-used; otherwise the classic file carries identical data and metadata,
-uncompressed.
+GeoTransform — written as real NetCDF via the numpy-only codecs:
+
+- ``engine="classic"`` (default): classic NetCDF-3 via `sources/netcdf3`
+  — the maximally portable output, uncompressed;
+- ``engine="netcdf4"``: the reference's actual encoding
+  (`netcdf_final_result_writer.py:87-100`) — a netCDF-4-style HDF5
+  container with dimension scales, DIMENSION_LIST wiring, and zlib
+  level-5 DEFLATE-compressed variable data, via `sources/hdf5_min`.
+
+Both carry identical data + CF metadata and both round-trip through
+``read_raster`` (which dispatches on the file magic).
 """
 
 from __future__ import annotations
@@ -18,14 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from pm25ml_spark.sources.hdf5_min import read_hdf5, write_netcdf4
 from pm25ml_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
-
-try:  # optional: zlib-compressed NetCDF-4 encoding
-    import netCDF4  # noqa: F401
-
-    HAS_NETCDF4 = True
-except ImportError:
-    HAS_NETCDF4 = False
 
 
 def pivot_to_raster(
@@ -72,18 +72,17 @@ def write_raster(
     ys: np.ndarray,
     xs: np.ndarray,
     value_name: str = "value",
+    engine: str = "classic",
 ) -> str:
-    """S17 sink: CF-1.8 NetCDF with the reference's encoding intent
+    """S17 sink: CF-1.8 NetCDF with the reference's encoding
     (netcdf_final_result_writer.py:46-153): days-since-2000 gregorian
     time, projection_x/y_coordinate metre axes, grid_mapping spatial_ref,
-    GeoTransform. zlib complevel-5 chunked compression needs the NetCDF-4
-    (HDF5) container → only when netCDF4 is importable; the classic file
-    written here is identical in data + metadata, uncompressed."""
-    if HAS_NETCDF4:  # pragma: no cover - not installed in this container
-        raise NotImplementedError(
-            "zlib-5 chunked NetCDF-4 encoding: port "
-            "netcdf_final_result_writer.py:87-100 onto the netCDF4 API"
-        )
+    GeoTransform. ``engine="netcdf4"`` adds the reference's zlib
+    complevel-5 compression in a netCDF-4-style HDF5 container;
+    ``engine="classic"`` writes the portable uncompressed NetCDF-3 file
+    with identical data + metadata."""
+    if engine not in ("classic", "netcdf4"):
+        raise ValueError(f"unknown engine {engine!r}")
     out = path if path.endswith(".nc") else f"{path}.nc"
     days = (
         (np.asarray(dates, dtype="datetime64[D]") - _TIME_EPOCH)
@@ -98,73 +97,88 @@ def write_raster(
     # because its xarray cube is north-up/descending-y; emitting -dy over
     # ascending rows would georeference the raster vertically mirrored.)
     gt = f"{xs[0] - dx / 2.0} {dx} 0.0 {ys[0] - dy / 2.0} 0.0 {dy}"
+    coords = {
+        "time": (
+            days,
+            {
+                "standard_name": "time",
+                "axis": "T",
+                "units": "days since 2000-01-01 00:00:00",
+                "calendar": "gregorian",
+            },
+        ),
+        "y": (
+            np.asarray(ys, dtype=np.float64),
+            {
+                "standard_name": "projection_y_coordinate",
+                "long_name": "Northing",
+                "units": "m",
+                "axis": "Y",
+            },
+        ),
+        "x": (
+            np.asarray(xs, dtype=np.float64),
+            {
+                "standard_name": "projection_x_coordinate",
+                "long_name": "Easting",
+                "units": "m",
+                "axis": "X",
+            },
+        ),
+    }
+    data_vars = {
+        value_name: (
+            ("time", "y", "x"),
+            cube.astype(np.float32),
+            {
+                "_FillValue": np.float32(np.nan),
+                "coordinates": "time y x",
+                "grid_mapping": "spatial_ref",
+            },
+        ),
+        # full CF CRS attrs (crs_wkt etc.) come from pyproj in the
+        # reference; without it we pin the EPSG code + GeoTransform
+        "spatial_ref": (
+            (),
+            np.int32(0),
+            {"spatial_ref": "EPSG:7755", "GeoTransform": gt},
+        ),
+    }
+    global_attrs = {"Conventions": "CF-1.8", "GeoTransform": gt}
+    if engine == "netcdf4":
+        write_netcdf4(out, coords, data_vars, global_attrs, compress=True)
+        return out
     write_netcdf3(
         out,
         dims={"time": len(days), "y": len(ys), "x": len(xs)},
         variables={
-            value_name: (
-                ("time", "y", "x"),
-                cube.astype(np.float32),
-                {
-                    "_FillValue": np.float32(np.nan),
-                    "coordinates": "time y x",
-                    "grid_mapping": "spatial_ref",
-                },
-            ),
-            "time": (
-                ("time",),
-                days,
-                {
-                    "standard_name": "time",
-                    "axis": "T",
-                    "units": "days since 2000-01-01 00:00:00",
-                    "calendar": "gregorian",
-                },
-            ),
-            "y": (
-                ("y",),
-                np.asarray(ys, dtype=np.float64),
-                {
-                    "standard_name": "projection_y_coordinate",
-                    "long_name": "Northing",
-                    "units": "m",
-                    "axis": "Y",
-                },
-            ),
-            "x": (
-                ("x",),
-                np.asarray(xs, dtype=np.float64),
-                {
-                    "standard_name": "projection_x_coordinate",
-                    "long_name": "Easting",
-                    "units": "m",
-                    "axis": "X",
-                },
-            ),
-            # full CF CRS attrs (crs_wkt etc.) come from pyproj in the
-            # reference; without it we pin the EPSG code + GeoTransform
-            "spatial_ref": (
-                (),
-                np.int32(0),
-                {"spatial_ref": "EPSG:7755", "GeoTransform": gt},
-            ),
+            **data_vars,
+            **{n: ((n,), arr, attrs) for n, (arr, attrs) in coords.items()},
         },
-        global_attrs={"Conventions": "CF-1.8", "GeoTransform": gt},
+        global_attrs=global_attrs,
     )
     return out
 
 
 def read_raster(path: str) -> dict[str, np.ndarray]:
-    """Read a raster written by :func:`write_raster` (or legacy .npz)."""
+    """Read a raster written by :func:`write_raster` — either engine,
+    dispatched on the file magic — or a legacy .npz."""
     if path.endswith(".npz"):
         with np.load(path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
-    _, variables, _ = read_netcdf3(path)
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic == b"\x89HDF\r\n\x1a\n":
+        f = read_hdf5(path)
+        arrays = {n: ds.read() for n, ds in f.root.datasets.items()}
+    else:
+        _, variables, _ = read_netcdf3(path)
+        arrays = {n: arr for n, (_, arr, _) in variables.items()}
     out = {}
-    for name, (_, arr, attrs) in variables.items():
+    for name, arr in arrays.items():
         if name == "time":
             arr = (
-                _TIME_EPOCH + arr.astype("timedelta64[D]")
+                _TIME_EPOCH + np.asarray(arr).astype("timedelta64[D]")
             ).astype("datetime64[D]")
         out[name] = arr
     return out

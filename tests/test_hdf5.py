@@ -312,3 +312,68 @@ class TestDistributedRead:
         path = _write_omi(tmp_path / "omi.he5")
         lons, lats, grid = decode_granule(path, "ColumnAmountNO2")
         assert grid.shape == (14, 20)
+
+
+class TestNetcdf4Sink:
+    """S17 netcdf4 engine: the reference's zlib-5 HDF5 container
+    (`netcdf_final_result_writer.py:87-100`), written by the numpy-only
+    codec, equivalent to the classic engine's data + metadata."""
+
+    @staticmethod
+    def _cube():
+        # byte-repetitive field (identical time slices, tiled rows) —
+        # float32 mantissa noise defeats DEFLATE, repetition doesn't
+        row = np.linspace(0, 1, 40, dtype=np.float32)
+        cube = np.broadcast_to(row, (4, 30, 40)).copy()
+        dates = np.arange(
+            np.datetime64("2023-06-01"), np.datetime64("2023-06-05")
+        )
+        return cube, dates, np.arange(30) * 100.0, np.arange(40) * 10.0
+
+    def test_engines_equivalent_and_compressed(self, tmp_path):
+        from pm25ml_spark.sources.results import read_raster, write_raster
+
+        cube, dates, ys, xs = self._cube()
+        classic = write_raster(str(tmp_path / "c"), cube, dates, ys, xs)
+        nc4 = write_raster(
+            str(tmp_path / "z"), cube, dates, ys, xs, engine="netcdf4"
+        )
+        a, b = read_raster(classic), read_raster(nc4)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+        import os
+
+        # zlib-5 actually ran: same data + metadata, smaller container
+        assert os.path.getsize(nc4) < os.path.getsize(classic)
+
+    def test_dimension_scales_and_list(self, tmp_path):
+        from pm25ml_spark.sources.results import write_raster
+
+        cube, dates, ys, xs = self._cube()
+        nc4 = write_raster(
+            str(tmp_path / "z"), cube, dates, ys, xs, engine="netcdf4"
+        )
+        f = read_hdf5(nc4)
+        assert f.root.attrs["Conventions"] == "CF-1.8"
+        assert "_NCProperties" in f.root.attrs
+        time_ds = f.dataset("time")
+        assert time_ds.attrs["CLASS"] == "DIMENSION_SCALE"
+        assert time_ds.attrs["NAME"] == "time"
+        assert time_ds.attrs["_Netcdf4Dimid"] == 0
+        # DIMENSION_LIST object references resolve to the scale headers
+        value = f.dataset("value")
+        refs = [int(r[0]) for r in value.attrs["DIMENSION_LIST"]]
+        scale_objs = {}
+        for name in ("time", "y", "x"):
+            # re-parse each referenced header and check it IS that scale
+            obj = f._parse_object(refs[("time", "y", "x").index(name)], name)
+            assert obj.attrs["NAME"] == name
+        assert value.attrs["grid_mapping"] == "spatial_ref"
+
+    def test_unknown_engine_rejected(self, tmp_path):
+        from pm25ml_spark.sources.results import write_raster
+
+        cube, dates, ys, xs = self._cube()
+        with pytest.raises(ValueError, match="unknown engine"):
+            write_raster(str(tmp_path / "e"), cube, dates, ys, xs, engine="zarr")
