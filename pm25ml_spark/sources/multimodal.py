@@ -4,11 +4,12 @@ Beyond-reference operator family for training-data pipelines: image/audio/
 video payloads travel as ``binary`` columns with a metadata struct; decode
 / feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
 over ``mapInPandas``. Decode is resolved by payload magic bytes: PNG, BMP,
-and PGM/PPM decode for REAL via the stdlib-only codecs in
-``sources/imaging`` (zlib inflate + unfilter for PNG); 16-bit WAV decodes
-via stdlib ``wave``. Formats needing native libraries (JPEG/MP4/...) keep
-the PIL/ffmpeg seam, and ``raw`` synthetic payloads keep the deterministic
-fake so plumbing tests run anywhere.
+PGM/PPM, and baseline JPEG decode for REAL via the stdlib+numpy codecs in
+``sources/imaging`` / ``sources/jpeg`` (PIL is used for JPEG when
+importable — it is faster); 16-bit WAV decodes via stdlib ``wave``.
+Video containers keep the ffmpeg seam for pixel decode, with MP4
+structure parsing handled natively (`sources/mp4.py`); ``raw`` synthetic
+payloads keep the deterministic fake so plumbing tests run anywhere.
 
 At 100 TB the payload column dominates I/O: keep metadata in separate
 (pruned) columns so planning queries never read bytes, and size
@@ -87,11 +88,17 @@ def decode_to_array(payload: bytes, width: int, height: int) -> np.ndarray:
     if payload[:2] in (b"P5", b"P6"):
         return imaging.to_grayscale(imaging.decode_pnm(payload))
     if payload[:3] == b"\xff\xd8\xff":  # any JPEG variant (SOI marker)
-        if HAS_PIL:  # pragma: no cover - not installed in this container
-            raise NotImplementedError(
-                "real decode: PIL.Image.open(io.BytesIO(payload)) → np.asarray"
+        if HAS_PIL:  # pragma: no cover - fast path, not in this container
+            import io
+
+            from PIL import Image
+
+            return imaging.to_grayscale(
+                np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
             )
-        raise ValueError("JPEG payload needs PIL (not installed)")
+        from pm25ml_spark.sources.jpeg import decode_jpeg
+
+        return imaging.to_grayscale(decode_jpeg(payload))
     arr = np.frombuffer(payload, dtype=np.uint8)
     return arr[: width * height].reshape(height, width)
 
@@ -186,6 +193,7 @@ FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
+        StructField("time_s", DoubleType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("frame", BinaryType()),
@@ -200,24 +208,40 @@ def sample_frames(
     frame (1 → N row explosion inside ``mapInPandas``, the shape a real
     ffmpeg keyframe pass has).
 
-    The deterministic fake treats the payload as ``height`` stacked
-    "frames" of ``width`` bytes and samples evenly (``n_frames`` total) or
-    systematically (``every_n``-th). A real decoder replaces
-    ``decode_to_array`` only; the row-explosion plumbing, output schema,
-    and partitioning stay exactly as tested.
+    MP4 payloads sample for REAL: the ISO BMFF sample tables
+    (`sources/mp4.py`) locate each frame's compressed byte range,
+    timestamp, and keyframe flag, and the sampled frames' actual bytes
+    are emitted — no pixel decode needed to sample, which is exactly
+    what makes this shape viable on a 100 TB corpus (bytes read per
+    video ≈ sampled frames only, not the whole stream, when the source
+    supports range reads). Pixel decode of the sampled frames stays
+    behind the ffmpeg seam. ``raw`` payloads keep the deterministic
+    fake (``height`` stacked rows of ``width`` bytes).
 
     At scale the explosion multiplies rows, not bytes-per-row — each
-    output frame is payload/`height`-sized, so downstream per-frame
+    output frame is a single frame's payload, so downstream per-frame
     feature extraction parallelizes beyond the per-video grain.
     """
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pm25ml_spark.sources.mp4 import extract_frames
+
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
-                arr = decode_to_array(bytes(row.payload), row.width, row.height)
+                payload = bytes(row.payload)
+                if payload[4:8] == b"ftyp":  # real MP4 container
+                    for fi, ts, frame in extract_frames(
+                        payload, every_n=every_n, n_frames=n_frames
+                    ):
+                        rows.append(
+                            (row.media_id, int(fi), float(ts),
+                             int(row.width), int(row.height), bytearray(frame))
+                        )
+                    continue
+                arr = decode_to_array(payload, row.width, row.height)
                 total = arr.shape[0]
                 if every_n is not None:
                     idxs = list(range(0, total, every_n))
@@ -227,7 +251,8 @@ def sample_frames(
                 for fi in idxs:
                     frame = arr[fi].tobytes()
                     rows.append(
-                        (row.media_id, int(fi), int(row.width), 1, bytearray(frame))
+                        (row.media_id, int(fi), float(fi),
+                         int(row.width), 1, bytearray(frame))
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]
