@@ -477,3 +477,25 @@ def test_interval_join_matches_bruteforce(spark):
     assert got.equals(expect)
     # sanity: many-to-many actually happened (t=55 in both 2 and 4)
     assert (got.p_id == 4).sum() == 2
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find (small graphs) and the distributed
+    min-label loop must label identically; the loop path is forced via
+    small_graph_edges=0."""
+    from pm25ml_spark.operators.components import connected_components
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    slow = {
+        (r.node, r.component)
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == slow
