@@ -59,7 +59,14 @@ class H5Dataset:
     _vlen_string: object = None  # None | "str" | ("seq", base_dtype)
 
     def read(self) -> np.ndarray:
-        return self._file._read_dataset(self)
+        try:
+            return self._file._read_dataset(self)
+        except ValueError:
+            raise
+        except (IndexError, KeyError, OverflowError, MemoryError) as exc:
+            raise ValueError(
+                f"corrupt dataset {self.name!r}: {type(exc).__name__}: {exc}"
+            ) from exc
 
     def __getitem__(self, idx) -> np.ndarray:
         return self.read()[idx]
@@ -84,8 +91,18 @@ class H5File:
             raise ValueError(f"{path}: not an HDF5 file")
         self.offsets_size = 8
         self.lengths_size = 8
-        root_addr = self._parse_superblock()
-        self.root = self._parse_object(root_addr, "/")
+        # corrupt files (flipped address/size fields) surface as internal
+        # faults anywhere in the parse — convert at this boundary so a
+        # distributed reader can quarantine a bad granule with one except
+        try:
+            root_addr = self._parse_superblock()
+            self.root = self._parse_object(root_addr, "/")
+        except ValueError:
+            raise
+        except (IndexError, KeyError, struct.error, OverflowError, MemoryError) as exc:
+            raise ValueError(
+                f"{path}: corrupt HDF5 file: {type(exc).__name__}: {exc}"
+            ) from exc
 
     # -- low-level helpers --------------------------------------------------
 

@@ -445,7 +445,22 @@ def encode_jpeg(
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG -> uint8 array, (h, w) if single-component
-    else (h, w, 3) RGB."""
+    else (h, w, 3) RGB.
+
+    Raises ``ValueError`` on ANY malformed input (truncation, bit rot,
+    wrong process) — internal faults are converted at this boundary so
+    distributed readers can quarantine bad files with one except."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2

@@ -66,7 +66,23 @@ def _find(buf, start, end, btype):
 
 
 def parse_mp4(payload: bytes) -> list[Mp4Track]:
-    """Parse every track's sample table -> list of Mp4Track."""
+    """Parse every track's sample table -> list of Mp4Track.
+
+    Raises ``ValueError`` on ANY malformed input — internal faults
+    (truncated tables, boxes pointing past EOF, missing children) are
+    converted at this boundary so distributed readers can quarantine
+    bad files with one except."""
+    try:
+        return _parse_mp4(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, TypeError, struct.error, OverflowError) as exc:
+        raise ValueError(
+            f"corrupt MP4 container: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _parse_mp4(payload: bytes) -> list[Mp4Track]:
     top = list(_boxes(payload, 0, len(payload)))
     if not top or top[0][0] != "ftyp":
         raise ValueError("not an MP4 file (missing leading ftyp box)")

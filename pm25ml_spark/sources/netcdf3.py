@@ -196,7 +196,21 @@ class _Reader:
 def read_netcdf3(path: str):
     """Parse a classic NetCDF file -> (dims, variables, global_attrs) with
     ``variables`` mapping name -> (dim names, array, attrs). Fixed-size
-    variables only (files we write; most analysis granules)."""
+    variables only (files we write; most analysis granules).
+
+    Raises ``ValueError`` on any malformed input — internal faults are
+    converted at this boundary (one except quarantines a bad file)."""
+    try:
+        return _read_netcdf3(path)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+        raise ValueError(
+            f"corrupt NetCDF-3 file: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _read_netcdf3(path: str):
     with open(path, "rb") as fh:
         buf = fh.read()
     magic = buf[:4]

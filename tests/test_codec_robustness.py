@@ -1,0 +1,158 @@
+"""Adversarial-input robustness for the from-spec codecs.
+
+A distributed reader meets corrupt bytes (truncated downloads, bit rot,
+mislabeled formats) as ordinary data, and a decoder that hangs, loops,
+or dies with a non-ValueError inside a Spark task turns one bad file
+into an opaque stage failure. Contract pinned here: every decoder
+raises ``ValueError`` (or returns a valid result) on arbitrary mangled
+input — never KeyError/IndexError/struct.error/infinite loop — so task
+code can catch one exception type and quarantine the file.
+
+Hypothesis drives truncation/bit-flip/garbage cases against real
+encoder output; numpy errors that indicate a codec bug (not bad input)
+are allowed only where noted.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pm25ml_spark.sources.hdf5_min import read_hdf5, write_hdf5
+from pm25ml_spark.sources.jpeg import decode_jpeg, encode_jpeg
+from pm25ml_spark.sources.mp4 import build_mp4, parse_mp4
+from pm25ml_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+ACCEPTABLE = (ValueError, zlib.error)
+
+
+def _jpeg_bytes() -> bytes:
+    img = (np.arange(24 * 32, dtype=np.uint8) % 251).reshape(24, 32)
+    return encode_jpeg(img, quality=80)
+
+
+def _mp4_bytes() -> bytes:
+    return build_mp4([bytes([i]) * 20 for i in range(6)])
+
+
+def _hdf5_bytes(tmp_path) -> bytes:
+    p = str(tmp_path / "r.h5")
+    write_hdf5(p, {"d": (np.arange(12.0).reshape(3, 4), {"a": np.int32(1)}, True)})
+    with open(p, "rb") as fh:
+        return fh.read()
+
+
+class TestTruncation:
+    @settings(max_examples=40, deadline=None)
+    @given(frac=st.floats(min_value=0.02, max_value=0.98))
+    def test_jpeg_truncated(self, frac):
+        data = _jpeg_bytes()
+        cut = data[: max(2, int(len(data) * frac))]
+        try:
+            decode_jpeg(cut)
+        except ACCEPTABLE:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(frac=st.floats(min_value=0.0, max_value=0.98))
+    def test_mp4_truncated(self, frac):
+        data = _mp4_bytes()
+        cut = data[: int(len(data) * frac)]
+        try:
+            parse_mp4(cut)
+        except ACCEPTABLE:
+            pass
+        except struct.error:
+            pytest.fail("struct.error leaked from truncated MP4")
+
+    @settings(max_examples=30, deadline=None)
+    @given(frac=st.floats(min_value=0.0, max_value=0.98))
+    def test_netcdf3_truncated(self, tmp_path_factory, frac):
+        tmp = tmp_path_factory.mktemp("nc")
+        p = str(tmp / "t.nc")
+        write_netcdf3(
+            p,
+            dims={"x": 5},
+            variables={"v": (("x",), np.arange(5.0), {"u": "m"})},
+        )
+        with open(p, "rb") as fh:
+            data = fh.read()
+        cut = p + ".cut"
+        with open(cut, "wb") as fh:
+            fh.write(data[: int(len(data) * frac)])
+        try:
+            read_netcdf3(cut)
+        except ACCEPTABLE:
+            pass
+
+
+class TestBitFlips:
+    @settings(max_examples=40, deadline=None)
+    @given(pos=st.integers(min_value=2, max_value=10_000), bit=st.integers(0, 7))
+    def test_jpeg_bitflip(self, pos, bit):
+        data = bytearray(_jpeg_bytes())
+        data[pos % len(data)] ^= 1 << bit
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8  # decoded despite damage: fine
+        except ACCEPTABLE:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(pos=st.integers(min_value=0, max_value=10_000), bit=st.integers(0, 7))
+    def test_mp4_bitflip(self, pos, bit):
+        data = bytearray(_mp4_bytes())
+        data[pos % len(data)] ^= 1 << bit
+        try:
+            tracks = parse_mp4(bytes(data))
+            for t in tracks:
+                assert len(t.samples) >= 0
+        except ACCEPTABLE:
+            pass
+        except struct.error:
+            pytest.fail("struct.error leaked from bit-flipped MP4")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        pos=st.integers(min_value=8, max_value=100_000),
+        bit=st.integers(0, 7),
+    )
+    def test_hdf5_bitflip(self, tmp_path_factory, pos, bit):
+        tmp = tmp_path_factory.mktemp("h5")
+        data = bytearray(_hdf5_bytes(tmp))
+        data[pos % len(data)] ^= 1 << bit
+        p = str(tmp / "m.h5")
+        with open(p, "wb") as fh:
+            fh.write(bytes(data))
+        try:
+            f = read_hdf5(p)
+            for ds in f.root.datasets.values():
+                ds.read()
+        except ACCEPTABLE:
+            pass
+
+
+class TestGarbage:
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=256))
+    def test_all_decoders_reject_garbage(self, data, tmp_path_factory):
+        with pytest.raises(ACCEPTABLE):
+            decode_jpeg(b"\xff\xd8" + data)
+        try:
+            parse_mp4(data)
+            pytest.fail("garbage accepted as MP4")
+        except ACCEPTABLE:
+            pass
+        tmp = tmp_path_factory.mktemp("g")
+        p = str(tmp / "g.bin")
+        with open(p, "wb") as fh:
+            fh.write(b"CDF\x02" + data)
+        try:
+            read_netcdf3(p)
+        except ACCEPTABLE:
+            pass
