@@ -432,3 +432,135 @@ def cp02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         n=2,
     )
+
+
+# --------------------------------------------------------------------------
+# cp03 — semantic (embedding-space) dedup, the SemDeDup pattern (Abbas et
+# al., 2023): cluster the corpus in embedding space, find near-duplicate
+# pairs only WITHIN a cluster, keep one representative per duplicate
+# component. The cluster restriction is what makes embedding dedup
+# feasible at corpus scale — candidate pairs shrink from n² to
+# Σ(cluster²) ≈ n²/k, and the within-cluster join is an equi-join on the
+# cluster id, never a cartesian. Composition of the catalog's own
+# operators: strided deterministic centroids + cosine assignment (the
+# ss04 assign step), JVM higher-order-function cosine pairs (the dd06
+# scoring), size-adaptive connected components (dd08). The oracle
+# recomputes the identical chain in SQL (recursive CTE for components).
+def _cos_sql_pair(av: str, bv: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({av}) + 1), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({av}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({bv}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+@query(
+    "cp03_semantic_dedup",
+    f"""
+    WITH RECURSIVE
+    cent AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 100 = 7
+    ),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, cen_id FROM (
+            SELECT e.vec_id, cent.cen_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ROUND({_cos_sql_pair('v', 'cv')}, 6) DESC,
+                                               cen_id) AS r
+            FROM e, cent)
+        WHERE r = 1
+    ),
+    pairs AS (
+        SELECT ea.vec_id AS pa, eb.vec_id AS pb
+        FROM e ea
+        JOIN assign aa ON aa.vec_id = ea.vec_id
+        JOIN assign ab ON ab.cen_id = aa.cen_id
+        JOIN e eb ON eb.vec_id = ab.vec_id AND ea.vec_id < eb.vec_id
+        WHERE ROUND({_cos_sql_pair('ea.v', 'eb.v')}, 6) >= 0.45
+    ),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    dropped AS (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
+    SELECT (SELECT COUNT(*) FROM e) AS n_vecs,
+           (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM dropped) AS n_kept,
+           (SELECT COUNT(*) FROM dropped) AS n_dropped,
+           (SELECT COUNT(DISTINCT cluster_id) FROM comp) AS n_dup_clusters
+    """,
+)
+def cp03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pm25ml_spark.operators.components import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = e.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+    cent = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cen_id"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("ncv"),
+    )
+    # assign: centroid set is corpus/stride — broadcast, never shuffled
+    score = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.col("cen_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("score", score)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "nv", "cen_id")
+    )
+    # within-cluster pairs: equi-join on cen_id (the SemDeDup candidate
+    # restriction); cosine entirely in JVM higher-order functions
+    xa = assigned.select(
+        F.col("vec_id").alias("pa"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "cen_id",
+    )
+    xb = assigned.select(
+        F.col("vec_id").alias("pb"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "cen_id",
+    )
+    pair_score = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        xa.join(xb, "cen_id")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(pair_score >= 0.45)
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+    )
+    comp = dedup_clusters(pairs)
+    stats = comp.agg(
+        F.coalesce(
+            F.sum(1 - F.col("is_keeper")).cast("long"), F.lit(0).cast("long")
+        ).alias("n_dropped"),
+        F.countDistinct("cluster_id").alias("n_dup_clusters"),
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return total.crossJoin(stats).select(
+        "n_vecs",
+        (F.col("n_vecs") - F.col("n_dropped")).alias("n_kept"),
+        "n_dropped",
+        "n_dup_clusters",
+    )

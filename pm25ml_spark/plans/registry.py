@@ -60,6 +60,7 @@ def query(name: str, oracle: str | None = None):
 SAMPLE_PRIORITY: tuple[str, ...] = (
     "cp01_corpus_curation",
     "cp02_decontamination",
+    "cp03_semantic_dedup",  # new in round 5 — never sampled yet
     "dd08_dup_clusters",
     "dd09_editdist_pairs",
     "dd10_repeated_spans",

@@ -226,3 +226,15 @@ def test_iv01_interval_join_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cp03_within_cluster_join_is_equi(spark, sf_dir):
+    """SemDeDup's whole point is the candidate restriction: the pair
+    join must be an equi-join on the cluster id. The only BNL allowed is
+    the intentional centroid-assignment broadcast (centroids are
+    corpus/stride-sized); a CartesianProduct anywhere means the
+    restriction was lost."""
+    df = QUERIES["cp03_semantic_dedup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
