@@ -93,10 +93,15 @@ class BoosterImputer:
     features: list[str]
     target: str
     cv_r2: list[float] = field(default_factory=list)
-    # broadcast cache: one broadcast per imputer instance, reused across
-    # transform() calls (a fresh broadcast per call would leak executor
-    # memory until session end). Call release() when done with the imputer.
+    # broadcast cache: one broadcast per FITTED MODEL OBJECT, reused
+    # across transform() calls (a fresh broadcast per call would leak
+    # executor memory until session end). The cache is invalidated when
+    # self.model is rebound to a different object; mutating the same
+    # model object IN PLACE after a transform() is not detected — call
+    # release() to force a re-broadcast in that case, and when done with
+    # the imputer.
     _bmodel: object | None = field(default=None, repr=False, compare=False)
+    _bmodel_src: object | None = field(default=None, repr=False, compare=False)
 
     @property
     def mean_cv_r2(self) -> float:
@@ -107,6 +112,7 @@ class BoosterImputer:
         if self._bmodel is not None:
             self._bmodel.destroy()
             self._bmodel = None
+            self._bmodel_src = None
 
     def transform(self, df: DataFrame, output_col: str | None = None) -> DataFrame:
         """M4: distributed batch predict. The fitted booster is broadcast
@@ -121,8 +127,10 @@ class BoosterImputer:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         sc = df.sparkSession.sparkContext
-        if self._bmodel is None:
+        if self._bmodel is None or self._bmodel_src is not self.model:
+            self.release()  # a swapped model must never score stale
             self._bmodel = sc.broadcast(self.model)
+            self._bmodel_src = self.model
         bmodel = self._bmodel
         # StructType.add mutates in place — never call it on df's cached
         # schema object; build a fresh one

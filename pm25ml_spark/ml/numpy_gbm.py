@@ -75,15 +75,27 @@ class NumpyHistGBM:
 
     def _fit_bins(self, X: np.ndarray) -> None:
         qs = np.linspace(0.0, 1.0, self.max_bin + 1)[1:-1]
-        self.bin_edges_ = [
-            np.unique(np.quantile(X[:, j], qs)) for j in range(X.shape[1])
-        ]
+        self.bin_edges_ = []
+        for j in range(X.shape[1]):
+            col = X[:, j]
+            finite = col[~np.isnan(col)]
+            if finite.size == 0:
+                self.bin_edges_.append(np.empty(0))
+            else:
+                self.bin_edges_.append(np.unique(np.quantile(finite, qs)))
 
     def _bin(self, X: np.ndarray) -> np.ndarray:
-        cols = [
-            np.searchsorted(self.bin_edges_[j], X[:, j], side="right")
-            for j in range(X.shape[1])
-        ]
+        """Bin values; NaN gets its OWN bin past the value bins (the
+        lightgbm/xgboost missing-value treatment: splits can separate
+        missing from any value range instead of NaN silently collapsing
+        the quantile edges, which would discard the whole feature)."""
+        cols = []
+        for j in range(X.shape[1]):
+            edges = self.bin_edges_[j]
+            col = X[:, j]
+            b = np.searchsorted(edges, col, side="right")
+            b[np.isnan(col)] = len(edges) + 1  # dedicated missing bin
+            cols.append(b)
         return np.stack(cols, axis=1).astype(np.int32)
 
     # -- tree construction --------------------------------------------------
@@ -110,9 +122,9 @@ class NumpyHistGBM:
             score_parent = G * G / (n + lam)
             best = None  # (gain, feature, threshold_bin)
             for j in range(n_features):
-                nb = len(self.bin_edges_[j]) + 1
-                if nb < 2:
-                    continue
+                nb = len(self.bin_edges_[j]) + 2  # value bins + missing bin
+                if len(self.bin_edges_[j]) == 0:
+                    continue  # constant or all-missing feature: no split
                 b = Xb[idx, j]
                 gh = np.bincount(b, weights=g, minlength=nb)
                 ch = np.bincount(b, minlength=nb)

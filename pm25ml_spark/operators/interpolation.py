@@ -342,12 +342,19 @@ def _delaunay_linear(x: np.ndarray, y: np.ndarray, v: np.ndarray) -> np.ndarray:
         if valid.sum() < 3 or missing.size == 0:
             return out
         vidx = np.flatnonzero(valid)
-        filled = _scipy_griddata(
-            np.stack([x[vidx], y[vidx]], axis=1),
-            v[vidx],
-            np.stack([x[missing], y[missing]], axis=1),
-            method="linear",
-        )
+        try:
+            filled = _scipy_griddata(
+                np.stack([x[vidx], y[vidx]], axis=1),
+                v[vidx],
+                np.stack([x[missing], y[missing]], axis=1),
+                method="linear",
+            )
+        except Exception:
+            # QhullError on degenerate (collinear) valid points — the
+            # numpy kernel handles that case gracefully (empty
+            # triangulation → leave NaN for the nearest-fill stage), so
+            # fall back rather than kill the Spark task
+            return _delaunay_linear_numpy(x, y, v)
         out[missing] = filled
         return out
     return _delaunay_linear_numpy(x, y, v)

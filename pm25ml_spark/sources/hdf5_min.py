@@ -63,7 +63,14 @@ class H5Dataset:
             return self._file._read_dataset(self)
         except ValueError:
             raise
-        except (IndexError, KeyError, OverflowError, MemoryError) as exc:
+        except (
+            IndexError,
+            KeyError,
+            TypeError,
+            OverflowError,
+            MemoryError,
+            ZeroDivisionError,
+        ) as exc:
             raise ValueError(
                 f"corrupt dataset {self.name!r}: {type(exc).__name__}: {exc}"
             ) from exc
@@ -99,7 +106,15 @@ class H5File:
             self.root = self._parse_object(root_addr, "/")
         except ValueError:
             raise
-        except (IndexError, KeyError, struct.error, OverflowError, MemoryError) as exc:
+        except (
+            IndexError,
+            KeyError,
+            TypeError,
+            struct.error,
+            OverflowError,
+            MemoryError,
+            ZeroDivisionError,
+        ) as exc:
             raise ValueError(
                 f"{path}: corrupt HDF5 file: {type(exc).__name__}: {exc}"
             ) from exc
@@ -425,13 +440,14 @@ class H5File:
         shape = self._dataspace(ds_body)
         n = int(np.prod(shape)) if shape else 1
         raw = body[p:]
+        stride = 8 + self.offsets_size  # length(4) + gheap addr + index(4)
         if vlen == "str":
-            vals = [self._vl_string(raw, 16 * i) for i in range(n)]
+            vals = [self._vl_string(raw, stride * i) for i in range(n)]
             return name, vals[0] if not shape else np.array(vals, dtype=object)
         if vlen is not None:  # ("seq", base): e.g. DIMENSION_LIST obj refs
             base = vlen[1]
             vals = [
-                np.frombuffer(self._vl_raw(raw, 16 * i), dtype=base)
+                np.frombuffer(self._vl_raw(raw, stride * i), dtype=base)
                 for i in range(n)
             ]
             return name, vals[0] if not shape else vals
@@ -519,12 +535,17 @@ class H5File:
             if kind != "contiguous":
                 raise ValueError("VL datasets: contiguous layout only")
             addr, _size = rest
+            stride = 8 + self.offsets_size
             if ds._vlen_string == "str":
-                vals = [self._vl_string(self.buf, addr + 16 * i) for i in range(n)]
+                vals = [
+                    self._vl_string(self.buf, addr + stride * i) for i in range(n)
+                ]
             else:
                 base = ds._vlen_string[1]
                 vals = [
-                    np.frombuffer(self._vl_raw(self.buf, addr + 16 * i), dtype=base)
+                    np.frombuffer(
+                        self._vl_raw(self.buf, addr + stride * i), dtype=base
+                    )
                     for i in range(n)
                 ]
             return np.array(vals, dtype=object).reshape(ds.shape)
@@ -594,6 +615,8 @@ class H5File:
                 raw = zlib.decompress(raw)
             elif fid == 2:  # shuffle: de-interleave bytes
                 es = cvals[0] if cvals else elem_size
+                if es <= 0:
+                    raise ValueError(f"shuffle filter element size {es}")
                 n = len(raw) // es
                 arr = np.frombuffer(raw[: n * es], dtype=np.uint8)
                 raw = arr.reshape(es, n).T.tobytes() + raw[n * es :]

@@ -77,16 +77,18 @@ def decode_granule_hdfeos(
     variable: str,
     bbox: tuple[float, float, float, float] | None = None,
     grid_name: str | None = None,
+    h5: H5File | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode an HDF-EOS L3 grid granule -> (lons, lats, grid2d[lat, lon]).
 
     Same return contract as ``raster.decode_granule_netcdf3`` so the
     distributed reader treats both formats identically. ``bbox`` is
     (west, south, east, north). L3 grids are 2-D daily composites — no
-    time axis, so no time mean."""
+    time axis, so no time mean. Pass an already-parsed ``h5`` (the
+    dispatcher does) to avoid re-reading the file."""
     from pm25ml_spark.sources.raster import _cf_unpack
 
-    h5 = read_hdf5(path)
+    h5 = h5 if h5 is not None else read_hdf5(path)
     grid = grid_name or _find_grid(h5, variable)
     lons, lats = build_omi_coords(h5, grid)
     ds = h5.dataset(f"HDFEOS/GRIDS/{grid}/Data Fields/{variable}")
@@ -113,13 +115,14 @@ def decode_granule_hdf5_netcdf4(
     variable: str,
     bbox: tuple[float, float, float, float] | None = None,
     level: int | None = None,
+    h5: H5File | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a NetCDF-4 (HDF5 container) granule with MERRA semantics:
     validate coordinate datasets, optional lev select, bbox subset,
     CF-unpack, mean over time -> (lons, lats, grid2d[lat, lon])."""
     from pm25ml_spark.sources.raster import _cf_unpack
 
-    h5 = read_hdf5(path)
+    h5 = h5 if h5 is not None else read_hdf5(path)
     root = h5.root
     missing = [d for d in _EXPECTED_DIMS if d not in root.datasets]
     if missing:
@@ -183,8 +186,10 @@ def decode_granule_hdf5(
     level: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Dispatch an HDF5 granule to the HDF-EOS or NetCDF-4-style decoder
-    by probing for the HDFEOS group."""
+    by probing for the HDFEOS group; the file is parsed exactly once."""
     h5 = read_hdf5(path)
     if "HDFEOS" in h5.root.groups:
-        return decode_granule_hdfeos(path, variable, bbox=bbox)
-    return decode_granule_hdf5_netcdf4(path, variable, bbox=bbox, level=level)
+        return decode_granule_hdfeos(path, variable, bbox=bbox, h5=h5)
+    return decode_granule_hdf5_netcdf4(
+        path, variable, bbox=bbox, level=level, h5=h5
+    )

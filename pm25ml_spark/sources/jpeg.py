@@ -454,7 +454,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     except ValueError:
         raise
-    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+    except (
+        IndexError,
+        KeyError,
+        struct.error,
+        OverflowError,
+        ZeroDivisionError,
+    ) as exc:
         raise ValueError(
             f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
         ) from exc
@@ -588,7 +594,9 @@ def _decode_scan(
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)
+        # round, don't floor: a flooring astype would bias grayscale a
+        # half-LSB low relative to the RGB path (and libjpeg)
+        return np.round(np.clip(full[0], 0, 255)).astype(np.uint8)
     rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
     return np.round(rgb).astype(np.uint8)
 

@@ -54,6 +54,11 @@ def _boxes(buf: bytes, start: int, end: int):
             size = end - pos
         if size < head:
             raise ValueError(f"bad box size {size} for {btype!r} at {pos}")
+        if pos + size > end:
+            raise ValueError(
+                f"box {btype!r} at {pos} extends past EOF "
+                f"({pos + size} > {end}): truncated file"
+            )
         yield btype, pos + head, pos + size
         pos += size
 
@@ -76,16 +81,25 @@ def parse_mp4(payload: bytes) -> list[Mp4Track]:
         return _parse_mp4(payload)
     except ValueError:
         raise
-    except (IndexError, KeyError, TypeError, struct.error, OverflowError) as exc:
+    except (
+        IndexError,
+        KeyError,
+        TypeError,
+        struct.error,
+        OverflowError,
+        ZeroDivisionError,
+    ) as exc:
         raise ValueError(
             f"corrupt MP4 container: {type(exc).__name__}: {exc}"
         ) from exc
 
 
 def _parse_mp4(payload: bytes) -> list[Mp4Track]:
-    top = list(_boxes(payload, 0, len(payload)))
-    if not top or top[0][0] != "ftyp":
+    # magic check BEFORE walking boxes: non-MP4 bytes should say so
+    # rather than fail on a garbage box size
+    if payload[4:8] != b"ftyp":
         raise ValueError("not an MP4 file (missing leading ftyp box)")
+    top = list(_boxes(payload, 0, len(payload)))
     moov = next(((s, e) for t, s, e in top if t == "moov"), None)
     if moov is None:
         raise ValueError("no moov box")
@@ -105,6 +119,8 @@ def _parse_trak(buf: bytes, start: int, end: int) -> Mp4Track:
     timescale = struct.unpack(
         ">I", buf[mdhd[0] + (20 if version == 1 else 12) : mdhd[0] + (24 if version == 1 else 16)]
     )[0]
+    if timescale == 0:
+        raise ValueError("mdhd timescale is 0 (corrupt media header)")
     hdlr = _find(buf, *mdia, "hdlr")
     handler = buf[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
     minf = _find(buf, *mdia, "minf")
@@ -178,6 +194,11 @@ def _parse_trak(buf: bytes, start: int, end: int) -> Mp4Track:
             struct.unpack(f">{n}Q", buf[s + 4 : s + 4 + 8 * n])
         )
 
+    if len(times) < len(sizes):
+        raise ValueError(
+            f"stts covers {len(times)} samples but stsz declares "
+            f"{len(sizes)} (corrupt timing table)"
+        )
     # expand sample-to-chunk runs into per-sample offsets
     samples: list[Mp4Sample] = []
     si = 0
@@ -195,7 +216,7 @@ def _parse_trak(buf: bytes, start: int, end: int) -> Mp4Track:
                         index=si,
                         offset=off,
                         size=sizes[si],
-                        time_s=times[si] / timescale if si < len(times) else 0.0,
+                        time_s=times[si] / timescale,
                         keyframe=keyframes is None or si in keyframes,
                     )
                 )
@@ -238,6 +259,13 @@ def extract_frames(
     elif n_frames is not None and samples:
         step = max(len(samples) // max(n_frames, 1), 1)
         samples = samples[::step][:n_frames]
+    for s in samples:
+        if s.offset + s.size > len(payload):
+            raise ValueError(
+                f"sample {s.index} byte range [{s.offset}, "
+                f"{s.offset + s.size}) extends past EOF ({len(payload)}): "
+                "truncated mdat"
+            )
     return [
         (s.index, s.time_s, payload[s.offset : s.offset + s.size])
         for s in samples

@@ -116,3 +116,21 @@ class TestSparkSampling:
             "media_id", "frame_idx", "time_s", "width", "height", "frame"
         }
         assert len(out) > 0
+
+
+def test_truncated_mdat_rejected_not_silently_short():
+    """A sample byte range past EOF must raise, not emit short/empty
+    frame bytes into the pipeline."""
+    frames = _frames(6)
+    mp4 = build_mp4(frames)
+    # cut the file inside mdat but keep enough for ftyp+mdat header; the
+    # moov at the tail is gone -> parse fails loudly
+    with pytest.raises(ValueError):
+        extract_frames(mp4[: len(mp4) - len(frames[-1]) - 4], every_n=1)
+    # moov intact but mdat payload shortened: rebuild with lying stsz
+    mp4b = bytearray(mp4)
+    i = mp4b.index(b"stsz")
+    # inflate the last sample's declared size past EOF
+    mp4b[i + 16 + 4 * 5 : i + 20 + 4 * 5] = struct.pack(">I", 1 << 20)
+    with pytest.raises(ValueError, match="past EOF"):
+        extract_frames(bytes(mp4b), every_n=1)

@@ -116,3 +116,59 @@ class TestEndToEnd:
         ).sum()
         assert r2 > 0.9
         imp.release()
+
+
+class TestMissingValues:
+    def test_nan_feature_values_get_their_own_bin(self):
+        """NaN must not destroy a feature's binning (np.quantile over a
+        NaN-containing column is all-NaN): the GBM bins NaN separately
+        and can still split on the feature's numeric range."""
+        rng = np.random.RandomState(2)
+        x = rng.uniform(-2, 2, 2000)
+        y = np.where(np.abs(x) < 1, 1.0, -1.0) + 0.01 * rng.randn(2000)
+        xm = x.copy()
+        nan_idx = rng.choice(2000, 200, replace=False)
+        xm[nan_idx] = np.nan
+        y[nan_idx] = 5.0  # missingness itself is informative
+        X = xm.reshape(-1, 1)
+        m = NumpyHistGBM(n_estimators=60, max_depth=3, max_bin=32).fit(X, y)
+        p = m.predict(X)
+        r2 = 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert r2 > 0.9  # numeric signal AND the missing bin both learned
+        assert p[nan_idx].mean() > 3.0  # missing rows routed to their bin
+
+    def test_all_nan_feature_is_inert(self):
+        rng = np.random.RandomState(3)
+        X = np.column_stack([rng.rand(300), np.full(300, np.nan)])
+        y = 2.0 * X[:, 0]
+        m = NumpyHistGBM(n_estimators=40, max_depth=3).fit(X, y)
+        p = m.predict(X)
+        r2 = 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert r2 > 0.95
+
+
+class _ConstModel:
+    """Module-level so pyspark's broadcast pickle can serialize it."""
+
+    def __init__(self, c):
+        self.c = c
+
+    def predict(self, X):
+        return np.full(len(X), self.c)
+
+
+def test_transform_rebroadcasts_after_model_swap(spark):
+    """A rebound imp.model must never score through the stale cached
+    broadcast."""
+    from pm25ml_spark.ml.boosters import BoosterImputer
+
+    Const = _ConstModel
+    pdf = pd.DataFrame({"f1": [1.0, 2.0], "y": [0.0, 0.0]})
+    df = spark.createDataFrame(pdf)
+    imp = BoosterImputer(model=Const(1.0), features=["f1"], target="y")
+    out1 = imp.transform(df, output_col="p").toPandas()["p"]
+    imp.model = Const(2.0)
+    out2 = imp.transform(df, output_col="p").toPandas()["p"]
+    assert out1.tolist() == [1.0, 1.0]
+    assert out2.tolist() == [2.0, 2.0]
+    imp.release()
