@@ -189,6 +189,11 @@ def decode_granule_hdf5(
     by probing for the HDFEOS group; the file is parsed exactly once."""
     h5 = read_hdf5(path)
     if "HDFEOS" in h5.root.groups:
+        if level is not None:
+            raise ValueError(
+                "level select is a NetCDF-4/MERRA parameter; HDF-EOS L3 "
+                "grids are 2-D"
+            )
         return decode_granule_hdfeos(path, variable, bbox=bbox, h5=h5)
     return decode_granule_hdf5_netcdf4(
         path, variable, bbox=bbox, level=level, h5=h5

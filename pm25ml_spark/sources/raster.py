@@ -46,11 +46,18 @@ from pyspark.sql.types import (
 
 @dataclass(frozen=True)
 class RasterGranule:
-    """One day-file of one dataset (data_retriever_raw.py granule unit)."""
+    """One day-file of one dataset (data_retriever_raw.py granule unit).
+
+    ``bbox`` (west, south, east, north) and ``level`` mirror the
+    reference's dataset-descriptor subset parameters
+    (`dataset_descriptor.py`: filter bounds + lev select) and are passed
+    through to the decoder inside each task."""
 
     path: str
     date: str  # YYYY-MM-DD
     variable: str
+    bbox: tuple[float, float, float, float] | None = None
+    level: int | None = None
 
 
 _EXPECTED_DIMS = ("lon", "lat", "time")
@@ -133,7 +140,12 @@ def decode_granule_netcdf3(
     return lons, lats, grid
 
 
-def decode_granule(path: str, variable: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_granule(
+    path: str,
+    variable: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    level: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Return (lons, lats, grid2d) for a granule.
 
     Classic NetCDF-3 files decode for real (``decode_granule_netcdf3``),
@@ -148,11 +160,11 @@ def decode_granule(path: str, variable: str) -> tuple[np.ndarray, np.ndarray, np
         with open(path, "rb") as fh:
             magic = fh.read(8)
         if magic[:3] == b"CDF":
-            return decode_granule_netcdf3(path, variable)
+            return decode_granule_netcdf3(path, variable, bbox=bbox, level=level)
         if magic == b"\x89HDF\r\n\x1a\n":
             from pm25ml_spark.sources.hdfeos import decode_granule_hdf5
 
-            return decode_granule_hdf5(path, variable)
+            return decode_granule_hdf5(path, variable, bbox=bbox, level=level)
         raise ValueError(f"{path}: neither classic NetCDF nor HDF5")
     # md5, NOT builtin hash(): str hash is salted per process (pyspark
     # only pins PYTHONHASHSEED when the env doesn't set one), and a
@@ -214,8 +226,18 @@ def read_granules_to_grid(
     and regridded inside mapInPandas (one task per granule, matching the
     reference's file-per-day unit of work)."""
     manifest = spark.createDataFrame(
-        [(g.path, g.date, g.variable) for g in granules],
-        "path string, date string, variable string",
+        [
+            (
+                g.path,
+                g.date,
+                g.variable,
+                list(g.bbox) if g.bbox is not None else None,
+                g.level,
+            )
+            for g in granules
+        ],
+        "path string, date string, variable string, "
+        "bbox array<double>, level int",
     ).repartition(max(1, min(len(granules), 64)))
 
     g_ids = grid_pdf["grid_id"].to_numpy()
@@ -225,7 +247,12 @@ def read_granules_to_grid(
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                lons, lats, grid2d = decode_granule(row.path, row.variable)
+                bbox = tuple(row.bbox) if row.bbox is not None else None
+                # a nullable int column surfaces null as NaN in pandas
+                level = None if pd.isna(row.level) else int(row.level)
+                lons, lats, grid2d = decode_granule(
+                    row.path, row.variable, bbox=bbox, level=level
+                )
                 vals = bilinear_regrid(lons, lats, grid2d, g_lon, g_lat)
                 yield pd.DataFrame(
                     {

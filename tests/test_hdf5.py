@@ -377,3 +377,47 @@ class TestNetcdf4Sink:
         cube, dates, ys, xs = self._cube()
         with pytest.raises(ValueError, match="unknown engine"):
             write_raster(str(tmp_path / "e"), cube, dates, ys, xs, engine="zarr")
+
+
+class TestGranuleSubsetPassThrough:
+    """RasterGranule carries the reference descriptor's bbox/level into
+    the distributed decode (dataset_descriptor.py parity)."""
+
+    def test_lev_granule_with_bbox_through_spark_reader(self, spark, tmp_path):
+        path, raw = _write_nc4_style(tmp_path / "lev.nc4", with_lev=True)
+        grid_pdf = pd.DataFrame(
+            {"grid_id": [1, 2], "lon": [73.0, 75.0], "lat": [14.0, 17.0]}
+        )
+        rows = (
+            read_granules_to_grid(
+                spark,
+                [
+                    RasterGranule(
+                        path=path,
+                        date="2020-01-01",
+                        variable="t2m",
+                        bbox=(72.0, 12.0, 77.0, 20.0),
+                        level=1,
+                    )
+                ],
+                grid_pdf,
+            )
+            .toPandas()
+            .sort_values("grid_id")
+        )
+        from pm25ml_spark.sources.hdfeos import decode_granule_hdf5_netcdf4
+        from pm25ml_spark.sources.raster import bilinear_regrid
+
+        lons, lats, grid = decode_granule_hdf5_netcdf4(
+            path, "t2m", bbox=(72.0, 12.0, 77.0, 20.0), level=1
+        )
+        expect = bilinear_regrid(
+            lons, lats, grid,
+            grid_pdf["lon"].to_numpy(), grid_pdf["lat"].to_numpy(),
+        )
+        np.testing.assert_allclose(rows["value"].to_numpy(), expect)
+
+    def test_level_on_hdfeos_grid_rejected(self, tmp_path):
+        path = _write_omi(tmp_path / "omi.he5")
+        with pytest.raises(ValueError, match="2-D"):
+            decode_granule(path, "ColumnAmountNO2", level=3)
