@@ -109,17 +109,34 @@ def _plane_sql(n_planes: int, dim: int, vec: str) -> str:
     return " + ".join(bits)
 
 
+def _probe_values_sql(n_planes: int, probe_hamming: int) -> str:
+    from pm25ml_spark.operators.similarity import probe_masks
+
+    return ", ".join(
+        f"({m}::BIGINT)" for m in probe_masks(n_planes, probe_hamming)
+    )
+
+
+# Defaults chosen from the measured recall sweep (tools/ann_recall_sweep.py,
+# table in SCALING.md): 6 planes + Hamming-2 multi-probe lifts recall@1
+# from 0.00 to 0.53 on the adversarial isotropic sf0.1 corpus and to 1.00
+# on a planted-cluster corpus — the best recall-per-candidate of every
+# (planes, radius) pair at that budget.
 @query(
     "ss03_lsh_bucket_top1",
     f"""
-    WITH q AS (
+    WITH q0 AS (
         SELECT vec_id AS qid, embedding AS qe,
-               {_plane_sql(8, 64, 'embedding')} AS bucket
+               {_plane_sql(6, 64, 'embedding')} AS sig
         FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+        SELECT qid, qe, xor(sig, m.m) AS bucket
+        FROM q0, (VALUES {_probe_values_sql(6, 2)}) m(m)
     ),
     c AS (
         SELECT vec_id AS cid, embedding AS ce,
-               {_plane_sql(8, 64, 'embedding')} AS bucket
+               {_plane_sql(6, 64, 'embedding')} AS bucket
         FROM embeddings
     ),
     pairs AS (
@@ -141,7 +158,7 @@ def _plane_sql(n_planes: int, dim: int, vec: str) -> str:
 )
 def ss03_lsh_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, c = _qc(spark, sf_dir)
-    return S.lsh_bucket_topk(q, c, k=1, n_planes=8, dim=64)
+    return S.lsh_bucket_topk(q, c, k=1, n_planes=6, dim=64, probe_hamming=2)
 
 
 def _cos_sql(av: str, bv: str) -> str:
@@ -177,7 +194,7 @@ def _cos_sql(av: str, bv: str) -> str:
                                       ORDER BY ROUND({_cos_sql('qe', 'cv')}, 6) DESC,
                                                cen_id) AS r
             FROM q, cent)
-        WHERE r <= 2
+        WHERE r <= 4
     ),
     scored AS (
         SELECT p.qid, l.cid, ROUND({_cos_sql('qe', 'ce')}, 6) AS score
@@ -196,7 +213,11 @@ def _cos_sql(av: str, bv: str) -> str:
 )
 def ss04_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, c = _qc(spark, sf_dir)
-    return S.ivf_topk(q, c, k=3, nprobe=2, centroid_stride=100, centroid_offset=7)
+    # nprobe=4 (was 2) from the measured sweep: recall@3 0.31 → 0.52 on
+    # the isotropic sf0.1 corpus at 2× candidate cost. The strided
+    # codebook keeps the static-SQL oracle; kmeans_codebook is the
+    # production path (see test_similarity_ops + SCALING.md).
+    return S.ivf_topk(q, c, k=3, nprobe=4, centroid_stride=100, centroid_offset=7)
 
 
 # --------------------------------------------------------------------------

@@ -16,6 +16,9 @@ from pm25ml_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
     ivf_topk,
+    kmeans_codebook,
+    lsh_bucket_topk,
+    probe_masks,
 )
 
 
@@ -85,6 +88,73 @@ def test_ivf_topk_excludes_self_and_ranks(spark):
     ).orderBy("rk").collect()
     assert [r.cid for r in out] == [1, 2, 3, 4]  # self (cid=0) excluded
     assert [r.rk for r in out] == [1, 2, 3, 4]  # closest angle first
+
+
+def test_probe_masks_distinct_and_complete():
+    m0 = probe_masks(6, 0)
+    m1 = probe_masks(6, 1)
+    m2 = probe_masks(6, 2)
+    assert m0 == [0]
+    assert len(m1) == 7 and len(set(m1)) == 7
+    assert len(m2) == 1 + 6 + 15 and len(set(m2)) == 22
+    assert all(bin(m).count("1") <= 2 for m in m2)
+    with pytest.raises(ValueError):
+        probe_masks(6, 3)
+
+
+def test_lsh_multiprobe_superset_of_single_probe(spark):
+    # multi-probe may only ADD candidate pairs: any query whose true
+    # neighbour was found at h=0 must find a >= score at h=2, and h=2
+    # must surface at least every h=0 hit (same planes, same corpus)
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    q = _vec_df(spark, "qid", "qe", [r for r in rows if r[0] % 10 == 0])
+    c = _vec_df(spark, "cid", "ce", rows)
+    r0 = {
+        r.qid: (r.cid, r.score)
+        for r in lsh_bucket_topk(q, c, k=1, n_planes=5, dim=8, probe_hamming=0).collect()
+    }
+    r2 = {
+        r.qid: (r.cid, r.score)
+        for r in lsh_bucket_topk(q, c, k=1, n_planes=5, dim=8, probe_hamming=2).collect()
+    }
+    assert set(r0) <= set(r2)  # a probed query never loses its result
+    for qid, (cid, score) in r0.items():
+        assert r2[qid][1] >= score  # wider probe can only improve top-1
+
+
+def test_lsh_multiprobe_no_duplicate_pairs(spark):
+    # identical vectors share a bucket; Hamming-adjacent probes must not
+    # emit the same (qid, cid) twice (masks are distinct; candidate has
+    # exactly one bucket)
+    rows = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(6)]
+    q = _vec_df(spark, "qid", "qe", rows[:2])
+    c = _vec_df(spark, "cid", "ce", rows)
+    out = lsh_bucket_topk(q, c, k=100, n_planes=4, dim=4, probe_hamming=2).collect()
+    pairs = [(r.qid, r.cid) for r in out]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_ivf_kmeans_codebook_equivalent_contract(spark):
+    # a trained codebook plugs into the same machinery: results carry the
+    # same schema/tie rules, deterministic across two runs
+    rows = [
+        (i, [float((i % 7) - 3), float((i * 3) % 5), 1.0]) for i in range(40)
+    ]
+    q = _vec_df(spark, "qid", "qe", [r for r in rows if r[0] % 10 == 0])
+    c = _vec_df(spark, "cid", "ce", rows)
+    cb = kmeans_codebook(c, n_centroids=4, n_iter=3)
+    assert cb.shape == (4, 3)
+    out1 = ivf_topk(q, c, k=2, nprobe=2, codebook=cb).orderBy("qid", "rk").collect()
+    out2 = ivf_topk(q, c, k=2, nprobe=2, codebook=cb).orderBy("qid", "rk").collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert all(r.qid != r.cid for r in out1)
+    cb2 = kmeans_codebook(c, n_centroids=4, n_iter=3)
+    assert (cb == cb2).all()  # training itself is deterministic
 
 
 def test_regex_project_keeps_ids_and_matches_in_schema_order(spark):

@@ -1,0 +1,137 @@
+"""ANN recall sweep: LSH (planes × probe radius) and IVF (codebook type).
+
+Numpy mirror of operators/similarity.py's exact plane components, probe
+masks, strided/kmeans codebooks, and tie rules — sweeps knob settings far
+faster than launching Spark per config. The Spark operators equal this
+math by construction (oracle + equivalence tests pin that); this script
+only informs the DEFAULT knob choice recorded in SCALING.md.
+
+Usage: python tools/ann_recall_sweep.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, ".")
+from pm25ml_spark.operators.similarity import plane_component, probe_masks  # noqa: E402
+
+
+def load(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, V
+
+
+def true_top1(ids, V, qmask):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Q = Vn[qmask]
+    S = Q @ Vn.T
+    S[np.arange(len(Q)), np.nonzero(qmask)[0]] = -np.inf
+    # operator tie rule: rounded score DESC, cid ASC — replicate
+    R = np.round(S, 6)
+    best = np.lexsort((ids[None, :].repeat(len(Q), 0), -R), axis=1)[:, 0]
+    return ids[best]
+
+
+def lsh_recall(ids, V, qmask, truth, n_planes, h):
+    P = np.array(
+        [[plane_component(p, i) for i in range(V.shape[1])] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    bits = (V @ P.T) >= 0
+    sig = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+    masks = np.array(probe_masks(n_planes, h), dtype=np.int64)
+    qsig = sig[qmask]
+    probed = qsig[:, None] ^ masks[None, :]  # (nq, n_probes)
+    # candidate fraction + recall: is the true NN's bucket probed?
+    id_to_idx = {int(i): j for j, i in enumerate(ids)}
+    t_idx = np.array([id_to_idx[int(t)] for t in truth])
+    hit = (sig[t_idx][:, None] == probed).any(axis=1)
+    # mean candidate fraction = sum over probes of bucket occupancy / n
+    occ = np.bincount(sig % (1 << n_planes), minlength=1 << n_planes)
+    cand = occ[probed % (1 << n_planes)].sum(axis=1).mean() / len(ids)
+    return hit.mean(), cand
+
+
+def kmeans_np(V, k, n_iter=5):
+    """Mirror kmeans_fit: k lowest-id rows init, L2 assign, mean update."""
+    C = V[:k].copy()
+    for _ in range(n_iter):
+        d2 = (V * V).sum(1, keepdims=True) - 2 * V @ C.T + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = V[a == j].mean(axis=0)
+    return C
+
+
+def ivf_recall(ids, V, qmask, truth, CM, nprobe, k=3):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Cn = CM / np.linalg.norm(CM, axis=1, keepdims=True)
+    S = np.round(Vn @ Cn.T, 6)
+    # assign: score DESC, cen_id ASC (cen ids are positional here)
+    assign = np.lexsort((np.arange(S.shape[1])[None, :].repeat(len(V), 0), -S), axis=1)[:, 0]
+    qa = np.lexsort((np.arange(S.shape[1])[None, :].repeat(qmask.sum(), 0), -S[qmask]), axis=1)[:, :nprobe]
+    id_to_idx = {int(i): j for j, i in enumerate(ids)}
+    # truth here: top-k true neighbours; recall@k = |approx∩true|/k
+    Q = Vn[qmask]
+    St = Q @ Vn.T
+    St[np.arange(len(Q)), np.nonzero(qmask)[0]] = -np.inf
+    Rt = np.round(St, 6)
+    order = np.lexsort((ids[None, :].repeat(len(Q), 0), -Rt), axis=1)
+    hits = 0
+    tot = 0
+    list_sz = 0
+    for qi in range(len(Q)):
+        probed_cells = set(qa[qi].tolist())
+        cand = np.nonzero(np.isin(assign, list(probed_cells)))[0]
+        cand = cand[ids[cand] != ids[np.nonzero(qmask)[0][qi]]]
+        list_sz += len(cand)
+        true_k = set(ids[order[qi, :k]].tolist())
+        sc = Rt[qi, cand]
+        if len(cand):
+            o = np.lexsort((ids[cand], -sc))
+            approx_k = set(ids[cand[o[:k]]].tolist())
+        else:
+            approx_k = set()
+        hits += len(true_k & approx_k)
+        tot += k
+    return hits / tot, list_sz / len(Q) / len(ids)
+
+
+def planted(n=6000, d=64, n_clusters=10, seed=7):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, d)) * 2
+    V = cents[np.arange(n) % n_clusters] + rng.normal(size=(n, d)) * 0.8
+    return np.arange(n, dtype=np.int64), V.astype(np.float64)
+
+
+def main():
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    corpora = [(d.split("/")[-1], *load(d)) for d in dirs]
+    corpora.append(("planted-10c", *planted()))
+    for name, ids, V in corpora:
+        qmask = ids % 50 == 0
+        truth = true_top1(ids, V, qmask)
+        print(f"== {name}: n={len(ids)} nq={qmask.sum()}")
+        for n_planes in (6, 8, 10, 12):
+            for h in (0, 1, 2):
+                r, c = lsh_recall(ids, V, qmask, truth, n_planes, h)
+                print(f"  LSH planes={n_planes:2d} h={h}  recall@1={r:.2f} cand_frac={c:.4f}")
+        n = len(ids)
+        k_strided = max(n // 100, 1)
+        CM_str = V[ids % 100 == 7]
+        CM_km = kmeans_np(V, k_strided)
+        for tag, CM in (("strided", CM_str), ("kmeans", CM_km)):
+            for nprobe in (2, 4):
+                r, c = ivf_recall(ids, V, qmask, truth, CM, nprobe)
+                print(f"  IVF {tag:8s} k={len(CM):3d} nprobe={nprobe}  recall@3={r:.2f} cand_frac={c:.4f}")
+
+
+if __name__ == "__main__":
+    main()
