@@ -101,14 +101,73 @@ def stratified_split_approx(
 def decimate(df: DataFrame, every: int, order_cols: list[str]) -> DataFrame:
     """gather_every(n) (W7, dependency_injection.py:340-346): keep rows
     whose rank ≡ 1 (mod n) in the given order. Deterministic; the global
-    window is acceptable because decimation output is mini-sample-sized —
-    at scale, decimate per partition with offsets instead."""
+    window funnels everything through ONE task — acceptable only when the
+    input is already mini-sample-sized. For anything larger use
+    :func:`decimate_partitioned` (identical output, no single-task sort)."""
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") - 1) % every == 0)
         .drop("__rn")
     )
+
+
+def decimate_partitioned(
+    df: DataFrame,
+    every: int,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact gather_every(n) without the global window (the W7 scale
+    path): EXACTLY the rows :func:`decimate` keeps, computed with
+    per-partition ranks + partition offsets (the classic two-pass
+    zipWithIndex shape) instead of a single-task global sort.
+
+    1. ``repartitionByRange(order_cols) + sortWithinPartitions`` gives a
+       global total order split across tasks (range exchange, parallel
+       sort — no single-partition stage anywhere).
+    2. A per-partition COUNT (one extra narrow job emitting
+       num_partitions rows) yields each partition's global rank offset.
+    3. ``mapInPandas`` streams each sorted partition once, adds its
+       broadcast offset to the local running index, and keeps
+       rank % every == 0 rows.
+
+    Requires unique ``order_cols`` keys for a well-defined result (the
+    same contract as ``decimate`` — with ties, ANY engine's rank is
+    arbitrary). The two passes re-evaluate the input, so the source must
+    be deterministic (true of every storage scan; re-derive plans with
+    nondeterministic columns should persist first).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["n"])
+    bofs = spark.sparkContext.broadcast(offsets)
+
+    def keep(batches):
+        seen = 0
+        off = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if off is None:
+                off = bofs.value.get(int(pdf["__pid"].iloc[0]), 0)
+            ranks = off + seen + np.arange(len(pdf))
+            seen += len(pdf)
+            yield pdf[ranks % every == 0].drop(columns="__pid")
+
+    return part.mapInPandas(keep, df.schema)
 
 
 def stratified_split_portable(

@@ -497,8 +497,6 @@ def _cos_sql_pair(av: str, bv: str) -> str:
     """,
 )
 def cp03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pm25ml_spark.operators.components import dedup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -519,17 +517,33 @@ def cp03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nv").alias("ncv"),
     )
-    # assign: centroid set is corpus/stride — broadcast, never shuffled
+    # assign: centroid set is corpus/stride — broadcast, never shuffled.
+    # Argmax by (score DESC, cen_id ASC) via max(struct(score, -cen_id)):
+    # the broadcast crossJoin is narrow and the hash aggregate is
+    # map-side combinable, so each task folds its n_local×k scored rows
+    # down to n_local BEFORE the exchange — the shuffle carries n rows,
+    # not n×k (round-5 finding: the row_number window here shuffled the
+    # whole explosion; test_plan_quality pins the window's absence).
+    # At true 100 TB the production variant swaps the strided centroids
+    # for a fixed-size similarity.kmeans_codebook + mapInPandas assign
+    # (zero explosion); this spelling keeps the static SQL oracle.
     score = F.round(
         dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")), 6
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.col("cen_id"))
     assigned = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("score", score)
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v", "nv", "cen_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cen_id")).alias("neg_cen"))
+            ).alias("best"),
+            # v/nv are constant within a vec_id group: first() is
+            # value-deterministic here and avoids a join back to e
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "v", "nv", (-F.col("best.neg_cen")).alias("cen_id"))
     )
     # within-cluster pairs: equi-join on cen_id (the SemDeDup candidate
     # restriction); cosine entirely in JVM higher-order functions

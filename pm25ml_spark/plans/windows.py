@@ -241,11 +241,11 @@ def w07_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # W7 — systematic decimation (gather_every(n),
-# setup/dependency_injection.py:340-346). Scale note: the global
-# row_number is a single-partition sort only over (already tiny) sampled
-# output; for 100 TB inputs use per-partition offsets (zipWithIndex
-# pattern) or plain Bernoulli sample — this operator exists for parity
-# with the reference's deterministic mini-sample mode.
+# setup/dependency_injection.py:340-346). Round 6: runs the PARTITIONED
+# exact form (range-exchange parallel sort + per-partition offsets) —
+# output is identical to the global row_number the oracle spells, but no
+# single-partition WindowExec appears anywhere in the plan; the mini-
+# sample-only `sampling.decimate` remains for tiny inputs.
 @query(
     "w08_decimate_100",
     """
@@ -257,13 +257,10 @@ def w07_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w08_decimate_100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return (
-        ev.select("event_id", "value", F.row_number().over(w).alias("rn"))
-        .filter((F.col("rn") - 1) % 100 == 0)
-        .drop("rn")
-    )
+    from pm25ml_spark.operators.sampling import decimate_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return decimate_partitioned(ev, 100, ["event_id"])
 
 
 # --------------------------------------------------------------------------

@@ -85,6 +85,34 @@ def test_decimate(spark):
     assert sorted(r.id for r in out.collect()) == list(range(0, 100, 10))
 
 
+def test_decimate_partitioned_matches_global(spark):
+    """The W7 scale path must keep EXACTLY the global form's rows, on a
+    shuffled multi-partition layout with non-contiguous keys."""
+    from pm25ml_spark.operators.sampling import decimate_partitioned
+
+    rows = [((i * 37) % 1000,) for i in range(1000)]  # permuted keys
+    df = spark.createDataFrame(rows, "id long").repartition(13)
+    a = sorted(r.id for r in decimate(df, 7, ["id"]).collect())
+    b = sorted(
+        r.id for r in decimate_partitioned(df, 7, ["id"], num_partitions=5).collect()
+    )
+    assert a == b
+    # and both runs of the partitioned form agree (two-pass determinism)
+    c = sorted(
+        r.id for r in decimate_partitioned(df, 7, ["id"], num_partitions=5).collect()
+    )
+    assert b == c
+
+
+def test_decimate_partitioned_plan_has_no_global_window(spark):
+    from pm25ml_spark.operators.sampling import decimate_partitioned
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    plan = decimate_partitioned(df, 5, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+
 def test_hive_path_roundtrip():
     p = HivePath.from_args(country="india", dataset="era5", month="2023-01")
     assert p.path == "country=india/dataset=era5/month=2023-01"

@@ -238,3 +238,16 @@ def test_cp03_within_cluster_join_is_equi(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cp03_assignment_has_no_window(spark, sf_dir):
+    """The centroid argmax must be the map-side-combinable max(struct)
+    aggregate, NOT row_number over the exploded n×k frame: a Window
+    there shuffles corpus×centroids rows (round-5 finding). Any Window
+    in cp03's plan means the assignment regressed."""
+    df = QUERIES["cp03_semantic_dedup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    # partial aggregation proof: HashAggregate appears on both sides of
+    # the exchange for the argmax (merge_max + partial_max)
+    assert "partial_max" in plan or "HashAggregate" in plan
