@@ -102,15 +102,20 @@ class NumpyHistGBM:
 
     def _build_tree(self, Xb: np.ndarray, resid: np.ndarray) -> np.ndarray:
         """Depth-wise greedy tree on binned features. Returns a node table
-        (n_nodes, 4) float64: [feature, threshold_bin, left, right] for
-        splits, [_LEAF, value, -1, -1] for leaves."""
+        (n_nodes, 5) float64: [feature, threshold_bin, left, right,
+        miss_left] for splits, [_LEAF, value, -1, -1, 0] for leaves.
+
+        Missing values get a LEARNED default direction, like the real
+        backends: every candidate threshold is scored twice — missing
+        bin folded left and folded right — and the better side is stored
+        in ``miss_left`` (ties prefer right, the historical behavior)."""
         n_features = Xb.shape[1]
         lam = self.reg_lambda
         nodes: list[list[float]] = []
 
         def leaf(idx: np.ndarray) -> int:
             value = resid[idx].sum() / (len(idx) + lam)
-            nodes.append([_LEAF, value, -1, -1])
+            nodes.append([_LEAF, value, -1, -1, 0.0])
             return len(nodes) - 1
 
         def grow(idx: np.ndarray, depth: int) -> int:
@@ -118,9 +123,9 @@ class NumpyHistGBM:
             if depth >= self.max_depth or n < 2 * self.min_child_weight:
                 return leaf(idx)
             g = resid[idx]
-            G, score_parent = g.sum(), 0.0
+            G = g.sum()
             score_parent = G * G / (n + lam)
-            best = None  # (gain, feature, threshold_bin)
+            best = None  # (gain, feature, threshold_bin, miss_left)
             for j in range(n_features):
                 nb = len(self.bin_edges_[j]) + 2  # value bins + missing bin
                 if len(self.bin_edges_[j]) == 0:
@@ -128,24 +133,39 @@ class NumpyHistGBM:
                 b = Xb[idx, j]
                 gh = np.bincount(b, weights=g, minlength=nb)
                 ch = np.bincount(b, minlength=nb)
+                g_miss, c_miss = gh[nb - 1], ch[nb - 1]
+                # thresholds run over value bins only (the missing bin is
+                # last and never crossed by <= t); default-right keeps
+                # missing on the right, default-left folds it into GL
                 GL = np.cumsum(gh)[:-1]
                 NL = np.cumsum(ch)[:-1]
-                NR = n - NL
-                ok = (NL >= self.min_child_weight) & (NR >= self.min_child_weight)
-                if not ok.any():
-                    continue
-                GR = G - GL
-                gain = GL * GL / (NL + lam) + GR * GR / (NR + lam) - score_parent
-                gain = np.where(ok, gain, -np.inf)
-                t = int(np.argmax(gain))
-                if gain[t] > 1e-12 and (best is None or gain[t] > best[0]):
-                    best = (float(gain[t]), j, t)
+                for miss_left in (0, 1) if c_miss else (0,):
+                    GLd = GL + (g_miss if miss_left else 0.0)
+                    NLd = NL + (c_miss if miss_left else 0)
+                    NRd = n - NLd
+                    ok = (NLd >= self.min_child_weight) & (
+                        NRd >= self.min_child_weight
+                    )
+                    if not ok.any():
+                        continue
+                    GRd = G - GLd
+                    gain = (
+                        GLd * GLd / (NLd + lam)
+                        + GRd * GRd / (NRd + lam)
+                        - score_parent
+                    )
+                    gain = np.where(ok, gain, -np.inf)
+                    t = int(np.argmax(gain))
+                    if gain[t] > 1e-12 and (best is None or gain[t] > best[0]):
+                        best = (float(gain[t]), j, t, miss_left)
             if best is None:
                 return leaf(idx)
-            _, j, t = best
-            mask = Xb[idx, j] <= t
+            _, j, t, miss_left = best
+            b = Xb[idx, j]
+            nb = len(self.bin_edges_[j]) + 2
+            mask = (b <= t) | ((b == nb - 1) & bool(miss_left))
             me = len(nodes)
-            nodes.append([j, t, -1, -1])  # patched below
+            nodes.append([j, t, -1, -1, float(miss_left)])  # patched below
             left = grow(idx[mask], depth + 1)
             right = grow(idx[~mask], depth + 1)
             nodes[me][2], nodes[me][3] = left, right
@@ -154,9 +174,9 @@ class NumpyHistGBM:
         grow(np.arange(len(resid)), 0)
         return np.asarray(nodes, dtype=np.float64)
 
-    @staticmethod
-    def _predict_tree(tree: np.ndarray, Xb: np.ndarray) -> np.ndarray:
+    def _predict_tree(self, tree: np.ndarray, Xb: np.ndarray) -> np.ndarray:
         out = np.empty(len(Xb))
+        miss_bin = self._miss_bin_per_feature()
         # vectorized level walk: every row tracks its current node id
         node = np.zeros(len(Xb), dtype=np.int64)
         active = np.arange(len(Xb))
@@ -168,10 +188,17 @@ class NumpyHistGBM:
             live = active[~is_leaf]
             nd = nd[~is_leaf]
             feat = nd[:, 0].astype(np.int64)
-            go_left = Xb[live, feat] <= nd[:, 1]
+            vals = Xb[live, feat]
+            is_missing = vals == miss_bin[feat]
+            go_left = np.where(is_missing, nd[:, 4] == 1.0, vals <= nd[:, 1])
             node[live] = np.where(go_left, nd[:, 2], nd[:, 3]).astype(np.int64)
             active = live
         return out
+
+    def _miss_bin_per_feature(self) -> np.ndarray:
+        return np.array(
+            [len(e) + 1 for e in self.bin_edges_], dtype=np.int64
+        )
 
     # -- public API ---------------------------------------------------------
 

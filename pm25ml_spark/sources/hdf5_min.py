@@ -452,6 +452,15 @@ class H5File:
             ]
             return name, vals[0] if not shape else vals
         if dtype.kind == "S":
+            if shape:  # fixed-string ARRAY attribute: one itemsize stride
+                # per element, mirroring the VL-string branch above
+                vals = [
+                    raw[i * dtype.itemsize : (i + 1) * dtype.itemsize]
+                    .split(b"\x00")[0]
+                    .decode()
+                    for i in range(n)
+                ]
+                return name, np.array(vals, dtype=object)
             return name, raw[: dtype.itemsize].split(b"\x00")[0].decode()
         arr = np.frombuffer(raw[: n * dtype.itemsize], dtype=dtype)
         return name, arr[0] if not shape else arr.reshape(shape)
@@ -648,6 +657,13 @@ class H5File:
             )
             if obj_idx == idx:
                 start = q + 8 + self.lengths_size
+                if n_elem and obj_size % n_elem != 0:
+                    # corrupt VL data must be quarantined like every other
+                    # corrupt-input path, not silently truncated
+                    raise ValueError(
+                        f"global heap object {idx}: size {obj_size} not a "
+                        f"multiple of element count {n_elem}"
+                    )
                 per = obj_size // max(n_elem, 1)
                 return self.buf[start : start + n_elem * per]
             if obj_idx == 0:

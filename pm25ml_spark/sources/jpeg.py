@@ -460,6 +460,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         struct.error,
         OverflowError,
         ZeroDivisionError,
+        MemoryError,
     ) as exc:
         raise ValueError(
             f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
@@ -511,6 +512,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             precision, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            # a corrupt header can declare 65535×65535 and OOM the task on
+            # plane allocation; even pathological real JPEGs stay far
+            # under 4096 pixels per payload byte (an 8×8 block costs >=2
+            # bits), so beyond that the header is lying
+            if h == 0 or w == 0 or h * w > max(len(payload), 64) * 4096:
+                raise ValueError(
+                    f"implausible SOF dimensions {h}x{w} for "
+                    f"{len(payload)}-byte payload"
+                )
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]

@@ -156,3 +156,49 @@ class TestGarbage:
             read_netcdf3(p)
         except ACCEPTABLE:
             pass
+
+
+class TestLyingHeaders:
+    def test_jpeg_implausible_sof_dims_rejected_not_oom(self):
+        """A corrupt SOF declaring 65535x65535 must raise ValueError at
+        header parse, never attempt the ~4 GiB plane allocation."""
+        data = bytearray(_jpeg_bytes())
+        i = data.find(b"\xff\xc0")
+        assert i > 0
+        struct.pack_into(">HH", data, i + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="implausible SOF"):
+            decode_jpeg(bytes(data))
+
+    def test_jpeg_zero_dims_rejected(self):
+        data = bytearray(_jpeg_bytes())
+        i = data.find(b"\xff\xc0")
+        struct.pack_into(">HH", data, i + 5, 0, 32)
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(data))
+
+    def test_hdf5_vl_size_mismatch_raises(self, tmp_path):
+        """A VL heap object whose byte size is not a multiple of its
+        element count is corrupt: quarantined, not silently truncated."""
+        from pm25ml_spark.sources.hdf5_min import H5File
+
+        p = str(tmp_path / "r.h5")
+        write_hdf5(
+            p, {"d": (np.arange(6.0).reshape(2, 3), {"a": np.int32(1)}, True)}
+        )
+        f = H5File(p)
+        # fabricated global heap: one object, idx=1, size=10 bytes — and a
+        # descriptor claiming 3 elements (10 % 3 != 0 → corrupt)
+        fake = bytearray(48)
+        fake[0:4] = b"GCOL"
+        fake[8:16] = (48).to_bytes(8, "little")  # collection size
+        q = 16  # gaddr(0) + 8 + lengths_size(8)
+        fake[q : q + 2] = (1).to_bytes(2, "little")  # obj idx
+        fake[q + 8 : q + 16] = (10).to_bytes(8, "little")  # obj size
+        f.buf = bytes(fake)
+        desc = (
+            (3).to_bytes(4, "little")  # n_elem
+            + (0).to_bytes(8, "little")  # gaddr
+            + (1).to_bytes(4, "little")  # idx
+        )
+        with pytest.raises(ValueError, match="not a multiple"):
+            f._vl_raw(desc, 0)

@@ -137,6 +137,27 @@ class TestMissingValues:
         assert r2 > 0.9  # numeric signal AND the missing bin both learned
         assert p[nan_idx].mean() > 3.0  # missing rows routed to their bin
 
+    def test_missing_default_direction_is_learned(self):
+        """Missing must be routable to EITHER child (ADVICE r5): here the
+        informative split is at the LOW end of the value range and missing
+        rows belong with the low side — a missing-always-right learner
+        cannot separate them without burning extra depth. One depth-1
+        tree must already put NaN rows on the correct side."""
+        rng = np.random.RandomState(7)
+        x = rng.uniform(0, 1, 1000)
+        y = np.where(x < 0.2, -10.0, 10.0)
+        xm = x.copy()
+        nan_idx = rng.choice(np.nonzero(x < 0.2)[0], 100, replace=False)
+        xm[nan_idx] = np.nan  # missing ⇔ low-side rows
+        m = NumpyHistGBM(
+            n_estimators=1, learning_rate=1.0, max_depth=1, max_bin=32
+        ).fit(xm.reshape(-1, 1), y)
+        tree = m.trees_[0]
+        assert len(tree) == 3  # one split, two leaves
+        assert tree[0][4] == 1.0  # learned default: missing goes LEFT
+        p = m.predict(xm.reshape(-1, 1))
+        assert p[nan_idx].mean() < -5.0  # NaN rows land in the low leaf
+
     def test_all_nan_feature_is_inert(self):
         rng = np.random.RandomState(3)
         X = np.column_stack([rng.rand(300), np.full(300, np.nan)])
