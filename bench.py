@@ -86,6 +86,21 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
 
+    # Composed-DAG entry: the reference's actual workload shape (s01→s09
+    # chain), timed per stage. Kept OUT of the suite total so suite_sec
+    # stays comparable across rounds; recorded under its own key.
+    pipe_stages: dict[str, float] = {}
+    try:
+        import tempfile
+
+        from pm25ml_spark.pipeline import bench_pipeline
+
+        with tempfile.TemporaryDirectory() as wd:
+            pipe_stages = bench_pipeline(spark, sf, wd)
+        spark.catalog.clearCache()
+    except Exception as exc:
+        errors["pipeline_e2e"] = f"{type(exc).__name__}: {exc}"[:200]
+
     tags = {name: name.split("_", 1)[0] for name in QUERIES}
     assert len(set(tags.values())) == len(tags), "query tags must stay unique"
 
@@ -97,6 +112,8 @@ def main() -> None:
         "sf": sf,
         "tag_to_name": {tags[n]: n for n in sorted(QUERIES)},
     }
+    if pipe_stages:
+        full["pipeline_e2e"] = pipe_stages
     if errors:
         full["errors"] = errors
     here = os.path.dirname(os.path.abspath(__file__))
@@ -110,6 +127,8 @@ def main() -> None:
         "sf": sf,
         "queries": {tags[n]: round(v, 2) for n, v in sorted(timings.items())},
     }
+    if pipe_stages:
+        compact["pipeline_e2e_sec"] = pipe_stages.get("total")
     if errors:
         compact["errors"] = {tags[n]: e[:60] for n, e in errors.items()}
     line = json.dumps(compact, separators=(",", ":")) + "\n"

@@ -182,3 +182,65 @@ class Pm25Pipeline:
         )
         cube, dates, ys, xs = pivot_to_raster(long, self.grid, "value")
         return write_raster(out_path, cube, dates, ys, xs)
+
+
+def bench_pipeline(
+    spark: SparkSession, sf: float, workdir: str
+) -> dict[str, float]:
+    """Timed s01→s09 chain (the reference's real workload shape) at a
+    size scaled to ``sf``: grid side ≈ 12·√(100·sf) cells, one month of
+    daily granules, two variables. Returns per-stage wall seconds plus
+    ``total`` — bench.py records this as the ``pipeline_e2e`` entry so
+    the suite times the composed DAG (scan→combine→K1→windows→split→
+    CV-train→impute→raster sink), not just per-operator queries.
+
+    Granule paths are nonexistent on purpose: decode falls back to the
+    deterministic plane fake (sources/raster.py), so the stage mix is
+    dominated by the Spark work being measured, not fixture I/O.
+    """
+    import time
+
+    from pm25ml_spark.sources.grid import synthetic_grid
+
+    side = max(8, round(12 * (max(sf, 0.001) * 100) ** 0.5))
+    days = 30
+    grid = synthetic_grid(spark, nx=side, ny=side)
+    settings = PipelineSettings(
+        bucket=workdir,
+        target="m2__aot",
+        feature_cols=("m2__t2m", "grid__lon", "grid__lat"),
+        sample_fraction=0.5,
+        n_folds=2,
+        max_iter=5,
+        interpolate_cols=("m2__t2m",),
+    )
+    pipe = Pm25Pipeline(spark, grid, settings)
+    granules = [
+        RasterGranule(f"fake://m2/{v}/{d:02d}.nc", f"2023-01-{d:02d}", v)
+        for d in range(1, days + 1)
+        for v in ("aot", "t2m")
+    ]
+    stages: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timed("ingest", lambda: pipe.ingest(granules))
+    ingested = pipe.store.scan_stage("ingested").drop("month")
+    # poke holes so interpolation (t2m) and imputation (aot) have work
+    ds = ingested.withColumn(
+        "aot", F.when(F.col("grid_id") % 7 == 0, None).otherwise(F.col("aot"))
+    ).withColumn(
+        "t2m", F.when(F.col("grid_id") % 11 == 3, None).otherwise(F.col("t2m"))
+    )
+    timed("combine", lambda: pipe.combine({"m2": ds}))
+    timed("interpolate", pipe.interpolate)
+    timed("features", lambda: pipe.features(["m2__aot", "m2__t2m"]))
+    timed("sample", pipe.sample)
+    timed("train_impute", pipe.train_and_impute)
+    timed("export", lambda: pipe.export(f"{workdir}/final"))
+    stages["total"] = round(sum(stages.values()), 3)
+    return stages

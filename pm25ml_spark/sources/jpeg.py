@@ -3,9 +3,11 @@
 Closes the JPEG half of the multimodal decode seam
 (`sources/multimodal.decode_to_array`) the same way `netcdf3.py` /
 `hdf5_min.py` closed the granule formats: implemented from the public
-spec, not from any codec's source. Scope — baseline sequential DCT,
+spec, not from any codec's source. Scope — baseline sequential DCT
+(SOF0/1) AND progressive (SOF2, spectral selection + successive
+approximation, T.81 Annex G — a large share of real web-crawl images),
 8-bit, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
-markers; progressive/arithmetic/12-bit are out of scope and raise.
+markers; lossless/arithmetic/12-bit are out of scope and raise.
 
 The encoder (quality-scaled Annex K quantization tables, Annex K.3
 Huffman tables, optional 4:2:0 subsampling) exists to produce REAL
@@ -439,6 +441,220 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — spectral selection + successive
+# approximation, mirroring T.81 Annex G.1.1. Exists to produce REAL
+# progressive streams for the decoder's round-trip tests (the scan
+# script is the IJG default shape). 4:4:4 / grayscale only; the AC
+# tables are a deterministic flat 256-symbol table (every progressive
+# symbol incl. EOBn encodable; compression is secondary for fixtures).
+# ---------------------------------------------------------------------------
+
+FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+FLAT_AC_VALS = list(range(256))
+
+
+class _ACProgEncoder:
+    """Shared EOB-run machinery for AC first/refinement scans."""
+
+    def __init__(self, writer: _BitWriter, codes: dict):
+        self.w = writer
+        self.codes = codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits buffered across EOB blocks
+
+    def _sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.w.write(code, length)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self._sym(nb << 4)
+            if nb:
+                self.w.write(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+    def first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            mag = (t if t >= 0 else -t) >> al
+            if mag == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                self._sym(0xF0)
+                r -= 16
+            nb = mag.bit_length()
+            self._sym((r << 4) | nb)
+            v = mag if t >= 0 else -mag
+            self.w.write(v if v >= 0 else v + (1 << nb) - 1, nb)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+        eob = -1  # band index of the LAST newly-nonzero coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # flush ZRLs at EVERY nonzero (history included) so buffered
+            # correction bits stay positionally inside the 16-zero window
+            # the decoder walks; folded into EOB when no new coef follows
+            while r > 15 and i <= eob:
+                self.emit_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if a > 1:  # history coefficient: correction bit, run continues
+                br.append(a & 1)
+                continue
+            self.emit_eobrun()
+            self._sym((r << 4) | 1)
+            self.w.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            r = 0
+        if r or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode uint8 grayscale / RGB as a PROGRESSIVE (SOF2) JFIF stream.
+
+    Same quantized coefficients as :func:`encode_jpeg` at the same
+    quality (4:4:4), so ``decode_jpeg(progressive)`` must equal
+    ``decode_jpeg(baseline)`` bit-for-bit — the round-trip oracle the
+    tests pin. Scan script: DC(Al=1) → Y AC 1-5 (Al=2) → Cr/Cb AC 1-63
+    (Al=1) → Y AC 6-63 (Al=2) → Y AC refine (2→1) → DC refine → Cr/Cb/Y
+    AC refine to Al=0 (the IJG default shape)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+
+    comp_zz = []
+    for i, plane in enumerate(planes):
+        q = qy if i == 0 else qc
+        blocks, by, bx = _to_blocks(plane - 128.0)
+        quant = np.round(dct2(blocks) / q.reshape(8, 8)).astype(np.int32)
+        comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    nblocks = len(comp_zz[0])
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, q in ((0, qy),) + (((1, qc),) if not gray else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    comps = [(1, 0x11, 0)] + ([] if gray else [(2, 0x11, 1), (3, 0x11, 1)])
+    for cid, samp, qid in comps:
+        out += bytes([cid, samp, qid])
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, FLAT_AC_BITS, FLAT_AC_VALS)]
+    if not gray:
+        tables.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    for tc_th, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    dc_codes = [build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not gray:
+        dc_codes += [build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    ac_codes = build_huffman_codes(FLAT_AC_BITS, FLAT_AC_VALS)
+
+    def sos(sel: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytes([len(sel)])
+        for cid, td, ta in sel:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def dc_first(al: int) -> bytes:
+        wtr = _BitWriter()
+        preds = [0] * ncomp
+        for bi in range(nblocks):
+            for ci in range(ncomp):
+                v = int(comp_zz[ci][bi][0]) >> al  # arithmetic shift (T.81 DC)
+                diff = v - preds[ci]
+                preds[ci] = v
+                n = _magnitude(diff)
+                code, length = dc_codes[ci][n]
+                wtr.write(code, length)
+                if n:
+                    wtr.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine(al: int) -> bytes:
+        wtr = _BitWriter()
+        for bi in range(nblocks):
+            for ci in range(ncomp):
+                wtr.write((int(comp_zz[ci][bi][0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        enc = _ACProgEncoder(wtr, ac_codes)
+        for bi in range(nblocks):
+            if ah == 0:
+                enc.first_block(comp_zz[ci][bi], ss, se, al)
+            else:
+                enc.refine_block(comp_zz[ci][bi], ss, se, al)
+        enc.emit_eobrun()
+        wtr.flush()
+        return bytes(wtr.out)
+
+    all_dc = [(cid, 0 if i == 0 else 1, 0) for i, (cid, _, _) in enumerate(comps)]
+    out += sos(all_dc, 0, 0, 0, 1) + dc_first(1)
+    out += sos([(1, 0, 0)], 1, 5, 0, 2) + ac_scan(0, 1, 5, 0, 2)
+    if not gray:
+        out += sos([(3, 0, 0)], 1, 63, 0, 1) + ac_scan(2, 1, 63, 0, 1)
+        out += sos([(2, 0, 0)], 1, 63, 0, 1) + ac_scan(1, 1, 63, 0, 1)
+    out += sos([(1, 0, 0)], 6, 63, 0, 2) + ac_scan(0, 6, 63, 0, 2)
+    out += sos([(1, 0, 0)], 1, 63, 2, 1) + ac_scan(0, 1, 63, 2, 1)
+    out += sos(all_dc, 0, 0, 1, 0) + dc_refine(0)
+    if not gray:
+        out += sos([(3, 0, 0)], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
+        out += sos([(2, 0, 0)], 1, 63, 1, 0) + ac_scan(1, 1, 63, 1, 0)
+    out += sos([(1, 0, 0)], 1, 63, 1, 0) + ac_scan(0, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -476,6 +692,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef_store: dict[int, np.ndarray] = {}
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -508,7 +726,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[q + 17 : q + 17 + nvals])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 q += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision, h, w, ncomp = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -526,10 +745,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcu_x = -(-w // (8 * hmax))
+                mcu_y = -(-h // (8 * vmax))
+                for cid, hi, vi, tq in comps:
+                    coef_store[cid] = np.zeros(
+                        (mcu_y * vi, mcu_x * hi, 64), dtype=np.int32
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); "
-                "baseline sequential only"
+                "baseline sequential and progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -542,11 +770,27 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
             data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, quant, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, data_start, frame, scan, quant, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            params = (
+                body[1 + 2 * ns],  # Ss
+                body[2 + 2 * ns],  # Se
+                body[3 + 2 * ns] >> 4,  # Ah
+                body[3 + 2 * ns] & 0x0F,  # Al
             )
+            end = _entropy_end(payload, data_start)
+            _decode_progressive_scan(
+                payload, data_start, end, frame, scan, params, huff_dc,
+                huff_ac, restart_interval, coef_store,
+            )
+            pos = end
+            continue
         pos += seglen
+    if progressive and coef_store:
+        return _reconstruct_progressive(frame, coef_store, quant)
     raise ValueError("no scan data found")
 
 
@@ -606,6 +850,232 @@ def _decode_scan(
     if len(full) == 1:
         # round, don't floor: a flooring astype would bias grayscale a
         # half-LSB low relative to the RGB path (and libjpeg)
+        return np.round(np.clip(full[0], 0, 255)).astype(np.uint8)
+    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
+    return np.round(rgb).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G.1.2, spectral selection +
+# successive approximation. Coefficients accumulate across scans in
+# per-component zigzag arrays; dequantize + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """First non-RST, non-stuffed marker after ``start``: the scan's
+    entropy segment ends there."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _refine_nonzero(reader: _BitReader, zz: np.ndarray, lo: int, hi: int, p1: int) -> None:
+    """Append correction bits to already-nonzero coefficients in
+    zz[lo..hi] (G.1.2.3: one bit per nonzero coefficient)."""
+    for i in range(lo, hi + 1):
+        if zz[i]:
+            if reader.bit() and (abs(int(zz[i])) & p1) == 0:
+                zz[i] += p1 if zz[i] > 0 else -p1
+
+
+def _ac_first_block(reader, ac, zz, ss, se, al, eobrun) -> int:
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac, zz, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    if eobrun:
+        _refine_nonzero(reader, zz, ss, se, p1)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOB run starts; current block still refines
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                _refine_nonzero(reader, zz, k, se, p1)
+                return eobrun
+            # ZRL: pass over 16 zero-history coefficients
+            cnt = 16
+            while k <= se and cnt:
+                if zz[k]:
+                    if reader.bit() and (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    cnt -= 1
+                k += 1
+            continue
+        if s != 1:
+            raise ValueError("refinement scan magnitude must be 1")
+        newval = p1 if reader.bit() else -p1
+        # skip r zero-history coefficients, refining nonzero on the way
+        while k <= se:
+            if zz[k]:
+                if reader.bit() and (abs(int(zz[k])) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else -p1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if k > se:
+            raise ValueError("refinement placement past end of band")
+        zz[k] = newval
+        k += 1
+    return 0
+
+
+def _decode_progressive_scan(
+    payload, pos, end, frame, scan, params, huff_dc, huff_ac,
+    restart_interval, coef_store,
+):
+    """One SOS worth of entropy data into ``coef_store`` (cid ->
+    (blocks_y, blocks_x, 64) int32, zigzag order). Returns nothing; the
+    caller advances to ``end``."""
+    h, w, comps = frame
+    ss, se, ah, al = params
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    scan_info = {cs: (td, ta) for cs, td, ta in scan}
+    reader = _BitReader(payload[pos:end])
+    preds = {cid: 0 for cid in scan_info}
+    state = {"eobrun": 0, "mcu": 0}
+
+    def maybe_restart():
+        if restart_interval and state["mcu"] and state["mcu"] % restart_interval == 0:
+            reader.align()
+            if (
+                reader.pos + 1 < len(reader.data)
+                and reader.data[reader.pos] == 0xFF
+                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            for cid in preds:
+                preds[cid] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        mcu_x = -(-w // (8 * hmax))
+        mcu_y = -(-h // (8 * vmax))
+        interleaved = len(scan) > 1
+        if not interleaved:
+            cid = scan[0][0]
+            hi, vi, _ = comp_by_id[cid]
+            cw = -(-(w * hi) // hmax)
+            ch = -(-(h * vi) // vmax)
+            bx_n, by_n = -(-cw // 8), -(-ch // 8)
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    maybe_restart()
+                    zz = coef_store[cid][by, bx]
+                    _dc_prog(reader, huff_dc, scan_info, preds, cid, zz, ah, al)
+                    state["mcu"] += 1
+            return
+        for my in range(mcu_y):
+            for mx in range(mcu_x):
+                maybe_restart()
+                for cid, hi, vi, tq in comps:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = coef_store[cid][my * vi + by, mx * hi + bx]
+                            _dc_prog(
+                                reader, huff_dc, scan_info, preds, cid, zz, ah, al
+                            )
+                state["mcu"] += 1
+        return
+
+    # AC scan: always single-component, raster order over the
+    # component's OWN (non-MCU-padded) block grid
+    if len(scan) != 1:
+        raise ValueError("AC progressive scan must be single-component")
+    cid = scan[0][0]
+    td, ta = scan_info[cid]
+    hi, vi, _ = comp_by_id[cid]
+    cw = -(-(w * hi) // hmax)
+    ch = -(-(h * vi) // vmax)
+    bx_n, by_n = -(-cw // 8), -(-ch // 8)
+    if ta not in huff_ac:  # both first and refinement passes decode symbols
+        raise ValueError(f"AC table {ta} undefined")
+    for by in range(by_n):
+        for bx in range(bx_n):
+            maybe_restart()
+            zz = coef_store[cid][by, bx]
+            if ah == 0:
+                state["eobrun"] = _ac_first_block(
+                    reader, huff_ac[ta], zz, ss, se, al, state["eobrun"]
+                )
+            else:
+                state["eobrun"] = _ac_refine_block(
+                    reader, huff_ac[ta], zz, ss, se, al, state["eobrun"]
+                )
+            state["mcu"] += 1
+
+
+def _dc_prog(reader, huff_dc, scan_info, preds, cid, zz, ah, al) -> None:
+    if ah == 0:  # first pass: Huffman diff, shifted by the point transform
+        td, _ = scan_info[cid]
+        n = huff_dc[td].decode(reader)
+        preds[cid] += _extend(reader.receive(n), n)
+        zz[0] = preds[cid] << al
+    else:  # refinement: one raw bit
+        if reader.bit():
+            zz[0] |= 1 << al
+
+
+def _reconstruct_progressive(frame, coef_store, quant):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, hi, vi, tq in comps:
+        coefs = coef_store[cid].astype(np.float64)  # (by, bx, 64) zigzag
+        by, bx = coefs.shape[:2]
+        deq = np.zeros_like(coefs)
+        deq[:, :, ZIGZAG] = coefs * quant[tq]
+        blocks = idct2(deq.reshape(by * bx, 8, 8)) + 128.0
+        plane = (
+            blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
         return np.round(np.clip(full[0], 0, 255)).astype(np.uint8)
     rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
     return np.round(rgb).astype(np.uint8)

@@ -95,3 +95,52 @@ def test_wind_degree_cardinal_directions(spark):
     )
     got = [r.deg for r in df.select(wind_degree("u", "v").alias("deg")).collect()]
     assert got == pytest.approx([0.0, 90.0, 180.0, 270.0])
+
+
+def test_w6_month_boundary_matches_carry_in_semantics(spark):
+    """W6 golden (SURVEY §7.4 trap #3): the reference computes the 7-day
+    rolling mean of imputed values per month by CONCATENATING the previous
+    month's frame, rolling over the combined range, then keeping only
+    current-month rows (regression_model_predictor.py:186-229). Our
+    whole-range window must reproduce exactly that — and a naive
+    per-month port (rolling within each month alone) must NOT.
+
+    Fixture: values 10,20,...,130 on 2023-01-26..2023-02-07. For
+    2023-02-01 the carry-in mean covers Jan 26-Feb 1 (10..70 → 40.0);
+    the per-month port would see only Feb 1 (70.0).
+    """
+    from datetime import date, timedelta
+
+    from pm25ml_spark.operators.features import rolling_mean
+
+    start = date(2023, 1, 26)
+    rows = [
+        (1, (start + timedelta(days=i)).isoformat(), 10.0 * (i + 1))
+        for i in range(13)  # Jan 26 .. Feb 7
+    ]
+    df = spark.createDataFrame(rows, "grid_id long, date string, v double")
+    out = {
+        r.date: r.m
+        for r in df.select(
+            "date", rolling_mean("v", 7).alias("m")
+        ).collect()
+    }
+
+    # reference semantics, computed independently: concat prev+current
+    # month, roll [-6,0] min_samples=1, keep current-month rows
+    vals = {r[1]: r[2] for r in rows}
+    ordered = sorted(vals)
+    expect = {}
+    for i, d in enumerate(ordered):
+        window = [vals[x] for x in ordered[max(0, i - 6) : i + 1]]
+        expect[d] = sum(window) / len(window)
+
+    feb = [d for d in ordered if d >= "2023-02-01"]
+    for d in feb:
+        assert out[d] == pytest.approx(expect[d], abs=1e-12), d
+    # the value the naive per-month port would produce differs at the
+    # boundary — pin that this golden actually discriminates
+    assert expect["2023-02-01"] == pytest.approx(40.0)
+    assert out["2023-02-01"] != pytest.approx(70.0)
+    # deep into the month (>=7 rows in-month) both ports agree again
+    assert out["2023-02-07"] == pytest.approx(expect["2023-02-07"])

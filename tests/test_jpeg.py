@@ -136,10 +136,11 @@ class TestStructureAndErrors:
         h, w = struct.unpack(">HH", data[i + 5 : i + 9])
         assert (h, w) == (48, 64)
 
-    def test_progressive_rejected(self):
-        # SOI + minimal SOF2 (progressive) segment
-        data = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-        with pytest.raises(ValueError, match="baseline sequential only"):
+    def test_unsupported_process_rejected(self):
+        # SOI + minimal SOF3 (lossless) segment — still out of scope
+        # (SOF2 progressive became a supported process in round 6)
+        data = b"\xff\xd8" + b"\xff\xc3" + struct.pack(">H", 11) + bytes(9)
+        with pytest.raises(ValueError, match="unsupported JPEG process"):
             decode_jpeg(data)
 
     def test_not_jpeg_rejected(self):
@@ -187,3 +188,60 @@ class TestMultimodalIntegration:
         assert len(feats) == 6
         assert feats["mean_intensity"].between(80, 180).all()
         assert (feats["std_intensity"] > 0).all()
+
+
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation (round 6).
+
+    The progressive encoder emits the SAME quantized coefficients as the
+    baseline encoder at 4:4:4, so decode(progressive) must equal
+    decode(baseline) bit-for-bit — any drift means a scan decoder bug.
+    """
+
+    def test_gray_bit_matches_baseline(self):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        img = _test_image(h=29, w=43)
+        base = decode_jpeg(encode_jpeg(img, quality=80))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=80))
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("quality", [50, 85, 95])
+    def test_rgb_bit_matches_baseline(self, quality):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        rng = np.random.RandomState(11 + quality)
+        img = rng.randint(0, 256, (37, 26, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+        assert np.array_equal(base, prog)
+
+    def test_progressive_is_actually_sof2_multi_scan(self):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        data = encode_jpeg_progressive(_test_image(), quality=85)
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        assert data.count(b"\xff\xda") >= 4  # spectral-selection scans
+
+    def test_decode_to_array_routes_progressive(self):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+        from pm25ml_spark.sources.multimodal import decode_to_array
+
+        from pm25ml_spark.sources.imaging import to_grayscale
+
+        img = _test_image(h=24, w=32)
+        arr = decode_to_array(
+            encode_jpeg_progressive(img, quality=90), 32, 24
+        )
+        assert arr.shape == (24, 32)
+        luma = to_grayscale(img).astype(int)
+        assert np.abs(arr.astype(int) - luma).mean() < 4
+
+    def test_truncated_progressive_quarantines(self):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        data = encode_jpeg_progressive(_test_image(), quality=85)
+        # cut inside the FIRST scan: decode cannot finish any band
+        first_sos = data.find(b"\xff\xda")
+        with pytest.raises(ValueError):
+            decode_jpeg(data[: first_sos + 20])
