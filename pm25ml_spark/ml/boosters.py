@@ -53,6 +53,51 @@ LGBM_NO2_PARAMS = {
 LGBM_CO_PARAMS = {**LGBM_NO2_PARAMS, "max_bin": 1000}
 
 
+def numpy_params_from_xgb(params: dict, **overrides) -> dict:
+    """Translate an XGBoost param dict (the reference's AOD config,
+    `setup/training.py:68-90`) to NumpyHistGBM's vocabulary: depth-wise
+    growth, eta→learning_rate, gamma→min_split_gain, seeded per-tree
+    subsample. Known parity deltas of the analogue (documented, tested
+    in test_numpy_gbm): histogram thresholds are quantile bins rather
+    than exact greedy splits, no column subsampling, no hessian
+    weighting (squared loss ⇒ hessian ≡ 1 anyway)."""
+    out = {
+        "growth": "depthwise",
+        "learning_rate": params.get("eta", params.get("learning_rate", 0.3)),
+        "min_split_gain": params.get("gamma", 0.0),
+        "max_depth": params.get("max_depth", 6),
+        "min_child_weight": params.get("min_child_weight", 1),
+        "subsample": params.get("subsample", 1.0),
+        "reg_lambda": params.get("reg_lambda", 1.0),
+        "n_estimators": params.get("n_estimators", 100),
+    }
+    out.update(overrides)
+    return out
+
+
+def numpy_params_from_lgbm(params: dict, **overrides) -> dict:
+    """Translate a LightGBM param dict (the reference's NO2/CO configs,
+    `setup/training.py:92-139`) to NumpyHistGBM: LEAF-WISE growth with
+    num_leaves as the complexity budget (lightgbm's defining trait),
+    lambda_l2→reg_lambda, min_data_in_leaf→min_child_weight,
+    num_iterations→n_estimators; max_depth ≤ 0 means unbounded, the
+    lightgbm -1 convention. Same histogram-vs-exact parity delta as the
+    xgb translation."""
+    md = params.get("max_depth", -1)
+    out = {
+        "growth": "leafwise",
+        "learning_rate": params.get("learning_rate", 0.1),
+        "reg_lambda": params.get("lambda_l2", 0.0),
+        "max_bin": params.get("max_bin", 255),
+        "max_depth": md if md and md > 0 else 0,
+        "min_child_weight": params.get("min_data_in_leaf", 20),
+        "n_estimators": params.get("num_iterations", 100),
+        "num_leaves": params.get("num_leaves", 31),
+    }
+    out.update(overrides)
+    return out
+
+
 def _default_factory(backend: str, params: dict) -> Callable[[], object]:
     if backend == "numpy":
         # always-available histogram GBM (ml/numpy_gbm.py): the numeric
@@ -60,6 +105,14 @@ def _default_factory(backend: str, params: dict) -> Callable[[], object]:
         from pm25ml_spark.ml.numpy_gbm import NumpyHistGBM
 
         return lambda: NumpyHistGBM(**params)
+    if backend == "numpy_xgb":
+        from pm25ml_spark.ml.numpy_gbm import NumpyHistGBM
+
+        return lambda: NumpyHistGBM(**numpy_params_from_xgb(params))
+    if backend == "numpy_lgbm":
+        from pm25ml_spark.ml.numpy_gbm import NumpyHistGBM
+
+        return lambda: NumpyHistGBM(**numpy_params_from_lgbm(params))
     if backend == "xgb":
         try:
             from xgboost import XGBRegressor

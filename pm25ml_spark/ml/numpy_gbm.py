@@ -31,7 +31,14 @@ class NumpyHistGBM:
     use, so paper-parameter dicts can be passed through where they
     apply: ``n_estimators``, ``learning_rate``, ``max_depth``,
     ``max_bin``, ``min_child_weight`` (min samples per leaf),
-    ``reg_lambda``.
+    ``reg_lambda``, ``min_split_gain`` (xgboost ``gamma``),
+    ``subsample`` (per-tree row fraction, seeded), and ``growth``:
+
+    - ``"depthwise"`` — xgboost's level-order expansion (the default);
+    - ``"leafwise"`` — lightgbm's best-first expansion: always split the
+      leaf with the highest gain next, stop at ``num_leaves``. On wide
+      shallow signal both converge; on deep narrow interactions
+      leaf-wise spends its leaf budget where the loss is.
     """
 
     def __init__(
@@ -42,6 +49,11 @@ class NumpyHistGBM:
         max_bin: int = 64,
         min_child_weight: int = 5,
         reg_lambda: float = 1.0,
+        min_split_gain: float = 0.0,
+        subsample: float = 1.0,
+        growth: str = "depthwise",
+        num_leaves: int = 31,
+        random_state: int = 0,
         **_ignored,  # accepts-and-ignores backend-specific params (n_jobs…)
     ):
         self.n_estimators = int(n_estimators)
@@ -50,6 +62,13 @@ class NumpyHistGBM:
         self.max_bin = int(max_bin)
         self.min_child_weight = int(min_child_weight)
         self.reg_lambda = float(reg_lambda)
+        self.min_split_gain = float(min_split_gain)
+        self.subsample = float(subsample)
+        if growth not in ("depthwise", "leafwise"):
+            raise ValueError(f"unknown growth {growth!r}")
+        self.growth = growth
+        self.num_leaves = int(num_leaves)
+        self.random_state = int(random_state)
 
     # sklearn contract used by the booster plumbing
     def set_params(self, **kw):
@@ -68,6 +87,11 @@ class NumpyHistGBM:
                 "max_bin",
                 "min_child_weight",
                 "reg_lambda",
+                "min_split_gain",
+                "subsample",
+                "growth",
+                "num_leaves",
+                "random_state",
             )
         }
 
@@ -119,51 +143,13 @@ class NumpyHistGBM:
             return len(nodes) - 1
 
         def grow(idx: np.ndarray, depth: int) -> int:
-            n = len(idx)
-            if depth >= self.max_depth or n < 2 * self.min_child_weight:
+            if depth >= self.max_depth or len(idx) < 2 * self.min_child_weight:
                 return leaf(idx)
-            g = resid[idx]
-            G = g.sum()
-            score_parent = G * G / (n + lam)
-            best = None  # (gain, feature, threshold_bin, miss_left)
-            for j in range(n_features):
-                nb = len(self.bin_edges_[j]) + 2  # value bins + missing bin
-                if len(self.bin_edges_[j]) == 0:
-                    continue  # constant or all-missing feature: no split
-                b = Xb[idx, j]
-                gh = np.bincount(b, weights=g, minlength=nb)
-                ch = np.bincount(b, minlength=nb)
-                g_miss, c_miss = gh[nb - 1], ch[nb - 1]
-                # thresholds run over value bins only (the missing bin is
-                # last and never crossed by <= t); default-right keeps
-                # missing on the right, default-left folds it into GL
-                GL = np.cumsum(gh)[:-1]
-                NL = np.cumsum(ch)[:-1]
-                for miss_left in (0, 1) if c_miss else (0,):
-                    GLd = GL + (g_miss if miss_left else 0.0)
-                    NLd = NL + (c_miss if miss_left else 0)
-                    NRd = n - NLd
-                    ok = (NLd >= self.min_child_weight) & (
-                        NRd >= self.min_child_weight
-                    )
-                    if not ok.any():
-                        continue
-                    GRd = G - GLd
-                    gain = (
-                        GLd * GLd / (NLd + lam)
-                        + GRd * GRd / (NRd + lam)
-                        - score_parent
-                    )
-                    gain = np.where(ok, gain, -np.inf)
-                    t = int(np.argmax(gain))
-                    if gain[t] > 1e-12 and (best is None or gain[t] > best[0]):
-                        best = (float(gain[t]), j, t, miss_left)
+            best = self._best_split(Xb, resid, idx)
             if best is None:
                 return leaf(idx)
             _, j, t, miss_left = best
-            b = Xb[idx, j]
-            nb = len(self.bin_edges_[j]) + 2
-            mask = (b <= t) | ((b == nb - 1) & bool(miss_left))
+            mask = self._split_mask(Xb, idx, j, t, miss_left)
             me = len(nodes)
             nodes.append([j, t, -1, -1, float(miss_left)])  # patched below
             left = grow(idx[mask], depth + 1)
@@ -172,6 +158,101 @@ class NumpyHistGBM:
             return me
 
         grow(np.arange(len(resid)), 0)
+        return np.asarray(nodes, dtype=np.float64)
+
+    def _best_split(self, Xb, resid, idx):
+        """Best (gain, feature, threshold_bin, miss_left) over all
+        features for this index set, or None when no split clears
+        ``min_split_gain``. Shared by depth-wise and leaf-wise growth."""
+        n = len(idx)
+        lam = self.reg_lambda
+        g = resid[idx]
+        G = g.sum()
+        score_parent = G * G / (n + lam)
+        best = None
+        for j in range(Xb.shape[1]):
+            nb = len(self.bin_edges_[j]) + 2  # value bins + missing bin
+            if len(self.bin_edges_[j]) == 0:
+                continue  # constant or all-missing feature: no split
+            b = Xb[idx, j]
+            gh = np.bincount(b, weights=g, minlength=nb)
+            ch = np.bincount(b, minlength=nb)
+            g_miss, c_miss = gh[nb - 1], ch[nb - 1]
+            # thresholds run over value bins only (the missing bin is
+            # last and never crossed by <= t); default-right keeps
+            # missing on the right, default-left folds it into GL
+            GL = np.cumsum(gh)[:-1]
+            NL = np.cumsum(ch)[:-1]
+            for miss_left in (0, 1) if c_miss else (0,):
+                GLd = GL + (g_miss if miss_left else 0.0)
+                NLd = NL + (c_miss if miss_left else 0)
+                NRd = n - NLd
+                ok = (NLd >= self.min_child_weight) & (
+                    NRd >= self.min_child_weight
+                )
+                if not ok.any():
+                    continue
+                GRd = G - GLd
+                gain = (
+                    GLd * GLd / (NLd + lam)
+                    + GRd * GRd / (NRd + lam)
+                    - score_parent
+                )
+                gain = np.where(ok, gain, -np.inf)
+                t = int(np.argmax(gain))
+                if (
+                    gain[t] > max(1e-12, self.min_split_gain)
+                    and (best is None or gain[t] > best[0])
+                ):
+                    best = (float(gain[t]), j, t, miss_left)
+        return best
+
+    def _split_mask(self, Xb, idx, j, t, miss_left):
+        b = Xb[idx, j]
+        nb = len(self.bin_edges_[j]) + 2
+        return (b <= t) | ((b == nb - 1) & bool(miss_left))
+
+    def _build_tree_leafwise(self, Xb: np.ndarray, resid: np.ndarray) -> np.ndarray:
+        """Best-first (lightgbm-style) tree: a max-heap of candidate leaf
+        splits by gain; split the best leaf until ``num_leaves`` is
+        reached or no leaf clears min_split_gain. ``max_depth`` <= 0
+        means unbounded depth (lightgbm's -1 convention)."""
+        import heapq
+
+        lam = self.reg_lambda
+        nodes: list[list[float]] = []
+        heap: list = []
+        counter = 0  # FIFO tiebreak: equal gains split in creation order
+
+        def leaf(idx: np.ndarray) -> int:
+            value = resid[idx].sum() / (len(idx) + lam)
+            nodes.append([_LEAF, value, -1, -1, 0.0])
+            return len(nodes) - 1
+
+        def push(node_id: int, idx: np.ndarray, depth: int) -> None:
+            nonlocal counter
+            if self.max_depth > 0 and depth >= self.max_depth:
+                return
+            if len(idx) < 2 * self.min_child_weight:
+                return
+            best = self._best_split(Xb, resid, idx)
+            if best is not None:
+                heapq.heappush(heap, (-best[0], counter, node_id, idx, depth, best))
+                counter += 1
+
+        root_idx = np.arange(len(resid))
+        rid = leaf(root_idx)
+        push(rid, root_idx, 0)
+        n_leaves = 1
+        while heap and n_leaves < self.num_leaves:
+            _, _, nid, idx, depth, (gain, j, t, miss_left) = heapq.heappop(heap)
+            mask = self._split_mask(Xb, idx, j, t, miss_left)
+            left = leaf(idx[mask])
+            right = leaf(idx[~mask])
+            nodes[nid] = [float(j), float(t), float(left), float(right), float(miss_left)]
+            n_leaves += 1
+            push(left, idx[mask], depth + 1)
+            push(right, idx[~mask], depth + 1)
         return np.asarray(nodes, dtype=np.float64)
 
     def _predict_tree(self, tree: np.ndarray, Xb: np.ndarray) -> np.ndarray:
@@ -212,12 +293,29 @@ class NumpyHistGBM:
         self.base_score_ = float(y.mean())
         pred = np.full(len(y), self.base_score_)
         self.trees_ = []
-        for _ in range(self.n_estimators):
+        build = (
+            self._build_tree_leafwise
+            if self.growth == "leafwise"
+            else self._build_tree
+        )
+        for ti in range(self.n_estimators):
             resid = y - pred
-            tree = self._build_tree(Xb, resid)
+            if self.subsample < 1.0:
+                # per-tree row sampling (xgboost subsample): seeded, so
+                # fits are reproducible run-to-run
+                rng = np.random.RandomState(self.random_state + ti)
+                m = rng.rand(len(y)) < self.subsample
+                if not m.any():
+                    m[rng.randint(len(y))] = True
+                tree = build(Xb[m], resid[m])
+            else:
+                tree = build(Xb, resid)
             self.trees_.append(tree)
             pred += self.learning_rate * self._predict_tree(tree, Xb)
-            if len(tree) == 1:  # pure leaf — residuals exhausted
+            # a pure-leaf tree means residuals are exhausted — but only
+            # conclusively when the tree saw ALL rows; with subsampling
+            # one unlucky draw must not halt boosting
+            if len(tree) == 1 and self.subsample >= 1.0:
                 break
         return self
 

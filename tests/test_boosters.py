@@ -97,3 +97,79 @@ def test_paper_hyperparameters_pinned():
     assert LGBM_NO2_PARAMS["max_bin"] == 500
     assert LGBM_CO_PARAMS["max_bin"] == 1000
     assert LGBM_CO_PARAMS["num_iterations"] == 3000
+
+
+def _nonlinear_frame(spark, n=600, seed=3):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame(
+        {
+            "f1": rng.uniform(-2, 2, n),
+            "f2": rng.uniform(-2, 2, n),
+            "grp": rng.randint(0, 8, n),
+        }
+    )
+    pdf["y"] = (
+        np.where(np.abs(pdf.f1) < 1, 2.0, -2.0) * np.sign(pdf.f2)
+        + 0.3 * pdf.f2
+        + 0.02 * rng.randn(n)
+    )
+    return spark.createDataFrame(pdf)
+
+
+class TestNamedLearnerAnalogues:
+    """M3 parity: both named learner families run numerically end-to-end
+    through CV → gate via their translated paper hyperparameters, with
+    n_estimators/num_iterations downscaled (the only override — the
+    paper's 1000/3000-tree budgets are wall-clock, not semantics).
+    Documented parity deltas vs the real backends: histogram quantile
+    thresholds instead of exact greedy split points, no column
+    subsampling; squared loss makes the hessian term degenerate, so the
+    gain formula itself matches."""
+
+    def test_xgb_family_cv_to_gate(self, spark):
+        from pm25ml_spark.ml.boosters import numpy_params_from_xgb
+        from pm25ml_spark.ml.pipeline import check_quality_gate
+
+        df = _nonlinear_frame(spark)
+        params = numpy_params_from_xgb(
+            XGB_AOD_PARAMS, n_estimators=150, max_depth=6
+        )
+        assert params["growth"] == "depthwise"
+        assert params["learning_rate"] == 0.1  # eta passthrough
+        assert params["min_split_gain"] == 0.8  # gamma
+        assert params["reg_lambda"] == 100
+        assert params["subsample"] == 0.8
+        imp = cross_validate_booster(
+            df, ["f1", "f2"], "y", "grp", n_folds=2,
+            backend="numpy", params=params,
+        )
+        assert imp.mean_cv_r2 > 0.8
+        check_quality_gate(imp.mean_cv_r2, 0.5, 1.0)  # passes the gate
+
+    def test_lgbm_family_cv_to_gate(self, spark):
+        from pm25ml_spark.ml.boosters import numpy_params_from_lgbm
+        from pm25ml_spark.ml.pipeline import check_quality_gate
+
+        df = _nonlinear_frame(spark, seed=4)
+        params = numpy_params_from_lgbm(
+            LGBM_NO2_PARAMS, n_estimators=40, num_leaves=24, max_bin=64
+        )
+        assert params["growth"] == "leafwise"
+        assert params["reg_lambda"] == 10  # lambda_l2
+        assert params["min_child_weight"] == 10  # min_data_in_leaf
+        assert params["max_depth"] == 10
+        imp = cross_validate_booster(
+            df, ["f1", "f2"], "y", "grp", n_folds=2,
+            backend="numpy", params=params,
+        )
+        assert imp.mean_cv_r2 > 0.8
+        check_quality_gate(imp.mean_cv_r2, 0.5, 1.0)
+
+    def test_lgbm_co_max_bin_translation(self):
+        from pm25ml_spark.ml.boosters import numpy_params_from_lgbm
+
+        assert numpy_params_from_lgbm(LGBM_CO_PARAMS)["max_bin"] == 1000
+        assert numpy_params_from_lgbm(LGBM_NO2_PARAMS)["max_bin"] == 500
+        # paper budgets pass through untouched when not overridden
+        assert numpy_params_from_lgbm(LGBM_NO2_PARAMS)["n_estimators"] == 3000
+        assert numpy_params_from_lgbm(LGBM_NO2_PARAMS)["num_leaves"] == 1500
