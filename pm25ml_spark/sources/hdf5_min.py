@@ -720,6 +720,8 @@ def _dt_message(arr_or_str) -> bytes:
             raise ValueError(f"unsupported float size {dt.itemsize}")
         head = bytes([0x11, 0x20, sign_loc, 0x00]) + struct.pack("<I", dt.itemsize)
         return head + props
+    if dt.kind == "S":  # fixed-width NUL-padded string array (class 3)
+        return bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", dt.itemsize)
     raise ValueError(f"unsupported dtype {dt}")
 
 

@@ -102,6 +102,16 @@ class TestCodecRoundTrip:
         assert list(g.attrs["vec"]) == [0, 1, 2]
         assert f.dataset("a b/c/d").attrs["note"] == "hi"
 
+    def test_fixed_string_array_attr_roundtrip(self, tmp_path):
+        """Array-valued fixed-string attributes must return EVERY element
+        (round-5 advice: the reader used to return only raw[:itemsize],
+        silently dropping the rest of the array)."""
+        names = np.array([b"alpha", b"be", b"gamma"])
+        tree = {"d": (np.ones(2), {"names": names, "one": np.array([b"solo"])[0]})}
+        f = read_hdf5(write_hdf5(str(tmp_path / "s.h5"), tree))
+        got = f.dataset("d").attrs["names"]
+        assert list(got) == ["alpha", "be", "gamma"]
+
     def test_int_dtypes(self, tmp_path):
         specs = {
             "i2": np.arange(6, dtype=np.int16),
