@@ -240,6 +240,15 @@ def test_cp03_within_cluster_join_is_equi(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_w08_decimation_has_no_single_partition_window(spark, sf_dir):
+    """W7's catalog query must run the partitioned exact form: a global
+    Window.orderBy here would funnel the whole input through one task."""
+    df = QUERIES["w08_decimate_100"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_cp03_assignment_has_no_window(spark, sf_dir):
     """The centroid argmax must be the map-side-combinable max(struct)
     aggregate, NOT row_number over the exploded n×k frame: a Window
