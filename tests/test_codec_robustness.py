@@ -104,6 +104,36 @@ class TestBitFlips:
             pass
 
     @settings(max_examples=40, deadline=None)
+    @given(pos=st.integers(min_value=2, max_value=10_000), bit=st.integers(0, 7))
+    def test_progressive_jpeg_bitflip(self, pos, bit):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        img = (np.arange(24 * 32, dtype=np.uint8) % 251).reshape(24, 32)
+        data = bytearray(encode_jpeg_progressive(img, quality=80))
+        data[pos % len(data)] ^= 1 << bit
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+        except ACCEPTABLE:
+            pass
+
+    @settings(max_examples=30, deadline=None)
+    @given(frac=st.floats(min_value=0.02, max_value=0.98))
+    def test_progressive_jpeg_truncated(self, frac):
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        img = (np.arange(24 * 32, dtype=np.uint8) % 251).reshape(24, 32)
+        data = encode_jpeg_progressive(img, quality=80)
+        cut = data[: max(2, int(len(data) * frac))]
+        try:
+            out = decode_jpeg(cut)
+            # progressive partial decode is legitimate (that is the
+            # format's point) — but it must still be a sane image
+            assert out.dtype == np.uint8 and out.shape == (24, 32)
+        except ACCEPTABLE:
+            pass
+
+    @settings(max_examples=40, deadline=None)
     @given(pos=st.integers(min_value=0, max_value=10_000), bit=st.integers(0, 7))
     def test_mp4_bitflip(self, pos, bit):
         data = bytearray(_mp4_bytes())
