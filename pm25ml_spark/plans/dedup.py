@@ -434,6 +434,48 @@ def cp02_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cp04 — the SAME decontamination contract through the Bloom-prefilter
+# scale path (operators/bloom.py): the benchmark travels as a JVM-built
+# m-bit bitset instead of a broadcast string set, and the exact verify
+# join probes only Bloom-suspected n-grams (~fpr × corpus + true hits).
+# Output is value-identical to cp02 — Bloom has no false negatives and
+# the verify join removes every false positive — so it shares cp02's
+# oracle verbatim; the driver hash-check therefore proves the fpr-repair
+# argument on real data, not just in a unit test.
+@query(
+    "cp04_decontamination_bloom",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams
+        JOIN documents USING (doc_id) WHERE source = 'src0'
+    ),
+    corp AS (
+        SELECT g.doc_id, g.gram FROM grams g
+        JOIN documents USING (doc_id) WHERE source <> 'src0'
+    )
+    SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT gram) AS n_spans
+    FROM corp JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def cp04_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.bloom import contamination_hits_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_hits_bloom(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # cp03 — semantic (embedding-space) dedup, the SemDeDup pattern (Abbas et
 # al., 2023): cluster the corpus in embedding space, find near-duplicate
