@@ -299,3 +299,61 @@ def test_delaunay_property_random(n, seed):
         inside = d2 < r2[t] * (1 - 1e-9)
         inside[tris[t]] = False
         assert not inside.any()
+
+
+# ---------------------------------------------------------------------------
+# partitioned decimation ≡ global decimation (exactness across layouts)
+
+
+@given(
+    n=st.integers(1, 120),
+    every=st.integers(1, 11),
+    nparts=st.integers(1, 6),
+    shuffle_seed=st.integers(0, 3),
+)
+@SETTINGS
+def test_decimate_partitioned_property(spark, n, every, nparts, shuffle_seed):
+    import random
+
+    from pm25ml_spark.operators.sampling import decimate, decimate_partitioned
+
+    keys = list(range(n))
+    random.Random(shuffle_seed).shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "id long").repartition(3)
+    a = sorted(r.id for r in decimate(df, every, ["id"]).collect())
+    b = sorted(
+        r.id
+        for r in decimate_partitioned(
+            df, every, ["id"], num_partitions=nparts
+        ).collect()
+    )
+    assert a == b == list(range(0, n, every))
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG ≡ baseline JPEG on identical quantized coefficients
+
+
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    gray=st.booleans(),
+    quality=st.sampled_from([50, 75, 90]),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_progressive_equals_baseline_property(h, w, gray, quality, seed):
+    import numpy as np
+
+    from pm25ml_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.randint(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(base, prog)
