@@ -538,15 +538,21 @@ class _ACProgEncoder:
                 self.emit_eobrun()
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
     """Encode uint8 grayscale / RGB as a PROGRESSIVE (SOF2) JFIF stream.
 
     Same quantized coefficients as :func:`encode_jpeg` at the same
-    quality (4:4:4), so ``decode_jpeg(progressive)`` must equal
-    ``decode_jpeg(baseline)`` bit-for-bit — the round-trip oracle the
-    tests pin. Scan script: DC(Al=1) → Y AC 1-5 (Al=2) → Cr/Cb AC 1-63
-    (Al=1) → Y AC 6-63 (Al=2) → Y AC refine (2→1) → DC refine → Cr/Cb/Y
-    AC refine to Al=0 (the IJG default shape)."""
+    quality (and the same 4:2:0 downsampling when ``subsample=True`` —
+    the real-crawl default shape), so ``decode_jpeg(progressive)`` must
+    equal ``decode_jpeg(baseline)`` bit-for-bit — the round-trip oracle
+    the tests pin. Scan script: DC(Al=1) → Y AC 1-5 (Al=2) → Cr/Cb AC
+    1-63 (Al=1) → Y AC 6-63 (Al=2) → Y AC refine (2→1) → DC refine →
+    Cr/Cb/Y AC refine to Al=0 (the IJG default shape). DC scans run in
+    interleaved MCU order over the MCU-padded grids; AC scans are
+    non-interleaved over each component's OWN ceil-dims block grid
+    (T.81 A.2.2 — a strict subset of the padded grid at 4:2:0)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive expects uint8")
@@ -554,19 +560,44 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     h, w = img.shape[:2]
     qy = _scale_quant(QUANT_LUMA, quality)
     qc = _scale_quant(QUANT_CHROMA, quality)
+    sub = subsample and not gray
     if gray:
         planes = [img.astype(np.float64)]
     else:
         ycc = _rgb_to_ycbcr(img.astype(np.float64))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if sub:
+            H, W = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, H - h), (0, W - w)), mode="edge")
+            crp = np.pad(cr, ((0, H - h), (0, W - w)), mode="edge")
+            cb = cbp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
 
-    comp_zz = []
+    ncomp = 1 if gray else 3
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp[:ncomp])
+    vmax = max(s[1] for s in samp[:ncomp])
+    mcu_x = -(-w // (8 * hmax))
+    mcu_y = -(-h // (8 * vmax))
+
+    comp_zz = []  # per comp: (zz (by_pad*bx_pad, 64), bx_pad, bx_n, by_n)
     for i, plane in enumerate(planes):
+        hi, vi = samp[i]
         q = qy if i == 0 else qc
-        blocks, by, bx = _to_blocks(plane - 128.0)
+        # pad the plane so blocking yields the MCU-padded grid the
+        # interleaved DC scan walks (edge replication, like baseline)
+        ph, pw = mcu_y * vi * 8, mcu_x * hi * 8
+        padded = np.pad(
+            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks, by_pad, bx_pad = _to_blocks(padded - 128.0)
         quant = np.round(dct2(blocks) / q.reshape(8, 8)).astype(np.int32)
-        comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
-    nblocks = len(comp_zz[0])
+        zz = quant.reshape(-1, 64)[:, ZIGZAG]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        comp_zz.append((zz, bx_pad, -(-cw // 8), -(-ch // 8)))
 
     out = bytearray(b"\xff\xd8")
     out += (
@@ -577,11 +608,11 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     for tid, q in ((0, qy),) + (((1, qc),) if not gray else ()):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(q[z]) for z in ZIGZAG)
-    ncomp = 1 if gray else 3
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    comps = [(1, 0x11, 0)] + ([] if gray else [(2, 0x11, 1), (3, 0x11, 1)])
-    for cid, samp, qid in comps:
-        out += bytes([cid, samp, qid])
+    samp_y = 0x22 if sub else 0x11
+    comps = [(1, samp_y, 0)] + ([] if gray else [(2, 0x11, 1), (3, 0x11, 1)])
+    for cid, sampb, qid in comps:
+        out += bytes([cid, sampb, qid])
     tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, FLAT_AC_BITS, FLAT_AC_VALS)]
     if not gray:
         tables.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
@@ -594,45 +625,56 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
         dc_codes += [build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
     ac_codes = build_huffman_codes(FLAT_AC_BITS, FLAT_AC_VALS)
 
-    def sos(sel: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    def sos(sel, ss, se, ah, al):
         seg = bytes([len(sel)])
         for cid, td, ta in sel:
             seg += bytes([cid, (td << 4) | ta])
         seg += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
 
+    def dc_blocks_mcu_order():
+        """(ci, flat block index) in interleaved MCU order."""
+        for my in range(mcu_y):
+            for mx in range(mcu_x):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    bx_pad = comp_zz[ci][1]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            yield ci, (my * vi + byi) * bx_pad + (mx * hi + bxi)
+
     def dc_first(al: int) -> bytes:
         wtr = _BitWriter()
         preds = [0] * ncomp
-        for bi in range(nblocks):
-            for ci in range(ncomp):
-                v = int(comp_zz[ci][bi][0]) >> al  # arithmetic shift (T.81 DC)
-                diff = v - preds[ci]
-                preds[ci] = v
-                n = _magnitude(diff)
-                code, length = dc_codes[ci][n]
-                wtr.write(code, length)
-                if n:
-                    wtr.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
+        for ci, bi in dc_blocks_mcu_order():
+            v = int(comp_zz[ci][0][bi][0]) >> al  # arithmetic shift (T.81 DC)
+            diff = v - preds[ci]
+            preds[ci] = v
+            n = _magnitude(diff)
+            code, length = dc_codes[ci][n]
+            wtr.write(code, length)
+            if n:
+                wtr.write(diff if diff >= 0 else diff + (1 << n) - 1, n)
         wtr.flush()
         return bytes(wtr.out)
 
     def dc_refine(al: int) -> bytes:
         wtr = _BitWriter()
-        for bi in range(nblocks):
-            for ci in range(ncomp):
-                wtr.write((int(comp_zz[ci][bi][0]) >> al) & 1, 1)
+        for ci, bi in dc_blocks_mcu_order():
+            wtr.write((int(comp_zz[ci][0][bi][0]) >> al) & 1, 1)
         wtr.flush()
         return bytes(wtr.out)
 
     def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        zz, bx_pad, bx_n, by_n = comp_zz[ci]
         wtr = _BitWriter()
         enc = _ACProgEncoder(wtr, ac_codes)
-        for bi in range(nblocks):
-            if ah == 0:
-                enc.first_block(comp_zz[ci][bi], ss, se, al)
-            else:
-                enc.refine_block(comp_zz[ci][bi], ss, se, al)
+        for byi in range(by_n):  # non-interleaved: the component's own grid
+            for bxi in range(bx_n):
+                if ah == 0:
+                    enc.first_block(zz[byi * bx_pad + bxi], ss, se, al)
+                else:
+                    enc.refine_block(zz[byi * bx_pad + bxi], ss, se, al)
         enc.emit_eobrun()
         wtr.flush()
         return bytes(wtr.out)

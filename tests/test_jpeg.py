@@ -216,6 +216,23 @@ class TestProgressive:
         prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
         assert np.array_equal(base, prog)
 
+    @pytest.mark.parametrize("shape", [(52, 20), (17, 17), (9, 57), (16, 16)])
+    def test_subsampled_420_progressive_matches_baseline(self, shape):
+        """4:2:0 + progressive — the real web-crawl default. Exercises
+        the interleaved DC MCU walk (4 Y blocks per MCU) and the
+        non-interleaved AC scans over each component's OWN ceil-dims
+        grid, which at 4:2:0 is a strict subset of the MCU-padded grid
+        (shapes chosen to make them differ)."""
+        from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
+
+        rng = np.random.RandomState(sum(shape))
+        img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=75, subsample=True))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=75, subsample=True)
+        )
+        assert np.array_equal(base, prog)
+
     def test_progressive_is_actually_sof2_multi_scan(self):
         from pm25ml_spark.sources.jpeg import encode_jpeg_progressive
 
