@@ -239,3 +239,37 @@ def contamination_stream(
     return stream_grams.join(F.broadcast(bench), "gram").select(
         "doc_id", "gram"
     )
+
+
+def contamination_stream_bloom(
+    docs_stream: DataFrame,
+    bitset,
+    k_hashes: int,
+    benchmark_static: DataFrame,
+    n: int = 2,
+) -> DataFrame:
+    """Streaming dual of the Bloom-prefiltered decontamination (cp04):
+    each micro-batch's n-grams are probed against the broadcast bitset
+    (one vectorized lookup, no join) and only Bloom-suspected grams hit
+    the exact verify join against the static benchmark set — identical
+    output rows to :func:`contamination_stream`, with the join input cut
+    to ~fpr × stream + true hits. The bitset broadcast is created once
+    and reused by every micro-batch, which is exactly the property that
+    makes Bloom the right shape for an unbounded stream against a
+    web-scale denylist (the verify side can live in a store keyed by
+    gram; here it stays a broadcast because the catalog benchmark is
+    eval-suite-sized). Stateless — state never grows with the stream."""
+    from pm25ml_spark.operators.bloom import bloom_might_contain
+    from pm25ml_spark.operators.dedup import word_ngrams
+
+    grams = word_ngrams("text", n)
+    bench = (
+        benchmark_static.select(F.explode(grams).alias("gram")).distinct()
+    )
+    stream_grams = docs_stream.select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    suspects = bloom_might_contain(
+        stream_grams, "gram", bitset, k_hashes
+    ).filter(F.col("maybe_member")).drop("maybe_member")
+    return suspects.join(F.broadcast(bench), "gram").select("doc_id", "gram")

@@ -158,3 +158,46 @@ def test_contamination_stream_matches_batch(spark, tmp_path, sf_dir):
         .reset_index(drop=True)
     )
     assert got.equals(expect)
+
+
+def test_contamination_stream_bloom_matches_plain_stream(spark, tmp_path, sf_dir):
+    """The Bloom-prefiltered streaming dual emits EXACTLY the rows the
+    broadcast-set streaming dual does (no false negatives; verify join
+    removes false positives), micro-batch by micro-batch."""
+    from pm25ml_spark.operators.bloom import build_bloom_bitset, optimal_params
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.streaming.events import (
+        contamination_stream,
+        contamination_stream_bloom,
+        read_documents_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    bench_g = bench.select(F.explode(word_ngrams("text", 2)).alias("gram")).distinct()
+    m, k = optimal_params(bench_g.count(), 0.01)
+    bitset = build_bloom_bitset(bench_g, "gram", m, k)
+
+    corpus_stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    )
+    run_available_now(
+        contamination_stream(corpus_stream, bench, n=2),
+        "contam_plain_b", str(tmp_path / "a"), output_mode="append",
+    )
+    corpus_stream2 = read_documents_stream(spark, sf_dir).filter(
+        F.col("source") != "src0"
+    )
+    run_available_now(
+        contamination_stream_bloom(corpus_stream2, bitset, k, bench, n=2),
+        "contam_bloom_b", str(tmp_path / "b"), output_mode="append",
+    )
+    plain = {
+        (r.doc_id, r.gram) for r in spark.table("contam_plain_b").collect()
+    }
+    bloom = {
+        (r.doc_id, r.gram) for r in spark.table("contam_bloom_b").collect()
+    }
+    assert plain == bloom and len(plain) > 0
