@@ -187,3 +187,38 @@ def test_csv_source_roundtrip_with_declared_schema(spark, tmp_path):
     assert df.schema.simpleString() == (
         "struct<location_id:bigint,value:double,date:string>"
     )
+
+
+def test_lsh_multitable_superset_and_dedup(spark):
+    """L tables union candidates: every single-table hit survives with a
+    >= score, no (qid, cid) pair ranks twice, runs deterministic."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    q = _vec_df(spark, "qid", "qe", [r for r in rows if r[0] % 10 == 0])
+    c = _vec_df(spark, "cid", "ce", rows)
+    r1 = {
+        r.qid: (r.cid, r.score)
+        for r in lsh_bucket_topk(
+            q, c, k=1, n_planes=5, dim=8, probe_hamming=1, n_tables=1
+        ).collect()
+    }
+    r4 = {
+        r.qid: (r.cid, r.score)
+        for r in lsh_bucket_topk(
+            q, c, k=1, n_planes=5, dim=8, probe_hamming=1, n_tables=4
+        ).collect()
+    }
+    assert set(r1) <= set(r4)
+    for qid, (_, score) in r1.items():
+        assert r4[qid][1] >= score
+    out = lsh_bucket_topk(
+        q, c, k=100, n_planes=4, dim=8, probe_hamming=2, n_tables=3
+    ).collect()
+    pairs = [(r.qid, r.cid) for r in out]
+    assert len(pairs) == len(set(pairs))
+    out2 = lsh_bucket_topk(
+        q, c, k=100, n_planes=4, dim=8, probe_hamming=2, n_tables=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
