@@ -38,6 +38,11 @@ class Mp4Track:
     width: int
     height: int
     samples: list[Mp4Sample]
+    # raw AVCDecoderConfigurationRecord (the `avcC` child of an avc1
+    # sample entry) when present — parse with sources.h264.parse_avcc
+    # for SPS-level metadata (true coded resolution, profile, level)
+    # without touching a single coded frame
+    codec_config: bytes | None = None
 
 
 def _boxes(buf: bytes, start: int, end: int):
@@ -129,11 +134,21 @@ def _parse_trak(buf: bytes, start: int, end: int) -> Mp4Track:
     # stsd: codec fourcc (+ width/height for visual entries)
     stsd = _find(buf, *stbl, "stsd")
     codec, width, height = "", 0, 0
+    codec_config = None
     if stsd is not None:
         entry = stsd[0] + 8  # ver/flags + entry_count
         codec = buf[entry + 4 : entry + 8].decode("latin-1")
         if handler == "vide":
             width, height = struct.unpack(">HH", buf[entry + 32 : entry + 36])
+            # visual sample entry: 8-byte box header + 78 fixed bytes,
+            # then child boxes (avcC for AVC streams, ISO 14496-15)
+            (entry_size,) = struct.unpack(">I", buf[entry : entry + 4])
+            child_start, child_end = entry + 86, entry + entry_size
+            if child_end <= len(buf):
+                for btype, ps, pe in _boxes(buf, child_start, child_end):
+                    if btype == "avcC":
+                        codec_config = bytes(buf[ps:pe])
+                        break
 
     def full(btype):
         found = _find(buf, *stbl, btype)
@@ -229,6 +244,7 @@ def _parse_trak(buf: bytes, start: int, end: int) -> Mp4Track:
     return Mp4Track(
         handler=handler,
         codec=codec,
+        codec_config=codec_config,
         timescale=timescale,
         width=width,
         height=height,
@@ -288,6 +304,7 @@ def build_mp4(
     height: int = 48,
     keyframe_every: int = 5,
     codec: bytes = b"mp4v",
+    avcc: bytes | None = None,
 ) -> bytes:
     """Minimal valid single-video-track MP4: ftyp + mdat (frame bytes,
     one chunk) + moov with real stts/stss/stsc/stsz/stco tables."""
@@ -320,6 +337,9 @@ def build_mp4(
     entry += struct.pack(">I", 0) + struct.pack(">H", 1)
     entry += bytes(32)  # compressor name
     entry += struct.pack(">Hh", 24, -1)
+    if avcc is not None:  # avc1-style entry: append the avcC child box
+        entry += _box(b"avcC", avcc)
+        entry = struct.pack(">I", len(entry)) + entry[4:]  # patch size
     stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
     stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
     vmhd = _box(b"vmhd", struct.pack(">I", 1) + bytes(8))

@@ -58,6 +58,31 @@ def lsh_recall(ids, V, qmask, truth, n_planes, h):
     return hit.mean(), cand
 
 
+def multi_table_recall(ids, V, qmask, truth, n_planes, h, n_tables):
+    """Union-of-L-tables recall (mirrors lsh_bucket_topk(n_tables=L):
+    table t draws plane indices t*n_planes..). cand_frac is an upper
+    bound (per-table fractions summed; tables overlap)."""
+    id_to_idx = {int(i): j for j, i in enumerate(ids)}
+    t_idx = np.array([id_to_idx[int(t)] for t in truth])
+    hit = np.zeros(int(qmask.sum()), dtype=bool)
+    cand_frac = 0.0
+    masks = np.array(probe_masks(n_planes, h), dtype=np.int64)
+    for t in range(n_tables):
+        P = np.array(
+            [
+                [plane_component(t * n_planes + p, i) for i in range(V.shape[1])]
+                for p in range(n_planes)
+            ],
+            dtype=np.float64,
+        )
+        sig = (((V @ P.T) >= 0) * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        probed = sig[qmask][:, None] ^ masks[None, :]
+        hit |= (sig[t_idx][:, None] == probed).any(axis=1)
+        occ = np.bincount(sig, minlength=1 << n_planes)
+        cand_frac += occ[probed].sum(axis=1).mean() / len(ids)
+    return hit.mean(), cand_frac
+
+
 def kmeans_np(V, k, n_iter=5):
     """Mirror kmeans_fit: k lowest-id rows init, L2 assign, mean update."""
     C = V[:k].copy()
@@ -123,6 +148,12 @@ def main():
             for h in (0, 1, 2):
                 r, c = lsh_recall(ids, V, qmask, truth, n_planes, h)
                 print(f"  LSH planes={n_planes:2d} h={h}  recall@1={r:.2f} cand_frac={c:.4f}")
+        for npl, h, nt in ((8, 2, 2), (8, 1, 4), (12, 2, 4)):
+            r, c = multi_table_recall(ids, V, qmask, truth, npl, h, nt)
+            print(
+                f"  LSH planes={npl:2d} h={h} tables={nt}  "
+                f"recall@1={r:.2f} cand_frac<={c:.4f}"
+            )
         n = len(ids)
         k_strided = max(n // 100, 1)
         CM_str = V[ids % 100 == 7]
