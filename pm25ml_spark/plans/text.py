@@ -384,3 +384,173 @@ def t09_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.round(F.col("tf") / F.sqrt(F.col("n2").cast("double")), 6).alias("w"),
     )
+
+
+# --------------------------------------------------------------------------
+# t10 — BM25 ranking (Okapi, Lucene's positive-idf variant): score a fixed
+# query term set against every document, return the top-10. The corpus
+# statistics the formula needs (df per term, N, avgdl) are tiny aggregates
+# broadcast onto the per-(doc, term) tf table, so at 100 TB the plan is:
+# one explode→filter (the term filter drops every non-query token BEFORE
+# the tf shuffle, shrinking it to ≤ |terms| rows per doc), one tf hash
+# aggregate, broadcast joins, one per-doc sum, one top-k window over ≤
+# n_docs rows. idf = ln(1 + (N - df + .5)/(df + .5)); tf-norm uses
+# k1 = 1.2, b = 0.75 (the standard Robertson/Lucene constants).
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "t10_bm25_top10",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    qtok AS (SELECT doc_id, t FROM tok WHERE t IN ('spark', 'vector', 'stream')),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM qtok GROUP BY doc_id, t),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                         + {_BM25_B} * dl / avgdl)),
+                 6) AS term_score
+        FROM tf
+        JOIN dfreq ON tf.t = dfreq.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE) AS score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, rk FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM per_doc)
+    WHERE rk <= 10
+    """,
+)
+def t10_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens()).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    qtok = docs.select("doc_id", F.explode(_tokens()).alias("t")).filter(
+        F.col("t").isin(*_BM25_TERMS)
+    )
+    tf = qtok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = F.col("tf") / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_norm, 6).alias("term_score"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(38,6)")).cast("double").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "score", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# t12 — bigram-LM perplexity scoring (the CCNet-style quality filter: score
+# each document by the cross-entropy of a smoothed n-gram language model;
+# high-perplexity docs are "surprising" → candidates for filtering).
+# Model: add-one-smoothed bigram conditional p(w2|w1) = (c(w1 w2) + 1)
+# / (c(w1 ·) + V), trained on the corpus itself. The trained model is two
+# small aggregates (916 bigrams, 31 prefixes at this vocabulary) broadcast
+# onto the per-instance stream, so the corpus-sized data moves through one
+# explode and one per-doc sum — at 100 TB the model tables stay
+# vocabulary-sized (bounded), never corpus-sized. Per-instance log-probs
+# are rounded to 6 dp and decimal-summed so the per-doc mean is
+# order-independent and engine-portable.
+@query(
+    "t12_bigram_perplexity",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS b
+        FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+    cw AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+    ),
+    inst AS (
+        SELECT doc_id,
+               ROUND(ln((cb + 1.0) / (cw + v)), 6) AS lnp
+        FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE) AS s
+        FROM inst GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(-s / n_bigrams, 6) AS cross_entropy,
+           ROUND(exp(-s / n_bigrams), 6) AS perplexity
+    FROM per_doc
+    """,
+)
+def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 2)).alias("b")
+    ).withColumn("w1", F.split("b", " ")[0])
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    v = docs.select(F.explode(_tokens()).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    inst = (
+        bg.join(F.broadcast(cb), "b")
+        .join(F.broadcast(cw), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))), 6
+            ).alias("lnp"),
+        )
+    )
+    per_doc = inst.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("lnp").cast("decimal(38,6)")).cast("double").alias("s"),
+    )
+    h = -F.col("s") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(h, 6).alias("cross_entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )
