@@ -61,4 +61,5 @@ def load_all_plans() -> None:
     import pm25ml_spark.plans.dedup  # noqa: F401
     import pm25ml_spark.plans.similarity  # noqa: F401
     import pm25ml_spark.plans.text  # noqa: F401
+    import pm25ml_spark.plans.sketches  # noqa: F401
     import pm25ml_spark.plans.raster  # noqa: F401

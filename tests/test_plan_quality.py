@@ -260,3 +260,25 @@ def test_cp03_assignment_has_no_window(spark, sf_dir):
     # partial aggregation proof: HashAggregate appears on both sides of
     # the exchange for the argmax (merge_max + partial_max)
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_sk01_recount_join_is_broadcast(spark, sf_dir):
+    """The heavy-hitter recount must semi-join the corpus against the
+    BROADCAST candidate set — a sort-merge join there would re-shuffle
+    the full token stream and defeat the sketch's purpose."""
+    df = QUERIES["sk01_heavy_hitters"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the candidate pass is the python MG summarizer, present exactly once
+    assert plan.count("MapInPandas") == 1
+
+
+def test_sk02_hll_is_jvm_only(spark, sf_dir):
+    """The HLL register pipeline is pure JVM bit arithmetic: no Python
+    workers anywhere, and the register combine is a partial-aggregable
+    hash aggregate (map-side max before the m-row exchange)."""
+    df = QUERIES["sk02_hll_distinct"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
