@@ -620,3 +620,101 @@ def cp03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         "n_dup_clusters",
     )
+
+
+# --------------------------------------------------------------------------
+# cp05 — DSIR-style importance resampling (Xie et al. 2023: "Data Selection
+# for Language Models via Importance Resampling"). Score every document by
+# the log-likelihood ratio of its hashed-bigram features under a TARGET
+# distribution (here: the 'en' slice, standing in for "looks like
+# high-quality reference text") vs the RAW corpus distribution, both
+# add-one-smoothed over B hash buckets; then resample with the
+# deterministic acceptance rule keep ⇔ score > ln(u), u a hash-derived
+# uniform per doc — i.e. P(keep) = min(1, e^score), true importance
+# resampling with no RNG state.
+#
+# 100 TB shape: both feature distributions are B-sized (bounded) hash
+# aggregates broadcast onto the bigram stream; the corpus moves through
+# one explode, one broadcast join, one per-doc sum. No global ordering,
+# no top-k window — the acceptance rule is per-row, so the plan is fully
+# parallel at any scale. Per-bucket weights are 6-dp-rounded and
+# decimal-summed per doc for engine-portable values.
+_DSIR_B = 1024
+
+
+@query(
+    "cp05_importance_resampling",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 15))::BIGINT
+                 % {_DSIR_B} AS bucket,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+        FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    dist AS (
+        SELECT bucket, COUNT(*) AS cr, SUM(is_t) AS ct
+        FROM bg GROUP BY bucket
+    ),
+    tot AS (SELECT COUNT(*) AS n_r, SUM(is_t) AS n_t FROM bg),
+    w AS (
+        SELECT bucket,
+               ROUND(ln((ct + 1.0) / (n_t + {_DSIR_B}))
+                     - ln((cr + 1.0) / (n_r + {_DSIR_B})), 6) AS w
+        FROM dist CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+        FROM bg JOIN w USING (bucket)
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, score,
+           CASE WHEN score > ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                 % 1000000 + 0.5) / 1000000.0)
+                THEN 1 ELSE 0 END AS kept
+    FROM per_doc
+    """,
+)
+def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(D.word_ngrams("text", 2)).alias("b"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
+    ).select(
+        "doc_id", (D._md5_long(F.col("b")) % _DSIR_B).alias("bucket"), "is_t"
+    )
+    dist = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct")
+    )
+    tot = bg.agg(F.count(F.lit(1)).alias("n_r"), F.sum("is_t").alias("n_t"))
+    w = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("n_t") + _DSIR_B))
+            - F.log((F.col("cr") + 1.0) / (F.col("n_r") + _DSIR_B)),
+            6,
+        ).alias("w"),
+    )
+    per_doc = (
+        bg.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    u = (
+        (D._md5_long(F.col("doc_id").cast("string")) % 1_000_000 + 0.5)
+        / 1_000_000.0
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "score",
+        F.when(F.col("score") > F.log(u), 1).otherwise(0).alias("kept"),
+    )
