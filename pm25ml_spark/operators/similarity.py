@@ -520,3 +520,135 @@ def lsh_bucket_topk(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): compress each vector to m subspace code ids
+# and answer queries with asymmetric distance computation (ADC) against a
+# per-query lookup table. Unlike the BLAS-tile operators above this pair
+# is PURE JVM DataFrame algebra — slice/zip_with/aggregate expressions
+# inside whole-stage codegen, no Python workers — because the distances
+# are short fixed-order folds the engines (and the DuckDB oracle) can
+# reproduce bit-for-bit after 6-dp rounding.
+
+
+def _sub_l2(a, b) -> F.Column:
+    """Σ (a_i − b_i)² as an ordered left fold in DOUBLE — the exact
+    expression shape the oracle mirrors with list_transform/list_sum."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspaces(df: DataFrame, id_out: str, vec: str, m: int, sub_dim: int):
+    """(id, s, sub) — one row per subspace slice of each vector."""
+    arr = F.array(
+        *[F.slice(F.col(vec), s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    return df.select(F.col(id_out), F.posexplode(arr).alias("s", "sub"))
+
+
+def pq_codebook_subspaces(
+    candidates: DataFrame,
+    m: int,
+    sub_dim: int,
+    stride: int = 31,
+    offset: int = 7,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Deterministic strided PQ codebook, pre-split into subspaces:
+    (cen_id, s, csub). Data-independent selection (id % stride == offset)
+    so a static SQL oracle rebuilds it verbatim; K grows with the corpus
+    (finer quantizer at larger scale), stays broadcastable regardless."""
+    cents = candidates.filter((F.col(c_id) % stride) == offset).select(
+        F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cv")
+    )
+    return _subspaces(cents, "cen_id", "cv", m, sub_dim).withColumnRenamed(
+        "sub", "csub"
+    )
+
+
+def pq_encode(
+    candidates: DataFrame,
+    csubs: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Assign every (vector, subspace) its nearest codebook id: (cid, s,
+    code). The candidate×codebook explosion happens INSIDE a broadcast
+    join followed by a map-side-combinable min aggregate — only n·m
+    assignment rows ever reach an exchange, never the n·m·K distances.
+    Argmin is min(struct(rounded_dist, cen_id)): lexicographic struct
+    order gives the engine-portable tie-break."""
+    subs = _subspaces(candidates, c_id, c_vec, m, sub_dim)
+    enc = subs.join(F.broadcast(csubs), "s").select(
+        c_id,
+        "s",
+        F.struct(
+            F.round(_sub_l2(F.col("sub"), F.col("csub")), 6).alias("d6"),
+            F.col("cen_id"),
+        ).alias("dc"),
+    )
+    return (
+        enc.groupBy(c_id, "s")
+        .agg(F.min("dc").alias("best"))
+        .select(c_id, "s", F.col("best.cen_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    stride: int = 31,
+    offset: int = 7,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: (qid, cid, adist, rk).
+
+    Per query the lookup table holds its distance to every (subspace,
+    code) cell — n_q·m·K rows, broadcast — and each candidate's
+    approximate distance is the decimal-sum of m table lookups keyed by
+    its stored codes. At 10^9 candidates the corpus side is one narrow
+    codes table (m small ints per vector — the 64×-compressed sketch of
+    the corpus), the scoring join is broadcast, and the partial sums
+    combine map-side; nothing quadratic ever materializes."""
+    csubs = pq_codebook_subspaces(
+        candidates, m, sub_dim, stride, offset, c_id, c_vec
+    )
+    codes = pq_encode(candidates, csubs, m, sub_dim, c_id, c_vec)
+    qsubs = _subspaces(queries, q_id, q_vec, m, sub_dim)
+    lut = qsubs.join(F.broadcast(csubs), "s").select(
+        q_id,
+        "s",
+        F.col("cen_id").alias("code"),
+        F.round(_sub_l2(F.col("sub"), F.col("csub")), 6).alias("d6"),
+    )
+    part = codes.join(F.broadcast(lut), ["s", "code"]).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    agg = part.groupBy(q_id, c_id).agg(
+        F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("adist")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("adist"), F.asc(c_id))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "adist", "rk")
+    )

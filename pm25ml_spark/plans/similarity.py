@@ -316,3 +316,90 @@ def ss06_nn_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "grid_id", F.round("nn_distance_km", 6).alias("nn_distance_km")
     )
+
+
+# --------------------------------------------------------------------------
+# ss07 — product-quantization ADC top-3 (Jégou et al. 2011): the third ANN
+# scale path next to LSH (ss03) and IVF (ss04), and the one that also
+# COMPRESSES the corpus (m small code ids per vector — here 64 floats →
+# 16 codes, 16×). Codebook is the deterministic strided variant so the
+# oracle can rebuild it; distances are fixed-order sub_dim-element folds
+# rounded to 6 dp, code argmin ties break by centroid id, and the
+# per-candidate ADC sum is a decimal-sum of the m rounded lookups — every
+# step is engine-portable, so this "approximate" operator is
+# value-oracle-checked like the rest of the family. Defaults (m=16,
+# sub_dim=4, stride=13) are from the measured recall sweep in SCALING.md:
+# recall@3 0.40 isotropic sf0.01 / 0.65 sf0.1 at a 16× compression,
+# vs 0.10/0.20 for the coarser m=8 quantizer at the same stride budget.
+_PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET = 16, 4, 13, 7
+
+
+def _pq_oracle() -> str:
+    subs_list = "[" + ", ".join(str(s) for s in range(_PQ_M)) + "]"
+    sd = _PQ_SD
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {sd + 1}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+            f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6)"
+        )
+
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % {_PQ_STRIDE} = {_PQ_OFFSET}
+    ),
+    csubs AS (
+        SELECT cen_id, s, list_slice(cv, s * {sd} + 1, s * {sd} + {sd}) AS csub
+        FROM cents, UNNEST({subs_list}) AS t(s)
+    ),
+    subs AS (
+        SELECT vec_id AS cid, s,
+               list_slice(embedding, s * {sd} + 1, s * {sd} + {sd}) AS sub
+        FROM embeddings, UNNEST({subs_list}) AS t(s)
+    ),
+    enc AS (
+        SELECT cid, s, cen_id, {dist("sub", "csub")} AS d6
+        FROM subs JOIN csubs USING (s)
+    ),
+    codes AS (
+        SELECT cid, s, cen_id AS code FROM (
+            SELECT cid, s, cen_id,
+                   row_number() OVER (PARTITION BY cid, s
+                                      ORDER BY d6, cen_id) AS rn
+            FROM enc)
+        WHERE rn = 1
+    ),
+    qsubs AS (
+        SELECT vec_id AS qid, s,
+               list_slice(embedding, s * {sd} + 1, s * {sd} + {sd}) AS sub
+        FROM embeddings, UNNEST({subs_list}) AS t(s)
+        WHERE vec_id % 50 = 0
+    ),
+    lut AS (
+        SELECT qid, s, cen_id AS code, {dist("sub", "csub")} AS d6
+        FROM qsubs JOIN csubs USING (s)
+    ),
+    agg AS (
+        SELECT qid, cid,
+               CAST(SUM(CAST(d6 AS DECIMAL(38,6))) AS DOUBLE) AS adist
+        FROM codes JOIN lut USING (s, code)
+        WHERE qid <> cid
+        GROUP BY qid, cid
+    )
+    SELECT qid, cid, adist, rk FROM (
+        SELECT qid, cid, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, cid) AS rk
+        FROM agg)
+    WHERE rk <= 3
+    """
+
+
+@query("ss07_pq_adc_top3", _pq_oracle())
+def ss07_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.pq_adc_topk(
+        q, c, k=3, m=_PQ_M, sub_dim=_PQ_SD, stride=_PQ_STRIDE, offset=_PQ_OFFSET
+    )

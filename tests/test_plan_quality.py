@@ -282,3 +282,15 @@ def test_sk02_hll_is_jvm_only(spark, sf_dir):
     plan = physical_plan(df)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ss07_pq_is_jvm_broadcast_pipeline(spark, sf_dir):
+    """PQ encode + ADC must stay whole-stage-codegen JVM algebra: the
+    codebook and LUT joins broadcast, nothing Python, no cartesian —
+    the corpus side moves through narrow map + partial-agg stages only."""
+    df = QUERIES["ss07_pq_adc_top3"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -222,3 +222,47 @@ def test_lsh_multitable_superset_and_dedup(spark):
         q, c, k=100, n_planes=4, dim=8, probe_hamming=2, n_tables=3
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pq_codes_are_compressed_representation(spark, sf_dir):
+    """pq_encode emits exactly m code rows per vector, each code a valid
+    codebook id — the 16x-compressed corpus sketch ADC scans."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    csubs = S.pq_codebook_subspaces(c, m=16, sub_dim=4, stride=13, offset=7)
+    codes = S.pq_encode(c, csubs, m=16, sub_dim=4)
+    n_vec = c.count()
+    assert codes.count() == n_vec * 16
+    per_vec = codes.groupBy("cid").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert per_vec[0] == per_vec[1] == 16
+    valid = {r.cen_id for r in csubs.select("cen_id").distinct().collect()}
+    got = {r.code for r in codes.select("code").distinct().collect()}
+    assert got <= valid
+
+
+def test_pq_adc_exact_when_query_is_centroid(spark, sf_dir):
+    """A query that IS a codebook centroid has a zero-distance LUT entry
+    to itself in every subspace, so its own reconstruction distance is 0
+    and any candidate encoded exactly onto it ranks first — sanity that
+    ADC distances are reconstruction distances, not cosines."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # use a centroid row as the probe (vec_id 7 is in the stride-13 set)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(999_999).alias("qid"), F.col("embedding").alias("qe")
+    )
+    top = S.pq_adc_topk(q, c, k=1, m=16, sub_dim=4, stride=13, offset=7).collect()
+    assert len(top) == 1
+    # nearest candidate by ADC is the centroid vector itself: distance 0
+    assert top[0].cid == 7
+    assert top[0].adist == 0.0

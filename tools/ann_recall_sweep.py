@@ -136,6 +136,46 @@ def planted(n=6000, d=64, n_clusters=10, seed=7):
     return np.arange(n, dtype=np.int64), V.astype(np.float64)
 
 
+def pq_recall(ids, V, qmask, m, stride, offset=7):
+    """PQ/ADC recall@3 of the true L2 top-1 — numpy mirror of
+    operators.similarity.pq_adc_topk (same strided codebook, 6-dp
+    rounding, and id tie-breaks)."""
+    d = V.shape[1]
+    sd = d // m
+    Q = V[qmask]
+    qids = ids[qmask]
+    D = ((Q[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    D[np.arange(len(Q)), np.nonzero(qmask)[0]] = np.inf
+    true1 = ids[
+        np.lexsort((ids[None, :].repeat(len(Q), 0), np.round(D, 6)), axis=1)[:, 0]
+    ]
+    cmask = (ids % stride) == offset
+    cen, cen_ids = V[cmask], ids[cmask]
+    codes = np.zeros((len(V), m), dtype=int)
+    for s in range(m):
+        dd = np.round(
+            ((V[:, s * sd:(s + 1) * sd][:, None, :] - cen[None, :, s * sd:(s + 1) * sd]) ** 2).sum(-1),
+            6,
+        )
+        codes[:, s] = np.lexsort((cen_ids[None, :].repeat(len(V), 0), dd), axis=1)[:, 0]
+    rec3 = 0
+    for qi in range(len(Q)):
+        lut = np.stack(
+            [
+                np.round(
+                    ((Q[qi, s * sd:(s + 1) * sd][None, :] - cen[:, s * sd:(s + 1) * sd]) ** 2).sum(-1),
+                    6,
+                )
+                for s in range(m)
+            ]
+        )
+        adist = lut[np.arange(m)[:, None], codes.T].sum(0)
+        adist[ids == qids[qi]] = np.inf
+        top3 = ids[np.lexsort((ids, np.round(adist, 6)))[:3]]
+        rec3 += true1[qi] in top3
+    return len(cen), rec3 / len(Q)
+
+
 def main():
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     corpora = [(d.split("/")[-1], *load(d)) for d in dirs]
@@ -162,6 +202,9 @@ def main():
             for nprobe in (2, 4):
                 r, c = ivf_recall(ids, V, qmask, truth, CM, nprobe)
                 print(f"  IVF {tag:8s} k={len(CM):3d} nprobe={nprobe}  recall@3={r:.2f} cand_frac={c:.4f}")
+        for m, stride in ((8, 31), (16, 13), (32, 13)):
+            K, r = pq_recall(ids, V, qmask, m, stride)
+            print(f"  PQ  m={m:2d} sub_dim={V.shape[1] // m} K={K:3d}  recall@3={r:.2f}")
 
 
 if __name__ == "__main__":
