@@ -652,3 +652,55 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select(q_id, c_id, "adist", "rk")
     )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    shortlist_k: int = 20,
+    m: int = 8,
+    sub_dim: int = 8,
+    stride: int = 31,
+    offset: int = 7,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """PQ/ADC shortlist + exact L2 re-rank: (qid, cid, dist, rk).
+
+    The standard exactness-restoring second stage: the compressed ADC
+    scan winnows to ``shortlist_k`` ids per query, then ONLY those rows'
+    full vectors are fetched (the n_q·shortlist_k shortlist broadcasts
+    against the corpus — fetch-by-id, never a second corpus scan shape)
+    and re-ranked by the full-dimension exact fold."""
+    short = pq_adc_topk(
+        queries,
+        candidates,
+        k=shortlist_k,
+        m=m,
+        sub_dim=sub_dim,
+        stride=stride,
+        offset=offset,
+        q_id=q_id,
+        c_id=c_id,
+        q_vec=q_vec,
+        c_vec=c_vec,
+    ).select(q_id, c_id)
+    exact = (
+        F.broadcast(short)
+        .join(candidates, c_id)
+        .join(F.broadcast(queries), q_id)
+        .select(
+            q_id,
+            c_id,
+            F.round(_sub_l2(F.col(q_vec), F.col(c_vec)), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("dist"), F.asc(c_id))
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "dist", "rk")
+    )

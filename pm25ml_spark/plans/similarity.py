@@ -334,19 +334,26 @@ def ss06_nn_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET = 16, 4, 13, 7
 
 
-def _pq_oracle() -> str:
+def _l2_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6)"
+    )
+
+
+def _pq_cte() -> str:
+    """Shared CTE chain ending in ``agg(qid, cid, adist)`` — the ADC
+    distance table both ss07 (direct top-3) and ss08 (shortlist +
+    exact re-rank) select from."""
     subs_list = "[" + ", ".join(str(s) for s in range(_PQ_M)) + "]"
     sd = _PQ_SD
 
     def dist(a: str, b: str) -> str:
-        return (
-            f"ROUND(list_sum(list_transform(range(1, {sd + 1}), "
-            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
-            f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6)"
-        )
+        return _l2_sql(a, b, sd)
 
     return f"""
-    WITH cents AS (
+    cents AS (
         SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
         WHERE vec_id % {_PQ_STRIDE} = {_PQ_OFFSET}
     ),
@@ -387,19 +394,76 @@ def _pq_oracle() -> str:
         FROM codes JOIN lut USING (s, code)
         WHERE qid <> cid
         GROUP BY qid, cid
-    )
+    )"""
+
+
+@query(
+    "ss07_pq_adc_top3",
+    f"""
+    WITH {_pq_cte()}
     SELECT qid, cid, adist, rk FROM (
         SELECT qid, cid, adist,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY adist, cid) AS rk
         FROM agg)
     WHERE rk <= 3
-    """
-
-
-@query("ss07_pq_adc_top3", _pq_oracle())
+    """,
+)
 def ss07_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, c = _qc(spark, sf_dir)
     return S.pq_adc_topk(
         q, c, k=3, m=_PQ_M, sub_dim=_PQ_SD, stride=_PQ_STRIDE, offset=_PQ_OFFSET
+    )
+
+
+# --------------------------------------------------------------------------
+# ss08 — PQ shortlist + exact re-rank: the standard two-stage ANN recipe
+# that restores exactness on top of the compressed scan. Stage 1 is
+# ss07's ADC over the 16×-compressed codes, kept to a shortlist of 20;
+# stage 2 fetches ONLY the shortlisted candidates' full vectors
+# (broadcast fetch-by-id join — n_q·20 rows against the corpus) and
+# re-ranks by exact L2. At 10^9 vectors the exact math touches 20 rows
+# per query instead of 10^9 — the ADC scan does the winnowing, the
+# re-rank pays full precision only where it matters.
+_PQ_SHORTLIST = 20
+
+
+@query(
+    "ss08_pq_rerank_top3",
+    f"""
+    WITH {_pq_cte()},
+    short AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adist, cid) AS rk
+            FROM agg)
+        WHERE rk <= {_PQ_SHORTLIST}
+    ),
+    exact AS (
+        SELECT s.qid, s.cid,
+               {_l2_sql("qe.embedding", "ce.embedding", 64)} AS dist
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.qid
+        JOIN embeddings ce ON ce.vec_id = s.cid
+    )
+    SELECT qid, cid, dist, rk FROM (
+        SELECT qid, cid, dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist, cid) AS rk
+        FROM exact)
+    WHERE rk <= 3
+    """,
+)
+def ss08_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.pq_rerank_topk(
+        q,
+        c,
+        k=3,
+        shortlist_k=_PQ_SHORTLIST,
+        m=_PQ_M,
+        sub_dim=_PQ_SD,
+        stride=_PQ_STRIDE,
+        offset=_PQ_OFFSET,
     )

@@ -294,3 +294,14 @@ def test_ss07_pq_is_jvm_broadcast_pipeline(spark, sf_dir):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ss08_rerank_fetch_is_broadcast(spark, sf_dir):
+    """Stage-2 exact re-rank must FETCH shortlisted vectors via broadcast
+    joins (shortlist and probe sides both tiny) — never rescan/shuffle
+    the corpus a second time."""
+    df = QUERIES["ss08_pq_rerank_top3"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

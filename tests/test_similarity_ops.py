@@ -266,3 +266,38 @@ def test_pq_adc_exact_when_query_is_centroid(spark, sf_dir):
     # nearest candidate by ADC is the centroid vector itself: distance 0
     assert top[0].cid == 7
     assert top[0].adist == 0.0
+
+
+def test_pq_rerank_never_worse_than_adc(spark, sf_dir):
+    """For every query, the exact-L2 distance of the re-ranked top-1 is
+    <= the exact distance of the raw ADC top-1 — re-ranking a superset
+    shortlist can only improve the final answer."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from pm25ml_spark.plans.registry import QUERIES
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    pos = {int(i): n for n, i in enumerate(ids)}
+
+    def exact(qid, cid):
+        d = V[pos[qid]] - V[pos[cid]]
+        return float((d * d).sum())
+
+    adc1 = {
+        r.qid: r.cid
+        for r in QUERIES["ss07_pq_adc_top3"](spark, sf_dir).collect()
+        if r.rk == 1
+    }
+    rr1 = {
+        r.qid: r.cid
+        for r in QUERIES["ss08_pq_rerank_top3"](spark, sf_dir).collect()
+        if r.rk == 1
+    }
+    assert set(adc1) == set(rr1)
+    for qid in rr1:
+        assert exact(qid, rr1[qid]) <= exact(qid, adc1[qid]) + 1e-9
