@@ -49,16 +49,10 @@ from pm25ml_spark.operators.dedup import _md5_long
 _HASH_BITS = 60
 
 
-def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
-    """Per-partition Misra-Gries candidate keys (capacity ``k``).
-
-    Returns a DataFrame with one column ``col`` holding the distinct
-    union of every partition's surviving MG keys — a superset of all
-    keys with global count > N/k, in bounded memory and with no shuffle
-    of the input (only the ≤ k·partitions candidate rows move).
-    """
-
-    out_schema = f"{col} string"
+def mg_summarizer(col: str, k: int):
+    """The per-partition Misra-Gries pass as a ``mapInPandas`` function
+    (shared by the batch operator and the streaming candidate dual):
+    O(k) state per task, emits the surviving candidate keys."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -76,7 +70,22 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
                     }
         yield pd.DataFrame({col: list(counters.keys())})
 
-    return df.select(col).mapInPandas(summarize, out_schema).distinct()
+    return summarize
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys (capacity ``k``).
+
+    Returns a DataFrame with one column ``col`` holding the distinct
+    union of every partition's surviving MG keys — a superset of all
+    keys with global count > N/k, in bounded memory and with no shuffle
+    of the input (only the ≤ k·partitions candidate rows move).
+    """
+    return (
+        df.select(col)
+        .mapInPandas(mg_summarizer(col, k), f"{col} string")
+        .distinct()
+    )
 
 
 def exact_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:

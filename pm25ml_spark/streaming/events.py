@@ -273,3 +273,42 @@ def contamination_stream_bloom(
         stream_grams, "gram", bitset, k_hashes
     ).filter(F.col("maybe_member")).drop("maybe_member")
     return suspects.join(F.broadcast(bench), "gram").select("doc_id", "gram")
+
+
+def hll_register_stream(
+    docs_stream: DataFrame, n: int = 2, p: int = 6
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain distinct-n-gram registers over an
+    unbounded document stream. The register table is a plain streaming
+    ``groupBy(bucket).max(rho)`` — state is EXACTLY m = 2^p rows forever
+    (the whole point of HLL as a streaming aggregate: max is monotone, so
+    no watermark, no eviction, no growth), drained in update/complete
+    mode and convertible to a cardinality estimate at any instant with
+    :func:`pm25ml_spark.operators.sketches.hll_estimate`. The register
+    pipeline is the BATCH operator applied to the stream unchanged —
+    the batch/stream duality is the operator's mergeability property."""
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.operators.sketches import hll_registers
+
+    grams = docs_stream.select(F.explode(word_ngrams("text", n)).alias("b"))
+    return hll_registers(grams, "b", p)
+
+
+def heavy_hitter_candidate_stream(
+    docs_stream: DataFrame, k: int, n: int = 2
+) -> DataFrame:
+    """Streaming half of the two-pass heavy-hitter plan: per-micro-batch
+    Misra-Gries candidate keys, emitted append-mode and STATELESS (O(k)
+    memory inside the task, nothing in the state store). The pigeonhole
+    superset argument holds for any segmentation of the stream — a key
+    heavy over the whole stream is heavy in at least one micro-batch's
+    partition — so the union of emitted candidates is a superset of the
+    true heavy hitters and the batch-side exact recount
+    (:func:`pm25ml_spark.operators.sketches.exact_heavy_hitters`'s
+    second phase) stays exact. Candidates may repeat across batches;
+    dedup happens in the bounded recount, not in stream state."""
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.operators.sketches import mg_summarizer
+
+    grams = docs_stream.select(F.explode(word_ngrams("text", n)).alias("b"))
+    return grams.mapInPandas(mg_summarizer("b", k), "b string")

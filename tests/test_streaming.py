@@ -201,3 +201,86 @@ def test_contamination_stream_bloom_matches_plain_stream(spark, tmp_path, sf_dir
         (r.doc_id, r.gram) for r in spark.table("contam_bloom_b").collect()
     }
     assert plain == bloom and len(plain) > 0
+
+
+def test_hll_register_stream_matches_batch(spark, tmp_path, sf_dir):
+    """HLL registers maintained over a 3-micro-batch document stream
+    equal the batch registers over the same corpus — the streaming-agg
+    spelling of the merge property, with state fixed at m rows."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.operators.sketches import hll_estimate, hll_registers
+    from pm25ml_spark.streaming.events import (
+        hll_register_stream,
+        run_available_now,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    # split the corpus into 3 files → 3 micro-batches
+    docs.withColumn("part", F.col("doc_id") % 3).repartition(
+        "part"
+    ).write.partitionBy("part").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_register_stream(stream, n=2, p=6)
+    run_available_now(regs, "hll_regs", str(tmp_path), output_mode="complete")
+    got = {
+        (r.bucket, r.max_rho) for r in spark.table("hll_regs").collect()
+    }
+    bg = docs.select(F.explode(word_ngrams("text", 2)).alias("b"))
+    want_regs = hll_registers(bg, "b", 6)
+    want = {(r.bucket, r.max_rho) for r in want_regs.collect()}
+    assert got == want
+    # identical registers → identical estimate at any point-in-time read
+    est_stream = hll_estimate(spark.table("hll_regs")).collect()[0].estimate
+    est_batch = hll_estimate(want_regs).collect()[0].estimate
+    assert est_stream == est_batch
+
+
+def test_heavy_hitter_stream_candidates_recount_exact(spark, tmp_path, sf_dir):
+    """Union of per-micro-batch MG candidates, recounted exactly against
+    the static corpus, equals the batch heavy-hitter answer — the
+    pigeonhole superset argument across stream segmentation."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.operators.sketches import exact_heavy_hitters
+    from pm25ml_spark.streaming.events import (
+        heavy_hitter_candidate_stream,
+        run_available_now,
+    )
+
+    k = 800
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_hh")
+    docs.withColumn("part", F.col("doc_id") % 3).repartition(
+        "part"
+    ).write.partitionBy("part").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cands = heavy_hitter_candidate_stream(stream, k=k, n=2)
+    run_available_now(cands, "hh_cands", str(tmp_path), output_mode="append")
+    cand = spark.table("hh_cands").distinct()
+    bg = docs.select(F.explode(word_ngrams("text", 2)).alias("b"))
+    total = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    recount = (
+        bg.join(F.broadcast(cand), "b")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * k > F.col("n_total"))
+        .select("b", "n")
+    )
+    want = {(r.b, r.n) for r in exact_heavy_hitters(bg, "b", k).collect()}
+    got = {(r.b, r.n) for r in recount.collect()}
+    assert want and got == want
