@@ -718,3 +718,110 @@ def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("score") > F.log(u), 1).otherwise(0).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# cp06 — domain mixture reweighting (DoReMi-flavoured, Xie et al. 2023):
+# turn per-SOURCE language-model loss into training mixture weights.
+# Each source's cross-entropy under the corpus bigram LM (the t12 scoring
+# machinery, aggregated per source instead of per doc) is compared to the
+# corpus-wide mean; sources with EXCESS loss (hard/unusual domains) get
+# up-weighted by a softmax over the excess, temperature 1 — the
+# lightweight static analogue of DoReMi's Group-DRO loop, and the shape a
+# pipeline uses to pick sampling ratios before a training run.
+#
+# 100 TB shape: everything after the (bounded) LM tables is two hash
+# aggregates — per-source and corpus-total — over the instance stream,
+# then arithmetic on n_sources rows. The softmax runs on 6-dp-rounded
+# per-source values with decimal sums, so the weights hash-match across
+# engines. max-shift for numerical stability is over n_sources rows (a
+# broadcast scalar), matching the SQL spelling exactly.
+@query(
+    "cp06_domain_mixture",
+    """
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+        SELECT doc_id, source, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS b
+        FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+    cw AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+    ),
+    inst AS (
+        SELECT source, ROUND(ln((cb + 1.0) / (cw + v)), 6) AS lnp
+        FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v
+    ),
+    per_source AS (
+        SELECT source, COUNT(*) AS n_bigrams,
+               ROUND(-CAST(SUM(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS ce
+        FROM inst GROUP BY source
+    ),
+    base AS (
+        SELECT ROUND(-CAST(SUM(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS ce_corpus
+        FROM inst
+    ),
+    excess AS (
+        SELECT source, n_bigrams, ce,
+               ROUND(exp(ce - ce_corpus), 6) AS e
+        FROM per_source CROSS JOIN base
+    ),
+    z AS (
+        SELECT CAST(SUM(CAST(e AS DECIMAL(38,6))) AS DOUBLE) AS z FROM excess
+    )
+    SELECT source, n_bigrams, ce,
+           ROUND(e / z, 6) AS weight
+    FROM excess CROSS JOIN z
+    """,
+)
+def cp06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(D.word_ngrams("text", 2)).alias("b"),
+    ).withColumn("w1", F.split("b", " ")[0])
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    v = docs.select(F.explode(F.split("text", " ")).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    inst = (
+        bg.join(F.broadcast(cb), "b")
+        .join(F.broadcast(cw), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            F.round(
+                F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))), 6
+            ).alias("lnp"),
+        )
+    )
+    dec_ce = F.round(
+        -F.sum(F.col("lnp").cast("decimal(38,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    per_source = inst.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), dec_ce.alias("ce")
+    )
+    base = inst.agg(dec_ce.alias("ce_corpus"))
+    excess = per_source.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_bigrams",
+        "ce",
+        F.round(F.exp(F.col("ce") - F.col("ce_corpus")), 6).alias("e"),
+    )
+    z = excess.agg(
+        F.sum(F.col("e").cast("decimal(38,6)")).cast("double").alias("z")
+    )
+    return excess.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_bigrams",
+        "ce",
+        F.round(F.col("e") / F.col("z"), 6).alias("weight"),
+    )
