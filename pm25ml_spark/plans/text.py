@@ -554,3 +554,47 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("cross_entropy"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# t13 — sequence packing (concat-and-chunk): lay the tokenized corpus
+# end-to-end in doc_id order and cut fixed 256-token training sequences;
+# report every document's global offset, chunk span, and whether it
+# crosses a chunk boundary. The catalog plan is the exact two-pass
+# distributed prefix-sum (range repartition + per-partition window +
+# broadcast partition offsets — operators/packing.py); a global-window
+# spelling exists only as the equivalence-test reference. Integer
+# arithmetic throughout → bit-identical across engines.
+_PACK_C = 256
+
+
+@query(
+    "t13_sequence_packing",
+    f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_tokens AS start_offset
+        FROM d
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {_PACK_C} AS first_chunk,
+           (start_offset + n_tokens - 1) // {_PACK_C} AS last_chunk,
+           CASE WHEN start_offset // {_PACK_C}
+                     <> (start_offset + n_tokens - 1) // {_PACK_C}
+                THEN 1 ELSE 0 END AS spans_boundary
+    FROM c
+    """,
+)
+def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, "n_tokens", ["doc_id"], _PACK_C)

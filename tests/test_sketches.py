@@ -99,3 +99,62 @@ def test_hll_insensitive_to_duplication(spark):
     e1 = SK.hll_distinct(df, "k").collect()[0].estimate
     e2 = SK.hll_distinct(dup, "k").collect()[0].estimate
     assert e1 == e2
+
+
+# ---- sequence packing (operators/packing.py) -----------------------------
+
+
+def test_pack_sequences_matches_global_window(spark):
+    """Two-pass distributed prefix-sum == single global window, row for
+    row, on a many-partition corpus with awkward sizes."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    df = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.col("id") * 37, 91) + 1).alias("n_tokens"),
+        )
+        .repartition(16)
+    )
+    a = pack_sequences(df, "n_tokens", ["doc_id"], 128, num_partitions=11)
+    b = pack_sequences_global(df, "n_tokens", ["doc_id"], 128)
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+
+    rows = sorted(
+        QUERIES["t13_sequence_packing"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # offsets are a gapless prefix sum in doc_id order
+    expect = 0
+    for r in rows:
+        assert r.start_offset == expect
+        expect += r.n_tokens
+        assert r.first_chunk == r.start_offset // 256
+        assert (r.first_chunk != r.last_chunk) == bool(r.spans_boundary)
+
+
+def test_t13_no_single_partition_stage(spark, sf_dir):
+    from tests.test_plan_quality import physical_plan
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+
+    plan = physical_plan(QUERIES["t13_sequence_packing"](spark, sf_dir))
+    # the whole point: no Exchange SinglePartition anywhere (the global
+    # window spelling would need one); prefix-sum runs range-partitioned
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
