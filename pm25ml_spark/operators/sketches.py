@@ -185,3 +185,196 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
 def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     """End-to-end HLL distinct-count estimate for one column."""
     return hll_estimate(hll_registers(df, col, p), p)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates in d·w counters instead of a
+# full-vocabulary hash aggregate. est(x) = min_i C[i, h_i(x)] ≥ true(x),
+# always an OVER-estimate (Cormode & Muthukrishnan 2005), with
+# P[err > ε·N] ≤ δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+
+def _cm_col(col, i: int, w: int) -> F.Column:
+    """Row-``i`` counter column for value ``col``: the engine-portable
+    60-bit md5 of ``"{i}:{value}"`` reduced mod w. Seeding through the
+    hashed STRING (not h + i) keeps the d rows pairwise-independent and
+    lets the DuckDB oracle re-derive the exact same cells."""
+    return _md5_long(F.concat_ws(":", F.lit(str(i)), col)) % w
+
+
+def cm_counters(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Build the Count-Min counter table: (r, c, n) with ≤ d·w rows.
+
+    Scale shape: each input instance expands to its d cells JVM-side
+    (inline explode of a literal array — stays in whole-stage codegen),
+    then ``groupBy(r, c).count()`` map-side combines to at most d·w rows
+    PER PARTITION before the shuffle, so the shuffle volume is bounded by
+    tasks·d·w regardless of corpus size — the whole point of the sketch
+    at 100 TB, where the exact vocabulary aggregate it replaces shuffles
+    billions of distinct keys. Counter tables from disjoint corpora merge
+    by a further groupBy(r, c).sum(n).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cm_col(F.col(col), i, w).alias("c")
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    probes: DataFrame, counters: DataFrame, col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point estimates for ``probes[col]`` from a counter table.
+
+    The counter table is ≤ d·w rows by construction → broadcast; the
+    probe side streams through a BroadcastHashJoin with no shuffle of
+    its own. Missing cells count 0 (left join + coalesce), and the
+    row-wise minimum is a plain groupBy over d rows per probe.
+    Output: (col, cm_est).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cm_col(F.col(col), i, w).alias("c")
+            )
+            for i in range(d)
+        ]
+    )
+    probe_cells = probes.select(
+        F.col(col), F.explode(cells).alias("rc")
+    ).select(col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    joined = probe_cells.join(F.broadcast(counters), ["r", "c"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_est")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch: distinct-cardinality AND set-intersection estimates
+# from the k smallest distinct hash values per group (Bar-Yossef et al.
+# 2002; the Druid/DataSketches theta family). Fully deterministic — the
+# bottom-k of a fixed hash is merge-order independent, unlike KLL — so
+# even the ESTIMATES hash-match the SQL oracle.
+
+_KMV_SALTS = 64
+
+
+def kmv_bottomk(
+    df: DataFrame, col: str, group: str, k: int, salts: int = _KMV_SALTS
+) -> DataFrame:
+    """Per-group bottom-k distinct hashes: (group, h) with ≤ k rows/group.
+
+    Two-level pruning keeps the per-group sort off the critical path at
+    scale: distinct (group, h) pairs first take a per-(group, salt)
+    bottom-k over ``salts`` hash-derived salt lanes — ``salts`` parallel
+    windows per group instead of one giant single-reducer sort — then the
+    ≤ k·salts survivors take the true per-group bottom-k. The union of
+    per-salt bottom-k sets contains every globally bottom-k hash, so the
+    result is exactly the global bottom-k. h is distinct within a group,
+    so ORDER BY h alone is a total order (no tie-break needed).
+    """
+    from pyspark.sql import Window
+
+    h = _md5_long(F.col(col))
+    hashes = df.select(F.col(group), h.alias("h")).distinct()
+    lane = Window.partitionBy(group, F.col("h") % salts).orderBy("h")
+    pruned = (
+        hashes.withColumn("rn", F.row_number().over(lane))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    final = Window.partitionBy(group).orderBy("h")
+    return (
+        pruned.withColumn("rn", F.row_number().over(final))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_theta(sketch: DataFrame, group: str, k: int) -> DataFrame:
+    """Per-group (n_k, theta, est_distinct) from a bottom-k sketch.
+
+    theta = the k-th smallest hash; est = (k−1)·2^60 / theta (the
+    unbiased KMV estimator). A group with fewer than k distinct values
+    is EXACT (its sketch holds everything): theta pins to 2^60 and the
+    estimate is just n_k. The numerator (k−1)·2^60 is an exact double
+    (small-int × power of two), so the one float division is
+    bit-deterministic across engines.
+    """
+    numer = float((k - 1) * (1 << _HASH_BITS))
+    agg = sketch.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("theta_k")
+    )
+    return agg.select(
+        group,
+        "n_k",
+        F.when(F.col("n_k") < k, F.lit(int(1 << _HASH_BITS)))
+        .otherwise(F.col("theta_k"))
+        .alias("theta"),
+        F.round(
+            F.when(F.col("n_k") < k, F.col("n_k").cast("double")).otherwise(
+                F.lit(numer) / F.col("theta_k").cast("double")
+            ),
+            6,
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_intersections(
+    sketch: DataFrame, theta: DataFrame, group: str, k: int
+) -> DataFrame:
+    """Pairwise intersection-cardinality estimates between groups.
+
+    Theta-sketch intersection: for a pair (a, b), θ = min(θ_a, θ_b);
+    every hash below θ is fully known to BOTH sketches (bottom-k holds
+    all of a group's hashes < its own θ), so the retained set is the
+    h-equi-join of the two sketches filtered to h < θ, and
+    est = |retained| · 2^60 / θ. The join is hash-equi (no cartesian);
+    the per-group θ frames are tiny and broadcast.
+    """
+    full = float(1 << _HASH_BITS)
+    a = sketch.select(F.col(group).alias("g1"), "h")
+    b = sketch.select(F.col(group).alias("g2"), "h")
+    matched = a.join(b, "h").filter(F.col("g1") < F.col("g2"))
+    ta = theta.select(
+        F.col(group).alias("g1"),
+        F.col("theta").alias("th1"),
+        F.col("est_distinct").alias("est_d1"),
+    )
+    tb = theta.select(
+        F.col(group).alias("g2"),
+        F.col("theta").alias("th2"),
+        F.col("est_distinct").alias("est_d2"),
+    )
+    pairs = ta.crossJoin(tb).filter(F.col("g1") < F.col("g2"))
+    th = F.least("th1", "th2")
+    retained = (
+        matched.join(F.broadcast(pairs.select("g1", "g2", th.alias("th"))), ["g1", "g2"])
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        pairs.join(retained, ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            "est_d1",
+            "est_d2",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                * F.lit(full)
+                / F.least("th1", "th2").cast("double"),
+                6,
+            ).alias("est_intersection"),
+        )
+    )

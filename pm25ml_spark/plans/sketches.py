@@ -124,3 +124,185 @@ def sk02_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# sk03 — Count-Min point-frequency estimates. The counter build is the
+# 100 TB path (shuffle bounded by d·w per task, not by vocabulary size);
+# the exact top-20 probe selection + true counts exist only for the
+# accuracy columns, exactly like sk02's exact_distinct. CM never
+# underestimates, so overcount ≥ 0 is part of the contract the oracle
+# re-derives cell-by-cell.
+
+_CM_D, _CM_W = 4, 1024
+
+
+def _cm_oracle() -> str:
+    d, w = _CM_D, _CM_W
+    return f"""
+    WITH {_BIGRAMS},
+    c AS (SELECT b, COUNT(*) AS n FROM bg GROUP BY b),
+    probes AS (
+        SELECT b, n FROM c
+        QUALIFY row_number() OVER (ORDER BY n DESC, b) <= 20
+    ),
+    cells AS (
+        SELECT r,
+               ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || b), 1, 15))::BIGINT
+                 % {w} AS cc,
+               COUNT(*) AS n
+        FROM bg, UNNEST(range(0, {d})) AS u(r)
+        GROUP BY 1, 2
+    ),
+    pc AS (
+        SELECT p.b, u.r,
+               ('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' || p.b), 1, 15))::BIGINT
+                 % {w} AS cc
+        FROM probes p, UNNEST(range(0, {d})) AS u(r)
+    ),
+    est AS (
+        SELECT pc.b, MIN(COALESCE(cells.n, 0)) AS cm_est
+        FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.cc = cells.cc
+        GROUP BY pc.b
+    )
+    SELECT p.b, p.n AS n_true, e.cm_est, e.cm_est - p.n AS overcount
+    FROM probes p JOIN est e ON p.b = e.b
+    """
+
+
+@query("sk03_countmin", _cm_oracle())
+def sk03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min(d=4, w=1024) frequency estimates for the exact top-20
+    bigrams, with true counts and the (always ≥ 0) overcount."""
+    from pyspark.sql import Window
+
+    bg = _bigram_instances(spark, sf_dir)
+    counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n_true"))
+    probes = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n_true").desc(), F.col("b"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    counters = SK.cm_counters(bg, "b", d=_CM_D, w=_CM_W)
+    est = SK.cm_estimate(probes.select("b"), counters, "b", d=_CM_D, w=_CM_W)
+    return probes.join(est, "b").select(
+        "b",
+        "n_true",
+        "cm_est",
+        (F.col("cm_est") - F.col("n_true")).alias("overcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sk04 — KMV / theta sketches per source: distinct-cardinality estimates
+# and PAIRWISE INTERSECTION estimates from k smallest hashes per group.
+# Unlike KLL/t-digest, bottom-k of a fixed hash is merge-order
+# independent, so the estimates themselves are bit-deterministic and the
+# oracle rebuilds the whole sketch in SQL. The exact intersection column
+# is the accuracy yardstick (sk02-style); at corpus scale only the
+# sketch pipeline runs.
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    k = _KMV_K
+    full_i = 1 << 60
+    numer = float((k - 1) * (1 << 60))
+    full_f = float(1 << 60)
+    return f"""
+    WITH tok AS (
+        SELECT source, string_split(text, ' ') AS ts FROM documents
+    ),
+    sbg AS (
+        SELECT source, ts[i] || ' ' || ts[i + 1] AS b
+        FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    hs AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(b), 1, 15))::BIGINT AS h
+        FROM sbg
+    ),
+    sk AS (
+        SELECT source, h FROM hs
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {k}
+    ),
+    th AS (
+        SELECT source, COUNT(*) AS n_k, MAX(h) AS theta_k
+        FROM sk GROUP BY source
+    ),
+    th2 AS (
+        SELECT source, n_k,
+               CASE WHEN n_k < {k} THEN {full_i} ELSE theta_k END AS theta,
+               ROUND(CASE WHEN n_k < {k} THEN CAST(n_k AS DOUBLE)
+                          ELSE CAST({numer!r} AS DOUBLE)
+                               / CAST(theta_k AS DOUBLE) END, 6) AS est_distinct
+        FROM th
+    ),
+    pairs AS (
+        SELECT a.source AS g1, b.source AS g2,
+               a.theta AS th1, b.theta AS th2x,
+               a.est_distinct AS est_d1, b.est_distinct AS est_d2
+        FROM th2 a JOIN th2 b ON a.source < b.source
+    ),
+    m AS (
+        SELECT s1.source AS g1, s2.source AS g2, s1.h AS h
+        FROM sk s1 JOIN sk s2 ON s1.h = s2.h AND s1.source < s2.source
+    ),
+    ret AS (
+        SELECT m.g1, m.g2, COUNT(*) AS n_retained
+        FROM m JOIN pairs p ON m.g1 = p.g1 AND m.g2 = p.g2
+        WHERE m.h < LEAST(p.th1, p.th2x)
+        GROUP BY m.g1, m.g2
+    ),
+    db AS (SELECT DISTINCT source, b FROM sbg),
+    ex AS (
+        SELECT a.source AS g1, b.source AS g2, COUNT(*) AS exact_intersection
+        FROM db a JOIN db b ON a.b = b.b AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.g1, p.g2, p.est_d1, p.est_d2,
+           COALESCE(r.n_retained, 0) AS n_retained,
+           ROUND(CAST(COALESCE(r.n_retained, 0) AS DOUBLE)
+                 * CAST({full_f!r} AS DOUBLE)
+                 / CAST(LEAST(p.th1, p.th2x) AS DOUBLE), 6) AS est_intersection,
+           COALESCE(e.exact_intersection, 0) AS exact_intersection
+    FROM pairs p
+    LEFT JOIN ret r ON p.g1 = r.g1 AND p.g2 = r.g2
+    LEFT JOIN ex e ON p.g1 = e.g1 AND p.g2 = e.g2
+    """
+
+
+@query("sk04_kmv_intersection", _kmv_oracle())
+def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV(k=64) bottom-k theta sketches per source: per-pair distinct
+    estimates, intersection estimate, and the exact intersection."""
+    from pm25ml_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sbg = docs.select("source", F.explode(word_ngrams("text", 2)).alias("b"))
+    sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K)
+    th = SK.kmv_theta(sk, "source", _KMV_K)
+    inter = SK.kmv_intersections(sk, th, "source", _KMV_K)
+    db = sbg.select("source", "b").distinct()
+    ex = (
+        db.select(F.col("source").alias("g1"), "b")
+        .join(db.select(F.col("source").alias("g2"), "b"), "b")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return inter.join(ex, ["g1", "g2"], "left").select(
+        "g1",
+        "g2",
+        "est_d1",
+        "est_d2",
+        "n_retained",
+        "est_intersection",
+        F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+    )

@@ -158,3 +158,122 @@ def test_t13_no_single_partition_stage(spark, sf_dir):
     # window spelling would need one); prefix-sum runs range-partitioned
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+# ---- Count-Min (operators/sketches.py cm_*) ------------------------------
+
+
+def _cm_corpus(spark):
+    return spark.range(30_000).select(
+        F.concat(F.lit("w"), (F.col("id") % 700)).alias("k")
+    ).repartition(8)
+
+
+def test_cm_never_underestimates_and_is_tight_when_wide(spark):
+    df = _cm_corpus(spark)
+    truth = {r.k: r.n for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    counters = SK.cm_counters(df, "k", d=4, w=4096)
+    probes = df.select("k").distinct()
+    est = {r.k: r.cm_est for r in SK.cm_estimate(
+        probes, counters, "k", d=4, w=4096).collect()}
+    assert set(est) == set(truth)
+    # CM is a one-sided estimator: est >= truth, always
+    assert all(est[k] >= truth[k] for k in truth)
+    # with w >> distinct keys, collisions are rare: most probes exact
+    exact = sum(est[k] == truth[k] for k in truth)
+    assert exact / len(truth) > 0.8
+
+
+def test_cm_counter_table_bounded_and_mergeable(spark):
+    d, w = 3, 64
+    df = _cm_corpus(spark)
+    counters = SK.cm_counters(df, "k", d=d, w=w)
+    assert counters.count() <= d * w
+    # counters from two disjoint halves merge by summing cells
+    a = SK.cm_counters(df.filter(F.col("k") < "w4"), "k", d=d, w=w)
+    b = SK.cm_counters(df.filter(F.col("k") >= "w4"), "k", d=d, w=w)
+    merged = a.unionAll(b).groupBy("r", "c").agg(F.sum("n").alias("n"))
+    assert {(r.r, r.c, r.n) for r in merged.collect()} == {
+        (r.r, r.c, r.n) for r in counters.collect()
+    }
+
+
+def test_cm_missing_probe_gets_zero_or_collision(spark):
+    df = _cm_corpus(spark)
+    counters = SK.cm_counters(df, "k", d=4, w=1 << 16)
+    probes = df.sparkSession.createDataFrame(
+        [("never-seen-1",), ("never-seen-2",)], "k string"
+    )
+    est = {r.k: r.cm_est for r in SK.cm_estimate(
+        probes, counters, "k", d=4, w=1 << 16).collect()}
+    # wide sketch, 700 keys: an unseen key should hit an empty cell
+    assert est == {"never-seen-1": 0, "never-seen-2": 0}
+
+
+# ---- KMV / theta (operators/sketches.py kmv_*) ---------------------------
+
+
+def _grouped(spark):
+    """Three groups with controlled distinct counts and a known overlap:
+    g0 = {v0..v999}, g1 = {v500..v1499} (overlap 500), g2 = tiny."""
+    g0 = spark.range(1000).select(
+        F.lit("g0").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("k"))
+    g1 = spark.range(500, 1500).select(
+        F.lit("g1").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("k"))
+    g2 = spark.range(10).select(
+        F.lit("g2").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("k"))
+    return g0.unionAll(g1).unionAll(g2).repartition(16)
+
+
+def test_kmv_bottomk_equals_naive_global_bottomk(spark):
+    """The salt-lane pre-prune must return EXACTLY the global bottom-k."""
+    from pyspark.sql import Window
+
+    from pm25ml_spark.operators.dedup import _md5_long
+
+    df = _grouped(spark)
+    k = 32
+    got = SK.kmv_bottomk(df, "k", "g", k)
+    naive = (
+        df.select("g", _md5_long(F.col("k")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("g").orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    assert {(r.g, r.h) for r in got.collect()} == {
+        (r.g, r.h) for r in naive.collect()
+    }
+
+
+def test_kmv_theta_exact_below_k(spark):
+    df = _grouped(spark)
+    th = {r.g: r for r in SK.kmv_theta(
+        SK.kmv_bottomk(df, "k", "g", 64), "g", 64).collect()}
+    # g2 has 10 < k distinct values: estimate is exact, theta pinned full
+    assert th["g2"].est_distinct == 10.0
+    assert th["g2"].theta == 1 << 60
+    # g0/g1 have 1000 each: KMV k=64 standard error is ~1/sqrt(62) ≈ 13%
+    for g in ("g0", "g1"):
+        assert abs(th[g].est_distinct - 1000) / 1000 < 0.52
+
+
+def test_kmv_intersection_accuracy_and_exact_small_group(spark):
+    df = _grouped(spark)
+    k = 64
+    sk = SK.kmv_bottomk(df, "k", "g", k)
+    th = SK.kmv_theta(sk, "g", k)
+    out = {(r.g1, r.g2): r for r in SK.kmv_intersections(
+        sk, th, "g", k).collect()}
+    assert set(out) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    # true |g0 ∩ g1| = 500 of ~1000 each; 4-sigma band on k=64
+    est = out[("g0", "g1")].est_intersection
+    assert abs(est - 500) / 500 < 1.0
+    # g2 ⊂ g0 and θ_pair = θ_g0 < full: the retained-set estimate of a
+    # 10-element subset must come out near 10 (small-count noise aside)
+    assert out[("g0", "g2")].est_intersection <= 120
+    # disjointness sanity: g1 ∩ g2 = ∅ exactly (v500.. vs v0..v9)
+    assert out[("g1", "g2")].n_retained == 0
+    assert out[("g1", "g2")].est_intersection == 0.0
