@@ -825,3 +825,89 @@ def cp06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce",
         F.round(F.col("e") / F.col("z"), 6).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# cp07 — composite quality gate (Gopher-style, Rae et al. 2021 §A1):
+# combine the lexical-quality signals (t02's length / type-token /
+# stopword gates) with the repetition signals (t11) into one keep/drop
+# decision, and report the per-source curation summary a pipeline
+# operator actually acts on: docs kept, doc-level keep rate, and the
+# TOKEN share surviving the gate (what hits the training mix).
+# Plan shape: the two signal frames join on doc_id (both already
+# partitioned by doc_id from their aggregates); the summary is one
+# map-side-combinable groupBy(source) — no broadcast needed, no skew
+# (source cardinality is tiny next to docs).
+
+
+from pm25ml_spark.plans.text import _REP_SQL as _REP_FRAGMENT
+
+
+@query(
+    "cp07_quality_gate",
+    f"""
+    WITH {_REP_FRAGMENT},
+    lex AS (
+        SELECT doc_id,
+               CASE WHEN n_tokens >= 20
+                     AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                     AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                    THEN 1 ELSE 0 END AS passes_lexical
+        FROM (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t = 'the' OR t = 'a')) AS n_stop
+            FROM documents
+        )
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(l.passes_lexical * r.passes_repetition) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(l.passes_lexical * r.passes_repetition) AS DOUBLE)
+             / COUNT(*) AS keep_rate,
+           CAST(SUM(r.n_tokens * l.passes_lexical * r.passes_repetition)
+                AS DOUBLE) / SUM(r.n_tokens) AS kept_token_share
+    FROM documents d
+    JOIN rep r ON d.doc_id = r.doc_id
+    JOIN lex l ON d.doc_id = l.doc_id
+    GROUP BY d.source
+    """,
+)
+def cp07_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_signals(docs.select("doc_id", "text"))
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stop = (
+        F.size(F.filter(toks, lambda t: (t == "the") | (t == "a"))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    lex = docs.select(
+        "doc_id",
+        F.when((n_tokens >= 20) & (ttr > 0.3) & (stop < 0.5), 1)
+        .otherwise(0)
+        .alias("passes_lexical"),
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(rep.select("doc_id", "n_tokens", "passes_repetition"), "doc_id")
+        .join(lex, "doc_id")
+    )
+    kept = F.col("passes_lexical") * F.col("passes_repetition")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("keep_rate"),
+        (
+            F.sum(F.col("n_tokens") * kept).cast("double")
+            / F.sum("n_tokens")
+        ).alias("kept_token_share"),
+    )

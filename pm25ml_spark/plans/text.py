@@ -598,3 +598,233 @@ def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
     return pack_sequences(d, "n_tokens", ["doc_id"], _PACK_C)
+
+
+# --------------------------------------------------------------------------
+# t11 — within-document repetition signals (the Gopher repetition filters,
+# Rae et al. 2021 §A1.1, adapted to the whitespace-token corpus): duplicate
+# word fraction, top-bigram coverage, duplicate-trigram instance fraction,
+# and the composite pass flag. Per-doc n-gram frequencies go through
+# explode + two-level groupBy (linear, shuffle keyed by doc) rather than a
+# per-row O(len²) array fold, so long documents can't blow up a task.
+
+# thresholds sit at ~p90 of the synthetic corpus so the flag actually
+# discriminates (Gopher's published 0.18/0.30-family cutoffs are tuned to
+# natural text and would pass everything here).
+_REP_TOP2, _REP_DUP3, _REP_DUPW = 0.06, 0.02, 0.60
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition profile over a `doc_id, text` frame.
+
+    Columns: n_tokens, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+    passes_repetition. Every ratio is one bigint/bigint double division —
+    bit-deterministic against the SQL mirror.
+    """
+    from pm25ml_spark.operators.dedup import word_ngrams
+
+    words = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("n_uniq"),
+    )
+    bg = (
+        docs.select("doc_id", F.explode(word_ngrams("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top2_n"), F.sum("n").alias("n2_inst"))
+    )
+    tg = (
+        docs.select("doc_id", F.explode(word_ngrams("text", 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)).alias(
+                "dup3_inst"
+            ),
+            F.sum("n").alias("n3_inst"),
+        )
+    )
+    # every fixture doc has ≥ 10 tokens so both gram frames cover every
+    # doc_id (inner join); the n2/n3 denominators are therefore ≥ 8 > 0.
+    j = words.join(bg, "doc_id").join(tg, "doc_id")
+    dup_word = (F.col("n_tokens") - F.col("n_uniq")).cast("double") / F.col(
+        "n_tokens"
+    )
+    top2 = F.col("top2_n").cast("double") / F.col("n2_inst")
+    dup3 = F.col("dup3_inst").cast("double") / F.col("n3_inst")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        dup_word.alias("dup_word_frac"),
+        top2.alias("top_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        F.when(
+            (top2 < _REP_TOP2) & (dup3 < _REP_DUP3) & (dup_word < _REP_DUPW),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_repetition"),
+    )
+
+
+_REP_SQL = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    words AS (
+        SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_uniq
+        FROM tok
+    ),
+    bg2 AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+        FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg2 GROUP BY 1, 2),
+    bga AS (
+        SELECT doc_id, MAX(n) AS top2_n, SUM(n) AS n2_inst
+        FROM bgc GROUP BY doc_id
+    ),
+    tg3 AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS n FROM tg3 GROUP BY 1, 2),
+    tga AS (
+        SELECT doc_id,
+               SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup3_inst,
+               SUM(n) AS n3_inst
+        FROM tgc GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT w.doc_id, w.n_tokens,
+               CAST(w.n_tokens - w.n_uniq AS DOUBLE) / w.n_tokens
+                 AS dup_word_frac,
+               CAST(b.top2_n AS DOUBLE) / b.n2_inst AS top_bigram_frac,
+               CAST(t.dup3_inst AS DOUBLE) / t.n3_inst AS dup_trigram_frac,
+               CASE WHEN CAST(b.top2_n AS DOUBLE) / b.n2_inst < {_REP_TOP2}
+                     AND CAST(t.dup3_inst AS DOUBLE) / t.n3_inst < {_REP_DUP3}
+                     AND CAST(w.n_tokens - w.n_uniq AS DOUBLE) / w.n_tokens
+                         < {_REP_DUPW}
+                    THEN 1 ELSE 0 END AS passes_repetition
+        FROM words w
+        JOIN bga b ON w.doc_id = b.doc_id
+        JOIN tga t ON w.doc_id = t.doc_id
+    )
+"""
+
+
+@query(
+    "t11_repetition_signals",
+    f"""
+    WITH {_REP_SQL}
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup_word_frac,
+           top_bigram_frac, dup_trigram_frac, passes_repetition
+    FROM rep
+    """,
+)
+def t11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs.select("doc_id", "text"))
+
+
+# --------------------------------------------------------------------------
+# t15 — fill-in-the-middle (FIM) transform (Bavarian et al. 2022): split a
+# hash-selected half of the corpus into (prefix, middle, suffix) at
+# document-keyed deterministic cut points and re-serialize in SPM
+# (suffix-prefix-middle) order. Pure row-local JVM expressions — slice +
+# array_join + md5 — no shuffle at all: the transform column-maps a 100 TB
+# corpus at scan speed. The split RNG is the engine-portable 60-bit md5 of
+# "fim{1,2}:{doc_id}", so the oracle reproduces every cut exactly.
+
+_FIM_SEP = "|SEP|"
+
+
+@query(
+    "t15_fim_transform",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ts,
+               len(string_split(text, ' ')) AS n,
+               ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+               ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+        FROM documents
+    ),
+    cut AS (
+        SELECT doc_id, text, ts, n,
+               (h1 % 2 = 0) AND n >= 3 AS fim_applied,
+               1 + (h1 % (CASE WHEN n >= 3 THEN n - 2 ELSE 1 END)) AS a,
+               h2 AS h2
+        FROM tok
+    ),
+    cut2 AS (
+        SELECT *, a + 1 + (h2 % (CASE WHEN n - a - 1 >= 1
+                                      THEN n - a - 1 ELSE 1 END)) AS b
+        FROM cut
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN fim_applied THEN 1 ELSE 0 END AS fim_applied,
+           CAST(CASE WHEN fim_applied THEN a ELSE n END AS BIGINT) AS prefix_len,
+           CAST(CASE WHEN fim_applied THEN b - a ELSE 0 END AS BIGINT) AS middle_len,
+           CAST(CASE WHEN fim_applied THEN n - b ELSE 0 END AS BIGINT) AS suffix_len,
+           CASE WHEN fim_applied
+                THEN md5(array_to_string(ts[b + 1:n], ' ') || '{_FIM_SEP}'
+                         || array_to_string(ts[1:a], ' ') || '{_FIM_SEP}'
+                         || array_to_string(ts[a + 1:b], ' '))
+                ELSE md5(text) END AS spm_digest
+    FROM cut2
+    """,
+)
+def t15_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.dedup import _md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _tokens()
+    n = F.size(ts)
+    h1 = _md5_long(F.concat_ws(":", F.lit("fim1"), F.col("doc_id")))
+    h2 = _md5_long(F.concat_ws(":", F.lit("fim2"), F.col("doc_id")))
+    base = docs.select(
+        "doc_id",
+        "text",
+        ts.alias("ts"),
+        n.alias("n"),
+        ((h1 % 2 == 0) & (n >= 3)).alias("fim_applied"),
+        (
+            1 + (h1 % F.when(n >= 3, n - 2).otherwise(1))
+        ).alias("a"),
+        h2.alias("h2"),
+    ).withColumn(
+        "b",
+        F.col("a")
+        + 1
+        + (
+            F.col("h2")
+            % F.when(
+                F.col("n") - F.col("a") - 1 >= 1,
+                F.col("n") - F.col("a") - 1,
+            ).otherwise(1)
+        ),
+    )
+    prefix = F.array_join(F.slice("ts", F.lit(1), F.col("a")), " ")
+    middle = F.array_join(
+        F.slice("ts", F.col("a") + 1, F.col("b") - F.col("a")), " "
+    )
+    suffix = F.array_join(
+        F.slice("ts", F.col("b") + 1, F.col("n") - F.col("b")), " "
+    )
+    spm = F.md5(
+        F.concat(
+            suffix, F.lit(_FIM_SEP), prefix, F.lit(_FIM_SEP), middle
+        )
+    )
+    app = F.col("fim_applied")
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.when(app, 1).otherwise(0).alias("fim_applied"),
+        F.when(app, F.col("a")).otherwise(F.col("n")).cast("long").alias("prefix_len"),
+        F.when(app, F.col("b") - F.col("a")).otherwise(0).cast("long").alias("middle_len"),
+        F.when(app, F.col("n") - F.col("b")).otherwise(0).cast("long").alias("suffix_len"),
+        F.when(app, spm).otherwise(F.md5("text")).alias("spm_digest"),
+    )

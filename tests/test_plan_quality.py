@@ -305,3 +305,35 @@ def test_ss08_rerank_fetch_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_t15_fim_is_pure_projection(spark, sf_dir):
+    """FIM is row-local: the plan must contain NO exchange at all — a
+    100 TB corpus is transformed at scan speed with zero shuffle."""
+    df = QUERIES["t15_fim_transform"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_sk03_probe_join_is_broadcast(spark, sf_dir):
+    """The d·w counter table (bounded size by construction) must reach
+    the probe side as a BroadcastHashJoin, never a sort-merge."""
+    df = QUERIES["sk03_countmin"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sk04_kmv_joins_are_equi(spark, sf_dir):
+    """Sketch-sketch intersection joins on h (hash-equi); the only
+    cross-join is over the per-group theta frame (|groups|² rows)."""
+    df = QUERIES["sk04_kmv_intersection"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_t11_repetition_no_cartesian(spark, sf_dir):
+    df = QUERIES["t11_repetition_signals"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan

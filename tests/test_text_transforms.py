@@ -1,0 +1,116 @@
+"""Independent (Python-recomputed) checks for the t11/t15/cp07 text ops —
+a third oracle besides DuckDB: the invariants are re-derived from raw
+strings with hashlib/collections, no SQL engine involved."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+load_all_plans()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_fim_lens_and_digest_match_python_reimplementation(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    out = {r.doc_id: r for r in QUERIES["t15_fim_transform"](spark, SF).collect()}
+    assert set(out) == set(docs)
+    n_applied = 0
+    for doc_id, text in docs.items():
+        ts = text.split(" ")
+        n = len(ts)
+        r = out[doc_id]
+        assert r.n_tokens == n
+        h1, h2 = _h60(f"fim1:{doc_id}"), _h60(f"fim2:{doc_id}")
+        applied = h1 % 2 == 0 and n >= 3
+        assert r.fim_applied == int(applied)
+        if not applied:
+            assert (r.prefix_len, r.middle_len, r.suffix_len) == (n, 0, 0)
+            assert r.spm_digest == hashlib.md5(text.encode()).hexdigest()
+            continue
+        n_applied += 1
+        a = 1 + h1 % (n - 2)
+        b = a + 1 + h2 % max(n - a - 1, 1)
+        # cut-point contract: three non-empty spans
+        assert 1 <= a < b <= n - 1
+        assert (r.prefix_len, r.middle_len, r.suffix_len) == (a, b - a, n - b)
+        spm = " ".join(ts[b:]) + "|SEP|" + " ".join(ts[:a]) + "|SEP|" + " ".join(ts[a:b])
+        assert r.spm_digest == hashlib.md5(spm.encode()).hexdigest()
+        # losslessness: the three spans re-concatenate to the original
+        assert " ".join(ts[:a] + ts[a:b] + ts[b:]) == text
+    # the hash-rate really splits the corpus ~in half
+    assert 0.3 < n_applied / len(docs) < 0.7
+
+
+def test_repetition_signals_match_python_recount(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    out = {
+        r.doc_id: r
+        for r in QUERIES["t11_repetition_signals"](spark, SF).collect()
+    }
+    n_pass = 0
+    for doc_id, text in docs.items():
+        ts = text.split(" ")
+        n = len(ts)
+        bg = Counter(" ".join(ts[i : i + 2]) for i in range(n - 1))
+        tg = Counter(" ".join(ts[i : i + 3]) for i in range(n - 2))
+        r = out[doc_id]
+        assert r.n_tokens == n
+        assert r.dup_word_frac == (n - len(set(ts))) / n
+        assert r.top_bigram_frac == max(bg.values()) / (n - 1)
+        dup3 = sum(c for c in tg.values() if c >= 2)
+        assert r.dup_trigram_frac == dup3 / (n - 2)
+        n_pass += r.passes_repetition
+    # thresholds discriminate: both classes present
+    assert 0 < n_pass < len(docs)
+
+
+def test_quality_gate_consistent_with_signals(spark):
+    """cp07 per-source keep counts must equal recounting the two flags."""
+    from pyspark.sql import functions as F
+
+    rep = QUERIES["t11_repetition_signals"](spark, SF)
+    docs = load_table(spark, SF, "documents")
+    out = {r.source: r for r in QUERIES["cp07_quality_gate"](spark, SF).collect()}
+    per_doc = docs.join(rep.select("doc_id", "passes_repetition"), "doc_id")
+    # lexical flag re-derived exactly as t02 defines it
+    toks = F.split("text", " ")
+    lex = (
+        (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.3)
+        & (
+            F.size(F.filter(toks, lambda t: (t == "the") | (t == "a"))).cast(
+                "double"
+            )
+            / F.size(toks)
+            < 0.5
+        )
+    )
+    recount = {
+        r.source: r.n_kept
+        for r in per_doc.groupBy("source")
+        .agg(
+            F.sum(
+                (lex.cast("int") * F.col("passes_repetition")).cast("long")
+            ).alias("n_kept")
+        )
+        .collect()
+    }
+    assert {s: r.n_kept for s, r in out.items()} == recount
+    for r in out.values():
+        assert 0.0 <= r.keep_rate <= 1.0
+        assert 0.0 <= r.kept_token_share <= 1.0
