@@ -584,15 +584,89 @@ def pq_encode(
     sub_dim: int = 8,
     c_id: str = "cid",
     c_vec: str = "ce",
+    prune: bool = True,
 ) -> DataFrame:
     """Assign every (vector, subspace) its nearest codebook id: (cid, s,
-    code). The candidate×codebook explosion happens INSIDE a broadcast
-    join followed by a map-side-combinable min aggregate — only n·m
-    assignment rows ever reach an exchange, never the n·m·K distances.
-    Argmin is min(struct(rounded_dist, cen_id)): lexicographic struct
-    order gives the engine-portable tie-break."""
-    subs = _subspaces(candidates, c_id, c_vec, m, sub_dim)
-    enc = subs.join(F.broadcast(csubs), "s").select(
+    code). Argmin is min(struct(rounded_dist, cen_id)): lexicographic
+    struct order gives the engine-portable tie-break.
+
+    ``prune=True`` (default): a vectorized Arrow kernel first shrinks
+    each (vector, subspace)'s codebook from K to the near-argmin set —
+    every centroid within 1e-5 of the float64 minimum, a GUARANTEED
+    superset of the rounded-d6 argmin (rounding moves a distance ≤ 5e-7
+    and the kernel/JVM float-order disagreement is ~1e-12, both far
+    inside the margin) — and the exact JVM fold + rounded tie-break only
+    runs on the ~1-per-row survivors. Same answer as the pure-JVM path
+    (equivalence-tested), ~K× less exact-expression work: the kernel is
+    one BLAS-shaped batch op, the decision stays engine-portable.
+
+    ``prune=False`` is the reference shape the oracle mirrors: the full
+    candidate×codebook explosion inside a broadcast join, min-combined
+    map-side so only n·m assignment rows reach an exchange.
+    """
+    if not prune:
+        subs = _subspaces(candidates, c_id, c_vec, m, sub_dim)
+        enc = subs.join(F.broadcast(csubs), "s").select(
+            c_id,
+            "s",
+            F.struct(
+                F.round(_sub_l2(F.col("sub"), F.col("csub")), 6).alias("d6"),
+                F.col("cen_id"),
+            ).alias("dc"),
+        )
+        return (
+            enc.groupBy(c_id, "s")
+            .agg(F.min("dc").alias("best"))
+            .select(c_id, "s", F.col("best.cen_id").alias("code"))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    sc = candidates.sparkSession.sparkContext
+    crows = csubs.collect()  # codebook: K·m·sub_dim values, contract-small
+    by_s: dict[int, list] = {}
+    for r in crows:
+        by_s.setdefault(int(r["s"]), []).append(
+            (int(r["cen_id"]), list(r["csub"]))
+        )
+    cen_ids = np.array(sorted(i for i, _ in by_s[0]), dtype=np.int64)
+    mats = np.empty((m, len(cen_ids), sub_dim), dtype=np.float64)
+    pos = {int(i): j for j, i in enumerate(cen_ids)}
+    for s, entries in by_s.items():
+        for i, v in entries:
+            mats[s, pos[i]] = v
+    bc = sc.broadcast((cen_ids, mats))
+
+    def prune_kernel(batches):
+        ids, M = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            out_id, out_s, out_sub, out_near = [], [], [], []
+            for s in range(m):
+                Vs = V[:, s * sub_dim : (s + 1) * sub_dim]
+                diff = Vs[:, None, :] - M[s][None, :, :]
+                D = (diff * diff).sum(axis=-1)
+                thr = D.min(axis=1, keepdims=True) + 1e-5
+                mask = D <= thr
+                for b in range(len(V)):
+                    out_id.append(pdf[c_id].iat[b])
+                    out_s.append(s)
+                    out_sub.append(Vs[b].tolist())
+                    out_near.append(ids[mask[b]].tolist())
+            yield pd.DataFrame(
+                {c_id: out_id, "s": out_s, "sub": out_sub, "near": out_near}
+            )
+
+    near = candidates.select(c_id, c_vec).mapInPandas(
+        prune_kernel,
+        f"{c_id} long, s int, sub array<double>, near array<bigint>",
+    )
+    enc = near.select(
+        c_id, "s", "sub", F.explode("near").alias("cen_id")
+    ).join(F.broadcast(csubs), ["s", "cen_id"]).select(
         c_id,
         "s",
         F.struct(

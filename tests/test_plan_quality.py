@@ -284,14 +284,18 @@ def test_sk02_hll_is_jvm_only(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
-def test_ss07_pq_is_jvm_broadcast_pipeline(spark, sf_dir):
-    """PQ encode + ADC must stay whole-stage-codegen JVM algebra: the
-    codebook and LUT joins broadcast, nothing Python, no cartesian —
-    the corpus side moves through narrow map + partial-agg stages only."""
+def test_ss07_pq_is_broadcast_pipeline_with_one_prune_kernel(spark, sf_dir):
+    """PQ encode + ADC: codebook and LUT joins broadcast, no cartesian,
+    no sort-merge — the corpus side moves through narrow map +
+    partial-agg stages only. Exactly ONE Arrow kernel is allowed: the
+    encode near-argmin prune (the K× winnower); the DECISION (exact
+    fold + rounded tie-break) must still be JVM expressions, visible as
+    the broadcast join that follows the kernel."""
     df = QUERIES["ss07_pq_adc_top3"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

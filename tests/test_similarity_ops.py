@@ -12,6 +12,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from pm25ml_spark.operators.combine import regex_project
+from pm25ml_spark.plans.registry import load_all_plans
+
+load_all_plans()
 from pm25ml_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -301,3 +304,40 @@ def test_pq_rerank_never_worse_than_adc(spark, sf_dir):
     assert set(adc1) == set(rr1)
     for qid in rr1:
         assert exact(qid, rr1[qid]) <= exact(qid, adc1[qid]) + 1e-9
+
+
+def test_pq_encode_prune_equals_full_explosion(spark, sf_dir):
+    """The Arrow near-argmin prune must reproduce the pure-JVM encode
+    bit-for-bit — on real data AND on an adversarial exact-tie corpus
+    where two centroids are equidistant from a vector (the rounded
+    tie-break must still pick the lower cen_id)."""
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.plans.similarity import _qc
+
+    _, _, c = _qc(spark, sf_dir)
+    csubs = S.pq_codebook_subspaces(c, m=16, sub_dim=4, stride=13, offset=7)
+    fast = S.pq_encode(c, csubs, m=16, sub_dim=4)
+    slow = S.pq_encode(c, csubs, m=16, sub_dim=4, prune=False)
+    assert {(r.cid, r.s, r.code) for r in fast.collect()} == {
+        (r.cid, r.s, r.code) for r in slow.collect()
+    }
+
+    # adversarial ties: centroids at -1 and +1 per dim, vectors at 0 —
+    # every subspace distance ties exactly; both paths must break to the
+    # lower centroid id, identically
+    rows = [(i, [0.0] * 8) for i in range(20)]
+    rows += [(100, [-1.0] * 8), (101, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "cid long, ce array<double>")
+    cs = df.filter(F.col("cid") >= 100).select(
+        F.col("cid").alias("cen_id"), F.col("ce").alias("cv")
+    )
+    csubs2 = S._subspaces(cs, "cen_id", "cv", 2, 4).withColumnRenamed(
+        "sub", "csub"
+    )
+    probe = df.filter(F.col("cid") < 100)
+    fast2 = {(r.cid, r.s): r.code for r in S.pq_encode(
+        probe, csubs2, m=2, sub_dim=4).collect()}
+    slow2 = {(r.cid, r.s): r.code for r in S.pq_encode(
+        probe, csubs2, m=2, sub_dim=4, prune=False).collect()}
+    assert fast2 == slow2
+    assert set(fast2.values()) == {100}
