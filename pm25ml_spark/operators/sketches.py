@@ -52,22 +52,40 @@ _HASH_BITS = 60
 def mg_summarizer(col: str, k: int):
     """The per-partition Misra-Gries pass as a ``mapInPandas`` function
     (shared by the batch operator and the streaming candidate dual):
-    O(k) state per task, emits the surviving candidate keys."""
+    O(k) state per task, emits the surviving candidate keys.
+
+    Weighted/batched variant of the classic sketch: each Arrow batch is
+    collapsed to vectorized value_counts first (C speed — the per-element
+    Python loop was the whole cost of the pass), merged into the O(k)
+    counter state, then compacted in ONE numpy step. The compaction
+    subtracts d = the (L−k)-th smallest count from every counter and
+    drops the non-positive ones — exactly the fixpoint of MG's
+    repeated decrement-all — and the superset guarantee survives: a
+    compaction removes ≥ (k+1)·d total mass (the k survivors lose d
+    each, the dropped ones lose their full ≤ d counts, and there is at
+    least one of those), so total decrement ≤ n_p/(k+1) and every key
+    with local count > n_p/k still has a positive counter at the end."""
+
+    import numpy as np
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for v in pdf[col].values:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all step; drop zeros. dict-comp keeps it
-                    # O(k) per eviction round, amortized O(1) per element.
-                    counters = {
-                        key: c - 1 for key, c in counters.items() if c > 1
-                    }
+            if pdf.empty:
+                continue
+            for key, c in pdf[col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            excess = len(counters) - k
+            if excess > 0:
+                keys = np.array(list(counters.keys()), dtype=object)
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                d = np.partition(vals, excess - 1)[excess - 1]
+                keep = vals > d
+                counters = dict(
+                    zip(keys[keep].tolist(), (vals[keep] - d).tolist())
+                )
         yield pd.DataFrame({col: list(counters.keys())})
 
     return summarize

@@ -689,7 +689,11 @@ def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = bg.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct")
     )
-    tot = bg.agg(F.count(F.lit(1)).alias("n_r"), F.sum("is_t").alias("n_t"))
+    # totals fold out of the B-sized bucket table — don't rescan (and
+    # re-md5) the corpus a third time for two numbers
+    tot = dist.agg(
+        F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
+    )
     w = dist.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(
@@ -784,14 +788,23 @@ def cp06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(D.word_ngrams("text", 2)).alias("b"),
-    ).withColumn("w1", F.split("b", " ")[0])
+    )
     cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
-    v = docs.select(F.explode(F.split("text", " ")).alias("t")).agg(
+    # prefix counts + vocabulary fold out of the vocabulary-sized cb
+    # table (c(w1 ·) = Σ cb by prefix; docs have ≥ 2 tokens so bigram
+    # members cover every token) — two corpus scans instead of three,
+    # same trained model value-for-value (see t12 for the argument).
+    cw = (
+        cb.withColumn("w1", F.split("b", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cw"))
+    )
+    v = cb.select(F.explode(F.split("b", " ")).alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
     inst = (
-        bg.join(F.broadcast(cb), "b")
+        bg.withColumn("w1", F.split("b", " ")[0])
+        .join(F.broadcast(cb), "b")
         .join(F.broadcast(cw), "w1")
         .crossJoin(F.broadcast(v))
         .select(

@@ -526,14 +526,25 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", F.explode(word_ngrams("text", 2)).alias("b")
-    ).withColumn("w1", F.split("b", " ")[0])
+    )
     cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
-    v = docs.select(F.explode(_tokens()).alias("t")).agg(
+    # the prefix counts and the vocabulary both fold out of the
+    # VOCABULARY-sized cb table instead of re-scanning the corpus:
+    # c(w1 ·) = Σ cb over bigrams starting with w1, and (since every doc
+    # has ≥ 2 tokens) every token instance occurs in some bigram, so
+    # distinct-over-bigram-members == distinct-over-tokens. One corpus
+    # aggregation trains the whole model; two scans instead of three.
+    cw = (
+        cb.withColumn("w1", F.split("b", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cw"))
+    )
+    v = cb.select(F.explode(F.split("b", " ")).alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
     inst = (
-        bg.join(F.broadcast(cb), "b")
+        bg.withColumn("w1", F.split("b", " ")[0])
+        .join(F.broadcast(cb), "b")
         .join(F.broadcast(cw), "w1")
         .crossJoin(F.broadcast(v))
         .select(
