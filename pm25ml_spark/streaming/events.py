@@ -312,3 +312,83 @@ def heavy_hitter_candidate_stream(
 
     grams = docs_stream.select(F.explode(word_ngrams("text", n)).alias("b"))
     return grams.mapInPandas(mg_summarizer("b", k), "b string")
+
+
+def cm_counter_stream(
+    docs_stream: DataFrame, n: int = 2, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Streaming Count-Min: maintain the d·w counter table over an
+    unbounded document stream. Like the HLL dual, the state is the
+    SKETCH itself — a streaming ``groupBy(r, c).count()`` whose state
+    is bounded at d·w rows forever (sum is monotone, no watermark, no
+    eviction) — and the batch operator applies to the stream unchanged;
+    point estimates come from
+    :func:`pm25ml_spark.operators.sketches.cm_estimate` against any
+    drained snapshot. This is the streaming shape of "track n-gram
+    frequencies over a crawl as it arrives"."""
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.operators.sketches import cm_counters
+
+    grams = docs_stream.select(F.explode(word_ngrams("text", n)).alias("b"))
+    return cm_counters(grams, "b", d=d, w=w)
+
+
+def kmv_sketch_stream(
+    docs_stream: DataFrame, k: int, n: int = 2, group: str = "source"
+) -> DataFrame:
+    """Streaming KMV/theta sketch: per-group bottom-k distinct n-gram
+    hashes carried in the state store (``applyInPandasWithState``) —
+    O(k) longs per group FOREVER, emitted update-mode after each batch.
+
+    The built-in streaming aggregates can't express "k smallest
+    distinct" with bounded state (a streaming min is one value, a
+    streaming distinct grows unboundedly), so this is the
+    custom-stateful escape hatch: merge each batch's hashes into the
+    kept bottom-k with one numpy union+unique+partition, which is
+    exactly the KMV merge — order-independent, so the stream sketch
+    equals the batch sketch over the same rows
+    (:func:`pm25ml_spark.operators.sketches.kmv_bottomk`), and
+    :func:`pm25ml_spark.operators.sketches.kmv_theta` /
+    ``kmv_intersections`` consume either interchangeably."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pm25ml_spark.operators.dedup import _md5_long, word_ngrams
+
+    hashes = docs_stream.select(
+        F.col(group), F.explode(word_ngrams("text", n)).alias("b")
+    ).select(F.col(group), _md5_long(F.col("b")).alias("h"))
+
+    out_schema = StructType(
+        [
+            StructField(group, StringType()),
+            StructField("h", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType([StructField("ks", ArrayType(LongType()))])
+
+    def fn(key, pdfs, state: GroupState):
+        kept = np.array(state.get[0] if state.exists else [], dtype=np.int64)
+        batches = [kept]
+        for pdf in pdfs:
+            batches.append(pdf["h"].to_numpy(dtype=np.int64))
+        merged = np.unique(np.concatenate(batches))  # sorted distinct
+        kept = merged[:k]
+        state.update((kept.tolist(),))
+        yield pd.DataFrame({group: [key[0]], "h": [kept.tolist()]})
+
+    return hashes.groupBy(group).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -284,3 +284,90 @@ def test_heavy_hitter_stream_candidates_recount_exact(spark, tmp_path, sf_dir):
     want = {(r.b, r.n) for r in exact_heavy_hitters(bg, "b", k).collect()}
     got = {(r.b, r.n) for r in recount.collect()}
     assert want and got == want
+
+
+def test_cm_counter_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Count-Min counters maintained over a 3-micro-batch stream equal
+    the batch counter table over the same corpus (sum-mergeability as a
+    streaming aggregate), so point estimates agree snapshot-for-batch."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.dedup import word_ngrams
+    from pm25ml_spark.operators.sketches import cm_counters, cm_estimate
+    from pm25ml_spark.streaming.events import (
+        cm_counter_stream,
+        run_available_now,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.withColumn("part", F.col("doc_id") % 3).repartition(
+        "part"
+    ).write.partitionBy("part").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    d, w = 4, 256
+    counters = cm_counter_stream(stream, n=2, d=d, w=w)
+    run_available_now(counters, "cm_cnt", str(tmp_path), output_mode="complete")
+    got = {(r.r, r.c, r.n) for r in spark.table("cm_cnt").collect()}
+    bg = docs.select(F.explode(word_ngrams("text", 2)).alias("b"))
+    batch = cm_counters(bg, "b", d=d, w=w)
+    assert got == {(r.r, r.c, r.n) for r in batch.collect()}
+    probes = bg.distinct().limit(30)
+    est_s = cm_estimate(probes, spark.table("cm_cnt"), "b", d=d, w=w)
+    est_b = cm_estimate(probes, batch, "b", d=d, w=w)
+    assert {(r.b, r.cm_est) for r in est_s.collect()} == {
+        (r.b, r.cm_est) for r in est_b.collect()
+    }
+
+
+def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
+    """The stateful bottom-k stream (O(k) state per group) converges to
+    the batch kmv_bottomk over the same rows — the KMV merge is
+    order-independent, so micro-batch segmentation must not matter."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.sketches import kmv_bottomk
+    from pm25ml_spark.streaming.events import (
+        kmv_sketch_stream,
+        run_available_now,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.withColumn("part", F.col("doc_id") % 3).repartition(
+        "part"
+    ).write.partitionBy("part").parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k = 32
+    sk = kmv_sketch_stream(stream, k=k, n=2, group="source")
+    run_available_now(sk, "kmv_sk", str(tmp_path), output_mode="update")
+    # update mode re-emits a group's row each batch it changes in; the
+    # merge is monotone (the kept set only ever gets lower hashes), so
+    # the final sketch per group is the pointwise-minimal emission
+    final: dict[str, list] = {}
+    for r in spark.table("kmv_sk").collect():
+        cur = final.get(r.source)
+        if cur is None or sorted(r.h) <= sorted(cur):
+            final[r.source] = sorted(r.h)
+
+    from pm25ml_spark.operators.dedup import word_ngrams
+
+    sbg = docs.select(
+        "source", F.explode(word_ngrams("text", 2)).alias("b")
+    )
+    want = kmv_bottomk(sbg, "b", "source", k)
+    want_by_g: dict[str, list] = {}
+    for r in want.collect():
+        want_by_g.setdefault(r.source, []).append(r.h)
+    for g, hs in want_by_g.items():
+        assert final[g] == sorted(hs), f"group {g} sketch mismatch"
