@@ -200,3 +200,52 @@ def stratified_split_portable(
         )
         .drop("__rn", "__n")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "es",
+    salts: int = 64,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    algorithm A-ES): every row draws a deterministic uniform u from the
+    portable 60-bit md5 of ``"{seed}:{id}"`` and the sample is the k
+    largest keys u^(1/w) — inclusion probability proportional to weight,
+    exactly the "sample the corpus length-weighted" primitive a
+    training-data mix needs. The key is compared in log space,
+    ln(u)/w (same ordering, no pow), rounded to 6 dp with the row id as
+    tie-break — the repo's standard portable-transcendental recipe.
+
+    Scale shape: a global top-k is a single-reducer sort, so the plan
+    takes per-salt-lane top-k first (``salts`` parallel windows over a
+    hash-derived lane) and the true top-k over the ≤ k·salts survivors —
+    the same two-level prune as the KMV sketch, exact by the same
+    subset argument. Adds column ``es_key``; keeps id and weight.
+    """
+    from pm25ml_spark.operators.dedup import _md5_long
+
+    h = _md5_long(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+    u = (h % 1_000_000 + 0.5) / 1_000_000.0
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col),
+        key.alias("es_key"),
+        (h % salts).alias("__lane"),
+    )
+    lane = Window.partitionBy("__lane").orderBy(
+        F.desc("es_key"), F.col(id_col)
+    )
+    pruned = (
+        keyed.withColumn("__rn", F.row_number().over(lane))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__lane")
+    )
+    final = Window.orderBy(F.desc("es_key"), F.col(id_col))
+    return (
+        pruned.withColumn("rk", F.row_number().over(final).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -745,3 +745,43 @@ def a03_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# a04 — weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# sample 100 documents with inclusion probability proportional to token
+# count — the length-weighted corpus-sampling primitive of a training-data
+# mix. Deterministic hash-derived uniforms make even the "random" sample
+# oracle-checkable; the plan's two-level salt-lane top-k means no
+# single-reducer sort ever sees the full corpus.
+_ES_K = 100
+
+
+@query(
+    "a04_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(ln((('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000000 + 0.5) / 1000000.0)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, es_key, rk FROM (
+        SELECT doc_id, n_tokens, es_key,
+               row_number() OVER (ORDER BY es_key DESC, doc_id) AS rk
+        FROM keyed)
+    WHERE rk <= {_ES_K}
+    """,
+)
+def a04_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return weighted_sample_topk(d, "doc_id", "n_tokens", _ES_K).select(
+        "doc_id", "n_tokens", "es_key", "rk"
+    )

@@ -527,3 +527,62 @@ def test_connected_components_paths_agree(spark):
         for r in connected_components(df, small_graph_edges=0).collect()
     }
     assert fast == slow
+
+
+# ---- weighted sampling (operators/sampling.py weighted_sample_topk) ------
+
+
+def test_weighted_sample_prune_equals_naive_topk(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.dedup import _md5_long
+    from pm25ml_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("w")
+    ).repartition(16)
+    got = weighted_sample_topk(df, "doc_id", "w", 200)
+    h = _md5_long(F.concat_ws(":", F.lit("es"), F.col("doc_id")))
+    u = (h % 1_000_000 + 0.5) / 1_000_000.0
+    key = F.round(F.log(u) / F.col("w").cast("double"), 6)
+    naive = (
+        df.select("doc_id", "w", key.alias("es_key"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("es_key"), F.col("doc_id"))
+            ).cast("long"),
+        )
+        .filter(F.col("rk") <= 200)
+    )
+    assert {(r.doc_id, r.rk) for r in got.collect()} == {
+        (r.doc_id, r.rk) for r in naive.collect()
+    }
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Across 50 independent seeds, a row with 100x the weight of the
+    rest is sampled far more often — the A-ES inclusion-probability
+    property, checked statistically since each seed's draw is fixed."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, 100).otherwise(1).alias("w"),
+    )
+    heavy_in = light_in = 0
+    for seed in range(50):
+        picked = {
+            r.doc_id
+            for r in weighted_sample_topk(
+                df, "doc_id", "w", 20, seed=f"s{seed}"
+            ).collect()
+        }
+        heavy_in += 7 in picked
+        light_in += 11 in picked
+    # heavy row: expected inclusion ~ 1; light rows ~ 20/400
+    assert heavy_in >= 45
+    assert light_in <= 10
