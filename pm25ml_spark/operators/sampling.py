@@ -224,9 +224,15 @@ def weighted_sample_topk(
     hash-derived lane) and the true top-k over the ≤ k·salts survivors —
     the same two-level prune as the KMV sketch, exact by the same
     subset argument. Adds column ``es_key``; keeps id and weight.
+
+    A-ES is defined for w > 0 only: rows with w = 0 have zero inclusion
+    probability by definition, and a NEGATIVE weight would flip the key
+    sign and rank ABOVE every valid row — so non-positive weights are
+    filtered out up front rather than silently inverting the sample.
     """
     from pm25ml_spark.operators.dedup import _md5_long
 
+    df = df.filter(F.col(weight_col) > 0)
     h = _md5_long(F.concat_ws(":", F.lit(seed), F.col(id_col)))
     u = (h % 1_000_000 + 0.5) / 1_000_000.0
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)

@@ -623,23 +623,37 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    sc = candidates.sparkSession.sparkContext
-    crows = csubs.collect()  # codebook: K·m·sub_dim values, contract-small
+    # materializes the codebook at construction time (the ivf_topk
+    # precedent) — K·m·sub_dim values, contract-small. The arrays ride
+    # in the kernel closure (~tens of KB), not an sc.broadcast, so
+    # repeated calls leak nothing on executors.
+    crows = csubs.collect()
     by_s: dict[int, list] = {}
     for r in crows:
         by_s.setdefault(int(r["s"]), []).append(
             (int(r["cen_id"]), list(r["csub"]))
         )
-    cen_ids = np.array(sorted(i for i, _ in by_s[0]), dtype=np.int64)
-    mats = np.empty((m, len(cen_ids), sub_dim), dtype=np.float64)
+    cen_ids = np.array(
+        sorted({i for entries in by_s.values() for i, _ in entries}),
+        dtype=np.int64,
+    )
+    # loud completeness check: a grid with any (s, cen_id) hole would
+    # otherwise compare against unset rows and prune the true argmin
+    if sorted(by_s) != list(range(m)) or any(
+        len(entries) != len(cen_ids) for entries in by_s.values()
+    ):
+        raise ValueError(
+            "pq_encode: codebook is not a complete m x K grid "
+            f"(m={m}, K={len(cen_ids)}, subspaces={sorted(by_s)})"
+        )
+    mats = np.full((m, len(cen_ids), sub_dim), np.nan, dtype=np.float64)
     pos = {int(i): j for j, i in enumerate(cen_ids)}
     for s, entries in by_s.items():
         for i, v in entries:
             mats[s, pos[i]] = v
-    bc = sc.broadcast((cen_ids, mats))
 
     def prune_kernel(batches):
-        ids, M = bc.value
+        ids, M = cen_ids, mats
         for pdf in batches:
             if pdf.empty:
                 continue

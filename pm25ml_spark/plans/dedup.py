@@ -751,8 +751,11 @@ def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
     cw AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1),
     v AS (
+        -- model vocabulary = tokens participating in bigrams (identical
+        -- to all tokens whenever every doc has >= 2 tokens; pinned so
+        -- Spark and oracle share ONE definition even on degenerate docs)
         SELECT COUNT(DISTINCT t) AS v
-        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        FROM (SELECT UNNEST(string_split(b, ' ')) AS t FROM cb)
     ),
     inst AS (
         SELECT source, ROUND(ln((cb + 1.0) / (cw + v)), 6) AS lnp

@@ -767,6 +767,7 @@ _ES_K = 100
                          % 1000000 + 0.5) / 1000000.0)
                      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS es_key
         FROM documents
+        WHERE len(string_split(text, ' ')) > 0
     )
     SELECT doc_id, n_tokens, es_key, rk FROM (
         SELECT doc_id, n_tokens, es_key,

@@ -501,8 +501,11 @@ def t10_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
     cw AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1),
     v AS (
+        -- model vocabulary = tokens participating in bigrams (identical
+        -- to all tokens whenever every doc has >= 2 tokens; pinned so
+        -- Spark and oracle share ONE definition even on degenerate docs)
         SELECT COUNT(DISTINCT t) AS v
-        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        FROM (SELECT UNNEST(string_split(b, ' ')) AS t FROM cb)
     ),
     inst AS (
         SELECT doc_id,
@@ -658,14 +661,23 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             F.sum("n").alias("n3_inst"),
         )
     )
-    # every fixture doc has ≥ 10 tokens so both gram frames cover every
-    # doc_id (inner join); the n2/n3 denominators are therefore ≥ 8 > 0.
-    j = words.join(bg, "doc_id").join(tg, "doc_id")
+    # LEFT joins + guards: a doc with < 2 (< 3) tokens has no bigram
+    # (trigram) rows, and a quality gate must still COUNT it (fraction
+    # pinned to 0.0), not silently drop it from the population — the
+    # fixture's ≥ 10-token docs never hit the guards, but the operator
+    # is presented as a generic curation primitive.
+    j = words.join(bg, "doc_id", "left").join(tg, "doc_id", "left")
     dup_word = (F.col("n_tokens") - F.col("n_uniq")).cast("double") / F.col(
         "n_tokens"
     )
-    top2 = F.col("top2_n").cast("double") / F.col("n2_inst")
-    dup3 = F.col("dup3_inst").cast("double") / F.col("n3_inst")
+    top2 = F.when(
+        F.col("n_tokens") >= 2,
+        F.col("top2_n").cast("double") / F.col("n2_inst"),
+    ).otherwise(0.0)
+    dup3 = F.when(
+        F.col("n_tokens") >= 3,
+        F.col("dup3_inst").cast("double") / F.col("n3_inst"),
+    ).otherwise(0.0)
     return j.select(
         "doc_id",
         "n_tokens",
@@ -711,16 +723,24 @@ _REP_SQL = f"""
         SELECT w.doc_id, w.n_tokens,
                CAST(w.n_tokens - w.n_uniq AS DOUBLE) / w.n_tokens
                  AS dup_word_frac,
-               CAST(b.top2_n AS DOUBLE) / b.n2_inst AS top_bigram_frac,
-               CAST(t.dup3_inst AS DOUBLE) / t.n3_inst AS dup_trigram_frac,
-               CASE WHEN CAST(b.top2_n AS DOUBLE) / b.n2_inst < {_REP_TOP2}
-                     AND CAST(t.dup3_inst AS DOUBLE) / t.n3_inst < {_REP_DUP3}
+               CASE WHEN w.n_tokens >= 2
+                    THEN CAST(b.top2_n AS DOUBLE) / b.n2_inst
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN w.n_tokens >= 3
+                    THEN CAST(t.dup3_inst AS DOUBLE) / t.n3_inst
+                    ELSE 0.0 END AS dup_trigram_frac,
+               CASE WHEN (CASE WHEN w.n_tokens >= 2
+                               THEN CAST(b.top2_n AS DOUBLE) / b.n2_inst
+                               ELSE 0.0 END) < {_REP_TOP2}
+                     AND (CASE WHEN w.n_tokens >= 3
+                               THEN CAST(t.dup3_inst AS DOUBLE) / t.n3_inst
+                               ELSE 0.0 END) < {_REP_DUP3}
                      AND CAST(w.n_tokens - w.n_uniq AS DOUBLE) / w.n_tokens
                          < {_REP_DUPW}
                     THEN 1 ELSE 0 END AS passes_repetition
         FROM words w
-        JOIN bga b ON w.doc_id = b.doc_id
-        JOIN tga t ON w.doc_id = t.doc_id
+        LEFT JOIN bga b ON w.doc_id = b.doc_id
+        LEFT JOIN tga t ON w.doc_id = t.doc_id
     )
 """
 

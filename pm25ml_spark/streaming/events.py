@@ -356,7 +356,6 @@ def kmv_sketch_stream(
     from pyspark.sql.types import (
         ArrayType,
         LongType,
-        StringType,
         StructField,
         StructType,
     )
@@ -367,9 +366,13 @@ def kmv_sketch_stream(
         F.col(group), F.explode(word_ngrams("text", n)).alias("b")
     ).select(F.col(group), _md5_long(F.col("b")).alias("h"))
 
+    # the group column keeps ITS OWN type (string source, int bucket,
+    # ...) — hardcoding StringType would silently stringify non-string
+    # keys and break joins against the batch sketch
+    group_field = hashes.schema[group]
     out_schema = StructType(
         [
-            StructField(group, StringType()),
+            StructField(group, group_field.dataType),
             StructField("h", ArrayType(LongType())),
         ]
     )

@@ -586,3 +586,18 @@ def test_weighted_sample_favors_heavy_rows(spark):
     # heavy row: expected inclusion ~ 1; light rows ~ 20/400
     assert heavy_in >= 45
     assert light_in <= 10
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """w <= 0 rows are excluded up front: zero weight = zero inclusion
+    probability by definition; a negative weight would flip the key sign
+    and rank ABOVE every valid row."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, 7)], "doc_id long, w long"
+    )
+    picked = {r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 10).collect()}
+    assert picked == {1, 4}

@@ -341,3 +341,23 @@ def test_pq_encode_prune_equals_full_explosion(spark, sf_dir):
         probe, csubs2, m=2, sub_dim=4, prune=False).collect()}
     assert fast2 == slow2
     assert set(fast2.values()) == {100}
+
+
+def test_pq_encode_rejects_incomplete_codebook(spark):
+    """A codebook missing any (subspace, centroid) cell must fail loudly
+    instead of comparing against unset rows."""
+    import pytest as _pytest
+
+    from pm25ml_spark.operators import similarity as S
+
+    rows = [(0, [1.0] * 8), (1, [2.0] * 8)]
+    df = spark.createDataFrame(rows, "cid long, ce array<double>")
+    cs = df.select(F.col("cid").alias("cen_id"), F.col("ce").alias("cv"))
+    csubs = S._subspaces(cs, "cen_id", "cv", 2, 4).withColumnRenamed(
+        "sub", "csub"
+    )
+    holey = csubs.filter(
+        ~((F.col("s") == 1) & (F.col("cen_id") == 1))
+    )
+    with _pytest.raises(ValueError, match="complete m x K grid"):
+        S.pq_encode(df, holey, m=2, sub_dim=4)

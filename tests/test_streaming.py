@@ -357,7 +357,10 @@ def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
     final: dict[str, list] = {}
     for r in spark.table("kmv_sk").collect():
         cur = final.get(r.source)
-        if cur is None or sorted(r.h) <= sorted(cur):
+        # longer beats shorter (the kept set only grows toward k), then
+        # lexicographically lower beats higher (hashes only get smaller)
+        cand = (-len(r.h), sorted(r.h))
+        if cur is None or cand <= (-len(cur), cur):
             final[r.source] = sorted(r.h)
 
     from pm25ml_spark.operators.dedup import word_ngrams

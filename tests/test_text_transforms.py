@@ -114,3 +114,27 @@ def test_quality_gate_consistent_with_signals(spark):
     for r in out.values():
         assert 0.0 <= r.keep_rate <= 1.0
         assert 0.0 <= r.kept_token_share <= 1.0
+
+
+def test_repetition_signals_keep_degenerate_short_docs(spark):
+    """Docs with < 3 (or < 2) tokens must stay in the population with
+    fractions pinned to 0.0 — a quality gate that silently drops rows
+    undercounts every downstream denominator."""
+    from pm25ml_spark.plans.text import repetition_signals
+
+    long_distinct = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three tokens here"),
+         (4, "a a a a a a a a a a"), (5, long_distinct)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].top_bigram_frac == 0.0 and out[1].dup_trigram_frac == 0.0
+    assert out[2].top_bigram_frac == 1.0 and out[2].dup_trigram_frac == 0.0
+    assert out[3].dup_trigram_frac == 0.0
+    # tiny docs fail naturally (top-bigram frac is 1/(n-1)-floored high),
+    # the pathological repeat doc fails, a long distinct doc passes
+    assert out[4].passes_repetition == 0
+    assert out[5].passes_repetition == 1
+    assert out[5].dup_word_frac == 0.0
