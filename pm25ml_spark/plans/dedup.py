@@ -686,11 +686,16 @@ def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (D._md5_long(F.col("b")) % _DSIR_B).alias("bucket"), "is_t"
     )
-    dist = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"), F.sum("is_t").alias("ct")
+    # aggregate ONCE to per-(doc, bucket) counts; every later stage folds
+    # out of that table instead of re-exploding (and re-md5-ing) the
+    # corpus: dist and the per-doc score both read cdb, totals fold out
+    # of dist. One corpus pass trains AND scores.
+    cdb = bg.groupBy("doc_id", "bucket", "is_t").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    # totals fold out of the B-sized bucket table — don't rescan (and
-    # re-md5) the corpus a third time for two numbers
+    dist = cdb.groupBy("bucket").agg(
+        F.sum("n").alias("cr"), F.sum(F.col("n") * F.col("is_t")).alias("ct")
+    )
     tot = dist.agg(
         F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t")
     )
@@ -702,13 +707,18 @@ def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w"),
     )
+    # n·w in DECIMAL equals the oracle's per-instance decimal sum (exact
+    # repeated addition), so scoring on the aggregate is value-identical
     per_doc = (
-        bg.join(F.broadcast(w), "bucket")
+        cdb.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("w").cast("decimal(38,6)")).cast("double"), 6
+                F.sum(
+                    F.col("n") * F.col("w").cast("decimal(38,6)")
+                ).cast("double"),
+                6,
             ).alias("score"),
         )
     )
@@ -805,25 +815,31 @@ def cp06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cb.select(F.explode(F.split("b", " ")).alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
+    # per-(source, bigram) counts first; n·lnp decimal sums equal the
+    # per-instance sums exactly (see t12)
+    csb = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n"))
     inst = (
-        bg.withColumn("w1", F.split("b", " ")[0])
+        csb.withColumn("w1", F.split("b", " ")[0])
         .join(F.broadcast(cb), "b")
         .join(F.broadcast(cw), "w1")
         .crossJoin(F.broadcast(v))
         .select(
             "source",
+            "n",
             F.round(
                 F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))), 6
             ).alias("lnp"),
         )
     )
     dec_ce = F.round(
-        -F.sum(F.col("lnp").cast("decimal(38,6)")).cast("double")
-        / F.count(F.lit(1)),
+        -F.sum(F.col("n") * F.col("lnp").cast("decimal(38,6)")).cast(
+            "double"
+        )
+        / F.sum("n"),
         6,
     )
     per_source = inst.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_bigrams"), dec_ce.alias("ce")
+        F.sum("n").alias("n_bigrams"), dec_ce.alias("ce")
     )
     base = inst.agg(dec_ce.alias("ce_corpus"))
     excess = per_source.crossJoin(F.broadcast(base)).select(

@@ -545,21 +545,28 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cb.select(F.explode(F.split("b", " ")).alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
+    # score on per-(doc, bigram) counts, not raw instances: n·lnp in
+    # DECIMAL equals the oracle's per-instance decimal sum exactly, and
+    # the model join input shrinks from instances to within-doc-distinct
+    cdbg = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     inst = (
-        bg.withColumn("w1", F.split("b", " ")[0])
+        cdbg.withColumn("w1", F.split("b", " ")[0])
         .join(F.broadcast(cb), "b")
         .join(F.broadcast(cw), "w1")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
+            "n",
             F.round(
                 F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))), 6
             ).alias("lnp"),
         )
     )
     per_doc = inst.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum(F.col("lnp").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("lnp").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s"),
     )
     h = -F.col("s") / F.col("n_bigrams")
     return per_doc.select(
