@@ -90,16 +90,19 @@ def ss02_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_sql(n_planes: int, dim: int, vec: str) -> str:
+def _plane_sql(n_planes: int, dim: int, vec: str, plane_offset: int = 0) -> str:
     """DuckDB spelling of the hyperplane signature — embeds the SAME
     md5-derived integer components the Spark operator uses (see
-    operators.similarity.plane_component), as literals."""
+    operators.similarity.plane_component), as literals. ``plane_offset``
+    selects an independent plane set (table t uses offset t·n_planes),
+    mirroring the operator's multi-table indexing."""
     from pm25ml_spark.operators.similarity import plane_component
 
     bits = []
     for p in range(n_planes):
         comps = ", ".join(
-            f"{float(plane_component(p, i))}" for i in range(dim)
+            f"{float(plane_component(plane_offset + p, i))}"
+            for i in range(dim)
         )
         bits.append(
             f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
@@ -467,3 +470,75 @@ def ss08_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         stride=_PQ_STRIDE,
         offset=_PQ_OFFSET,
     )
+
+
+# --------------------------------------------------------------------------
+# ss09 — MULTI-TABLE hyperplane LSH (the classic L-table index): two
+# independent 8-plane tables, Hamming-1 probes, candidates from the union
+# of per-table bucket matches, pairs matching in several tables deduped by
+# a map-side-combinable aggregate before ranking. SCALING.md's measured
+# frontier shows extra tables beat deeper probing per candidate on
+# structureless corpora; this entry pins the L-table plan's VALUES under
+# the same DuckDB oracle discipline as the single-table ss03.
+_MT_PLANES, _MT_H, _MT_TABLES = 8, 1, 2
+
+
+def _mt_lsh_oracle() -> str:
+    p, h, dim = _MT_PLANES, _MT_H, 64
+    tables = []
+    for t in range(_MT_TABLES):
+        tables.append(
+            f"""
+    q{t} AS (
+        SELECT qid, qe, {t} AS tbl, xor(sig, m.m) AS bucket
+        FROM (
+            SELECT vec_id AS qid, embedding AS qe,
+                   {_plane_sql(p, dim, 'embedding', plane_offset=t * p)} AS sig
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), (VALUES {_probe_values_sql(p, h)}) m(m)
+    ),
+    c{t} AS (
+        SELECT vec_id AS cid, embedding AS ce, {t} AS tbl,
+               {_plane_sql(p, dim, 'embedding', plane_offset=t * p)} AS bucket
+        FROM embeddings
+    )"""
+        )
+    q_union = " UNION ALL ".join(f"SELECT * FROM q{t}" for t in range(_MT_TABLES))
+    c_union = " UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(_MT_TABLES))
+    return f"""
+    WITH {",".join(tables)},
+    q AS ({q_union}),
+    c AS ({c_union}),
+    pairs AS (
+        SELECT qid, cid,
+               ROUND(
+                 list_sum(list_transform(range(1, len(qe) + 1),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS score
+        FROM c JOIN q USING (tbl, bucket)
+        WHERE qid <> cid
+    ),
+    dedup AS (SELECT qid, cid, MIN(score) AS score FROM pairs GROUP BY qid, cid)
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rk
+        FROM dedup)
+    WHERE rk <= 1
+    """
+
+
+@query("ss09_lsh_multitable_top1", _mt_lsh_oracle())
+def ss09_lsh_multitable_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.lsh_bucket_topk(
+        q,
+        c,
+        k=1,
+        n_planes=_MT_PLANES,
+        dim=64,
+        probe_hamming=_MT_H,
+        n_tables=_MT_TABLES,
+    ).select("qid", "cid", "score", "rk")

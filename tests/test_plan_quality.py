@@ -341,3 +341,14 @@ def test_t11_repetition_no_cartesian(spark, sf_dir):
     df = QUERIES["t11_repetition_signals"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ss09_multitable_join_is_bucket_equi(spark, sf_dir):
+    """The L-table union must still reach the corpus through a (tbl,
+    bucket) equi-join with the probe side broadcast — never a cartesian,
+    never a corpus-side sort-merge."""
+    df = QUERIES["ss09_lsh_multitable_top1"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
