@@ -1,0 +1,359 @@
+"""Zarr v2 store: numpy-only codec + a Spark-PARALLEL chunk sink.
+
+The reference exports its terminal raster as NetCDF
+(netcdf_final_result_writer.py); modern raster consumers increasingly
+want the same cube as a Zarr store — chunked, cloud-object-friendly, and
+writable IN PARALLEL because every chunk is an independent object. That
+last property is the Spark-native story: the NetCDF sink is necessarily
+a driver-side serial write (one file, one header), while
+:func:`write_zarr_distributed` lets EVERY EXECUTOR TASK write its own
+chunk file with no coordination beyond the driver-side metadata stamp —
+at a 1000-executor scale the sink is as parallel as the computation.
+
+Format notes (Zarr spec v2, https://zarr-specs.readthedocs.io/):
+
+- directory store; group marker ``.zgroup`` = ``{"zarr_format": 2}``;
+- each array is a sub-directory with ``.zarray`` metadata (shape,
+  chunks, dtype like ``"<f4"``, compressor ``{"id":"zlib","level":n}``
+  or null, ``fill_value`` (the JSON string ``"NaN"`` for float NaN),
+  C order, no filters) and optional ``.zattrs``;
+- chunk files are named by dot-joined chunk indices (``"0.1.2"``) and
+  hold the raw C-order bytes of a FULL-SIZE chunk (edge chunks padded
+  with the fill value), zlib-compressed when a compressor is declared;
+- the ``_ARRAY_DIMENSIONS`` attribute on each array (the xarray
+  convention) names its dimensions, so the store opens as a dataset in
+  any xarray-compatible reader.
+
+Only ``zlib`` (and uncompressed) codecs are implemented — stdlib-only,
+like the repo's NetCDF/HDF5 codecs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+
+import numpy as np
+
+_ZARR_FORMAT = 2
+
+
+def _dtype_str(dtype: np.dtype) -> str:
+    dt = np.dtype(dtype)
+    if dt.byteorder == "=":
+        return ("<" if np.little_endian else ">") + dt.str[1:]
+    return dt.str
+
+
+def _fill_json(fill_value, dtype: np.dtype):
+    if np.issubdtype(np.dtype(dtype), np.floating) and (
+        fill_value is not None and math.isnan(float(fill_value))
+    ):
+        return "NaN"
+    return fill_value
+
+
+def _fill_from_json(v, dtype: np.dtype):
+    if v == "NaN":
+        return np.nan
+    return v
+
+
+def chunk_grid(shape: tuple[int, ...], chunks: tuple[int, ...]):
+    """Iterate (chunk_index_tuple, slice_tuple) over the chunk grid."""
+    counts = [-(-s // c) for s, c in zip(shape, chunks)]
+    idx = [0] * len(shape)
+    total = int(np.prod(counts)) if counts else 1
+    for _ in range(total):
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        yield tuple(idx), slices
+        for d in range(len(idx) - 1, -1, -1):
+            idx[d] += 1
+            if idx[d] < counts[d]:
+                break
+            idx[d] = 0
+
+
+def encode_chunk(
+    block: np.ndarray,
+    chunks: tuple[int, ...],
+    dtype: np.dtype,
+    fill_value,
+    level: int | None = 5,
+) -> bytes:
+    """Full-size C-order chunk bytes (edge blocks padded with fill),
+    zlib-compressed when ``level`` is not None. Shared by the driver
+    and the distributed writer so their chunk files are bit-identical."""
+    full = np.full(chunks, fill_value, dtype=dtype)
+    full[tuple(slice(0, s) for s in block.shape)] = block
+    raw = np.ascontiguousarray(full, dtype=dtype).tobytes()
+    return zlib.compress(raw, level) if level is not None else raw
+
+
+def write_zarr_array(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...],
+    dims: list[str],
+    attrs: dict | None = None,
+    level: int | None = 5,
+    fill_value=np.nan,
+) -> None:
+    """Driver-side Zarr v2 array write (metadata + every chunk)."""
+    os.makedirs(path, exist_ok=True)
+    dt = np.dtype(arr.dtype)
+    meta = {
+        "zarr_format": _ZARR_FORMAT,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": _dtype_str(dt),
+        "compressor": {"id": "zlib", "level": level}
+        if level is not None
+        else None,
+        "fill_value": _fill_json(fill_value, dt),
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f, indent=1)
+    zattrs = {"_ARRAY_DIMENSIONS": dims, **(attrs or {})}
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(zattrs, f, indent=1)
+    for idx, slc in chunk_grid(arr.shape, chunks):
+        data = encode_chunk(arr[slc], chunks, dt, fill_value, level)
+        with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
+            f.write(data)
+
+
+def read_zarr_array(path: str) -> tuple[np.ndarray, dict]:
+    """Read a Zarr v2 array directory back to (ndarray, attrs)."""
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != _ZARR_FORMAT:
+        raise ValueError(f"unsupported zarr_format {meta.get('zarr_format')}")
+    if meta.get("filters"):
+        raise ValueError("zarr filters not supported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise ValueError(f"unsupported compressor {comp}")
+    if meta.get("order") != "C":
+        raise ValueError("only C order supported")
+    dt = np.dtype(meta["dtype"])
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    fill = _fill_from_json(meta.get("fill_value"), dt)
+    arr = np.full(shape, fill, dtype=dt)
+    for idx, slc in chunk_grid(shape, chunks):
+        cpath = os.path.join(path, ".".join(map(str, idx)))
+        if not os.path.exists(cpath):
+            continue  # absent chunk = all fill (spec-allowed)
+        with open(cpath, "rb") as f:
+            raw = f.read()
+        if comp is not None:
+            raw = zlib.decompress(raw)
+        block = np.frombuffer(raw, dtype=dt).reshape(chunks)
+        arr[slc] = block[tuple(slice(0, s.stop - s.start) for s in slc)]
+    attrs = {}
+    apath = os.path.join(path, ".zattrs")
+    if os.path.exists(apath):
+        with open(apath) as f:
+            attrs = json.load(f)
+    return arr, attrs
+
+
+def write_zarr_cube(
+    path: str,
+    cube: np.ndarray,
+    dates: np.ndarray,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    var_name: str = "pm25",
+    chunks: tuple[int, int, int] | None = None,
+    attrs: dict | None = None,
+    level: int | None = 5,
+) -> None:
+    """(time, y, x) cube + coordinates → an xarray-layout Zarr group
+    (driver-side; the terminal raster is driver-sized by contract)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": _ZARR_FORMAT}, f)
+    if chunks is None:
+        chunks = (1, cube.shape[1], cube.shape[2])
+    write_zarr_array(
+        os.path.join(path, var_name),
+        np.asarray(cube, dtype=np.float32),
+        chunks,
+        ["time", "y", "x"],
+        attrs=attrs,
+        level=level,
+    )
+    from pm25ml_spark.sources.results import _TIME_EPOCH
+
+    t = (
+        (np.asarray(dates, dtype="datetime64[D]") - _TIME_EPOCH)
+        .astype("timedelta64[D]")
+        .astype(np.int32)
+    )
+    for name, vals, unit in (
+        ("time", t, "days since 2000-01-01"),
+        ("y", np.asarray(ys, dtype=np.float64), "m"),
+        ("x", np.asarray(xs, dtype=np.float64), "m"),
+    ):
+        write_zarr_array(
+            os.path.join(path, name),
+            vals,
+            (len(vals),),
+            [name],
+            attrs={"units": unit},
+            level=None,
+            fill_value=0,
+        )
+
+
+def read_zarr_cube(path: str, var_name: str = "pm25") -> dict:
+    """Open an xarray-layout Zarr group written by this module."""
+    cube, attrs = read_zarr_array(os.path.join(path, var_name))
+    out = {"values": cube, "attrs": attrs}
+    for name in ("time", "y", "x"):
+        apath = os.path.join(path, name)
+        if os.path.isdir(apath):
+            out[name], _ = read_zarr_array(apath)
+    return out
+
+
+def write_zarr_distributed(
+    df,
+    path: str,
+    dates: np.ndarray,
+    ys: np.ndarray,
+    xs: np.ndarray,
+    value_col: str,
+    date_col: str = "date",
+    y_col: str = "original_y",
+    x_col: str = "original_x",
+    var_name: str = "pm25",
+    chunks: tuple[int, int, int] = (1, 64, 64),
+    attrs: dict | None = None,
+    level: int | None = 5,
+) -> int:
+    """THE parallel sink: every Spark task writes its own chunk file.
+
+    The long-form frame (date, y, x, value) is mapped to global cube
+    indices against the driver-known (small) coordinate axes, assigned
+    its chunk id, and grouped by chunk — ``applyInPandas`` then builds
+    each full-size chunk (fill-padded) and writes the chunk object
+    directly. No pivot on the driver, no single writer: chunk writes
+    scale with the cluster exactly like the computation that produced
+    them, which is the reason Zarr exists as a cloud-raster format.
+    Chunk bytes are produced by the same :func:`encode_chunk` as the
+    driver writer, so the two sinks are bit-identical file-for-file.
+    Metadata (.zarray/.zattrs/.zgroup + coordinate arrays) is stamped
+    by the driver after the chunk jobs finish. Returns the number of
+    chunk files written.
+
+    ``path`` must be a filesystem visible to every executor (local dir
+    on local[*], NFS/object-store mount on a cluster).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    dt = np.dtype(np.float32)
+    shape = (len(dates), len(ys), len(xs))
+    date_keys = {str(np.datetime64(d, "D")): i for i, d in enumerate(dates)}
+    y_keys = {float(v): i for i, v in enumerate(ys)}
+    x_keys = {float(v): i for i, v in enumerate(xs)}
+    ct, cy, cx = chunks
+    os.makedirs(os.path.join(path, var_name), exist_ok=True)
+
+    var_dir = os.path.join(path, var_name)
+    fill = np.nan
+
+    def write_chunk(key, pdf):
+        tc, yc, xc = (int(key[0]), int(key[1]), int(key[2]))
+        block = np.full((ct, cy, cx), fill, dtype=dt)
+        ti = pdf["__t"].to_numpy() - tc * ct
+        yi = pdf["__y"].to_numpy() - yc * cy
+        xi = pdf["__x"].to_numpy() - xc * cx
+        block[ti, yi, xi] = pdf[value_col].to_numpy(dtype=dt)
+        # block is already full-size; encode_chunk pads no further
+        data = encode_chunk(block, (ct, cy, cx), dt, fill, level)
+        fname = f"{tc}.{yc}.{xc}"
+        with open(os.path.join(var_dir, fname), "wb") as f:
+            f.write(data)
+        return pd.DataFrame({"chunk": [fname], "n_cells": [len(pdf)]})
+
+    t_map = F.create_map(
+        *[x for k, v in date_keys.items() for x in (F.lit(k), F.lit(v))]
+    )
+    y_map = F.create_map(
+        *[x for k, v in y_keys.items() for x in (F.lit(k), F.lit(v))]
+    )
+    x_map = F.create_map(
+        *[x for k, v in x_keys.items() for x in (F.lit(k), F.lit(v))]
+    )
+    indexed = df.select(
+        t_map[F.date_format(F.col(date_col), "yyyy-MM-dd")].alias("__t"),
+        y_map[F.col(y_col).cast("double")].alias("__y"),
+        x_map[F.col(x_col).cast("double")].alias("__x"),
+        F.col(value_col),
+    ).filter(
+        F.col("__t").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__x").isNotNull()
+    )
+    written = (
+        indexed.withColumn("__ct", (F.col("__t") / ct).cast("int"))
+        .withColumn("__cy", (F.col("__y") / cy).cast("int"))
+        .withColumn("__cx", (F.col("__x") / cx).cast("int"))
+        .groupBy("__ct", "__cy", "__cx")
+        .applyInPandas(write_chunk, "chunk string, n_cells long")
+        .collect()
+    )
+
+    # driver stamps metadata; chunks the tasks didn't write are absent,
+    # which the spec reads as all-fill
+    meta = {
+        "zarr_format": _ZARR_FORMAT,
+        "shape": list(shape),
+        "chunks": [ct, cy, cx],
+        "dtype": _dtype_str(dt),
+        "compressor": {"id": "zlib", "level": level}
+        if level is not None
+        else None,
+        "fill_value": "NaN",
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(var_dir, ".zarray"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(var_dir, ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["time", "y", "x"], **(attrs or {})}, f)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": _ZARR_FORMAT}, f)
+    from pm25ml_spark.sources.results import _TIME_EPOCH
+
+    t = (
+        (np.asarray(dates, dtype="datetime64[D]") - _TIME_EPOCH)
+        .astype("timedelta64[D]")
+        .astype(np.int32)
+    )
+    for name, vals, unit in (
+        ("time", t, "days since 2000-01-01"),
+        ("y", np.asarray(ys, dtype=np.float64), "m"),
+        ("x", np.asarray(xs, dtype=np.float64), "m"),
+    ):
+        write_zarr_array(
+            os.path.join(path, name),
+            vals,
+            (len(vals),),
+            [name],
+            attrs={"units": unit},
+            level=None,
+            fill_value=0,
+        )
+    return len(written)

@@ -1,0 +1,157 @@
+"""Zarr v2 codec + parallel sink tests (sources/zarr_io.py).
+
+Round-trip through our own reader, structural spec checks (the layout an
+xarray/zarr consumer expects), and the central claim of the distributed
+sink: executor-written chunk files are BIT-IDENTICAL to the driver
+writer's, file for file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pm25ml_spark.sources.zarr_io import (
+    chunk_grid,
+    read_zarr_array,
+    read_zarr_cube,
+    write_zarr_array,
+    write_zarr_cube,
+    write_zarr_distributed,
+)
+
+
+def test_chunk_grid_covers_shape_exactly():
+    covered = np.zeros((5, 7), dtype=int)
+    for idx, slc in chunk_grid((5, 7), (2, 3)):
+        covered[slc] += 1
+    assert (covered == 1).all()
+    assert len(list(chunk_grid((5, 7), (2, 3)))) == 3 * 3
+
+
+def test_array_roundtrip_with_edge_chunks_and_nan_fill(tmp_path):
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(5, 9, 11)).astype(np.float32)
+    arr[0, 0, 0] = np.nan
+    p = str(tmp_path / "a")
+    write_zarr_array(p, arr, (2, 4, 4), ["t", "y", "x"], attrs={"units": "u"})
+    back, attrs = read_zarr_array(p)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, arr)
+    assert attrs["_ARRAY_DIMENSIONS"] == ["t", "y", "x"]
+    assert attrs["units"] == "u"
+    # spec structure: .zarray metadata + dot-named full-size chunks
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["zarr_format"] == 2
+    assert meta["fill_value"] == "NaN"
+    assert meta["compressor"] == {"id": "zlib", "level": 5}
+    assert os.path.exists(os.path.join(p, "0.0.0"))
+    assert os.path.exists(os.path.join(p, "2.2.2"))
+
+
+def test_absent_chunk_reads_as_fill(tmp_path):
+    arr = np.ones((4, 4), dtype=np.float32)
+    p = str(tmp_path / "b")
+    write_zarr_array(p, arr, (2, 2), ["y", "x"])
+    os.remove(os.path.join(p, "1.1"))
+    back, _ = read_zarr_array(p)
+    assert np.isnan(back[2:, 2:]).all()
+    assert (back[:2, :2] == 1).all()
+
+
+def test_uncompressed_int_array_roundtrip(tmp_path):
+    vals = np.arange(10, dtype=np.int32)
+    p = str(tmp_path / "c")
+    write_zarr_array(p, vals, (4,), ["time"], level=None, fill_value=0)
+    meta = json.load(open(os.path.join(p, ".zarray")))
+    assert meta["compressor"] is None
+    back, _ = read_zarr_array(p)
+    np.testing.assert_array_equal(back, vals)
+
+
+def _cube_fixture():
+    rng = np.random.default_rng(3)
+    dates = np.array(["2024-01-01", "2024-01-02", "2024-01-03"], dtype="datetime64[D]")
+    ys = np.array([100.0, 200.0, 300.0, 400.0, 500.0])
+    xs = np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0])
+    cube = rng.normal(size=(3, 5, 7)).astype(np.float32)
+    cube[1, 2, 3] = np.nan
+    return cube, dates, ys, xs
+
+
+def test_cube_group_layout_and_roundtrip(tmp_path):
+    cube, dates, ys, xs = _cube_fixture()
+    p = str(tmp_path / "store")
+    write_zarr_cube(p, cube, dates, ys, xs, attrs={"long_name": "pm25"})
+    assert json.load(open(os.path.join(p, ".zgroup"))) == {"zarr_format": 2}
+    out = read_zarr_cube(p)
+    np.testing.assert_array_equal(out["values"], cube)
+    np.testing.assert_array_equal(out["time"], np.array([8766, 8767, 8768]))
+    np.testing.assert_array_equal(out["y"], ys)
+    assert out["attrs"]["long_name"] == "pm25"
+
+
+def test_distributed_sink_bit_identical_to_driver_writer(spark, tmp_path):
+    cube, dates, ys, xs = _cube_fixture()
+    chunks = (2, 3, 4)
+    # driver reference store
+    ref = str(tmp_path / "ref")
+    write_zarr_cube(ref, cube, dates, ys, xs, chunks=chunks)
+    # long-form frame with every non-nan cell
+    rows = []
+    for ti, d in enumerate(dates):
+        for yi, y in enumerate(ys):
+            for xi, x in enumerate(xs):
+                v = float(cube[ti, yi, xi])
+                if not np.isnan(v):
+                    rows.append((str(d), float(y), float(x), v))
+    df = spark.createDataFrame(
+        rows, "date string, original_y double, original_x double, pred double"
+    ).select(
+        __import__("pyspark.sql.functions", fromlist=["F"]).to_date("date").alias("date"),
+        "original_y",
+        "original_x",
+        "pred",
+    ).repartition(8)
+    dist = str(tmp_path / "dist")
+    n = write_zarr_distributed(
+        df, dist, dates, ys, xs, value_col="pred", chunks=chunks
+    )
+    assert n == len(list(chunk_grid(cube.shape, chunks)))
+    # bit-identical chunk files (same encode path, same bytes)
+    for idx, _ in chunk_grid(cube.shape, chunks):
+        name = ".".join(map(str, idx))
+        a = open(os.path.join(ref, "pm25", name), "rb").read()
+        b = open(os.path.join(dist, "pm25", name), "rb").read()
+        assert a == b, f"chunk {name} differs"
+    # and the store reads back to the same cube + coords
+    out = read_zarr_cube(dist)
+    np.testing.assert_array_equal(out["values"], cube)
+    np.testing.assert_array_equal(out["y"], ys)
+
+
+def test_distributed_sink_skips_missing_chunks_as_fill(spark, tmp_path):
+    cube, dates, ys, xs = _cube_fixture()
+    cube[2, :, :] = np.nan  # an all-missing day -> its chunks never written
+    rows = [
+        (str(dates[ti]), float(ys[yi]), float(xs[xi]), float(cube[ti, yi, xi]))
+        for ti in range(2)
+        for yi in range(len(ys))
+        for xi in range(len(xs))
+        if not np.isnan(cube[ti, yi, xi])
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "date string, original_y double, original_x double, pred double"
+    ).withColumn("date", F.to_date("date"))
+    dist = str(tmp_path / "sparse")
+    write_zarr_distributed(
+        df, dist, dates, ys, xs, value_col="pred", chunks=(1, 5, 7)
+    )
+    assert not os.path.exists(os.path.join(dist, "pm25", "2.0.0"))
+    out = read_zarr_cube(dist)
+    np.testing.assert_array_equal(out["values"], cube)
