@@ -80,9 +80,27 @@ def write_raster(
     GeoTransform. ``engine="netcdf4"`` adds the reference's zlib
     complevel-5 compression in a netCDF-4-style HDF5 container;
     ``engine="classic"`` writes the portable uncompressed NetCDF-3 file
-    with identical data + metadata."""
-    if engine not in ("classic", "netcdf4"):
+    with identical data + metadata. ``engine="zarr"`` writes the same
+    cube + coordinates as a Zarr v2 group (``sources/zarr_io``) — the
+    chunked cloud-raster layout; for an executor-parallel chunked write
+    straight from the long-form frame (no driver pivot), use
+    :func:`pm25ml_spark.sources.zarr_io.write_zarr_distributed`."""
+    if engine not in ("classic", "netcdf4", "zarr"):
         raise ValueError(f"unknown engine {engine!r}")
+    if engine == "zarr":
+        from pm25ml_spark.sources.zarr_io import write_zarr_cube
+
+        out = path if path.endswith(".zarr") else f"{path}.zarr"
+        write_zarr_cube(
+            out,
+            cube,
+            dates,
+            ys,
+            xs,
+            var_name=value_name,
+            attrs={"Conventions": "CF-1.8", "grid_mapping": "spatial_ref"},
+        )
+        return out
     out = path if path.endswith(".nc") else f"{path}.nc"
     days = (
         (np.asarray(dates, dtype="datetime64[D]") - _TIME_EPOCH)
@@ -161,8 +179,22 @@ def write_raster(
 
 
 def read_raster(path: str) -> dict[str, np.ndarray]:
-    """Read a raster written by :func:`write_raster` — either engine,
-    dispatched on the file magic — or a legacy .npz."""
+    """Read a raster written by :func:`write_raster` — any engine,
+    dispatched on directory-vs-file and the file magic — or a legacy
+    .npz."""
+    import os
+
+    if os.path.isdir(path):  # Zarr v2 group store
+        from pm25ml_spark.sources.zarr_io import read_zarr_array
+
+        arrays: dict[str, np.ndarray] = {}
+        for entry in sorted(os.listdir(path)):
+            sub = os.path.join(path, entry)
+            if os.path.isdir(sub) and os.path.exists(
+                os.path.join(sub, ".zarray")
+            ):
+                arrays[entry], _ = read_zarr_array(sub)
+        return arrays
     if path.endswith(".npz"):
         with np.load(path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}

@@ -386,7 +386,7 @@ class TestNetcdf4Sink:
 
         cube, dates, ys, xs = self._cube()
         with pytest.raises(ValueError, match="unknown engine"):
-            write_raster(str(tmp_path / "e"), cube, dates, ys, xs, engine="zarr")
+            write_raster(str(tmp_path / "e"), cube, dates, ys, xs, engine="grib")
 
 
 class TestGranuleSubsetPassThrough:

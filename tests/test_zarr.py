@@ -155,3 +155,20 @@ def test_distributed_sink_skips_missing_chunks_as_fill(spark, tmp_path):
     assert not os.path.exists(os.path.join(dist, "pm25", "2.0.0"))
     out = read_zarr_cube(dist)
     np.testing.assert_array_equal(out["values"], cube)
+
+
+def test_write_raster_zarr_engine_roundtrip(tmp_path):
+    """The S17 sink's third engine: same cube through write_raster
+    (engine='zarr') reads back via read_raster's directory dispatch."""
+    from pm25ml_spark.sources.results import read_raster, write_raster
+
+    cube, dates, ys, xs = _cube_fixture()
+    out = write_raster(
+        str(tmp_path / "r"), cube, dates, ys, xs, value_name="value",
+        engine="zarr",
+    )
+    assert out.endswith(".zarr") and os.path.isdir(out)
+    back = read_raster(out)
+    np.testing.assert_array_equal(back["value"], cube)
+    np.testing.assert_array_equal(back["y"], ys)
+    np.testing.assert_array_equal(back["time"], np.array([8766, 8767, 8768]))
