@@ -1,0 +1,85 @@
+"""GeoTIFF codec tests (sources/geotiff.py): round trip, georeferencing
+math, compression variants, and degenerate grids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pm25ml_spark.sources.geotiff import (
+    read_geotiff,
+    write_geotiff,
+    write_geotiff_days,
+)
+
+
+def _grid():
+    rng = np.random.default_rng(5)
+    ys = np.array([100.0, 200.0, 300.0, 400.0, 500.0])
+    xs = np.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0])
+    g = rng.normal(size=(5, 7)).astype(np.float32)
+    g[1, 2] = np.nan
+    return g, ys, xs
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_values_and_axes(tmp_path, compress):
+    g, ys, xs = _grid()
+    p = write_geotiff(str(tmp_path / "t"), g, ys, xs, compress=compress)
+    out = read_geotiff(p)
+    np.testing.assert_array_equal(out["values"], g)
+    np.testing.assert_allclose(out["ys"], ys)
+    np.testing.assert_allclose(out["xs"], xs)
+    assert out["epsg"] == 7755
+    assert np.isnan(out["nodata"])
+
+
+def test_multi_strip_layout(tmp_path):
+    rng = np.random.default_rng(9)
+    ys = np.arange(100, dtype=np.float64) * 10
+    xs = np.arange(40, dtype=np.float64) * 10
+    g = rng.normal(size=(100, 40)).astype(np.float32)
+    p = write_geotiff(str(tmp_path / "s"), g, ys, xs, rows_per_strip=16)
+    out = read_geotiff(p)
+    np.testing.assert_array_equal(out["values"], g)
+
+
+def test_file_is_north_up_on_disk(tmp_path):
+    """Row 0 of the stored raster must be the NORTHMOST row (GeoTIFF
+    convention), i.e. the LAST row of the ascending-y input grid."""
+    ys = np.array([0.0, 10.0])
+    xs = np.array([0.0, 10.0])
+    g = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)  # y=10 row: 3,4
+    p = write_geotiff(str(tmp_path / "n"), g, ys, xs, compress=False)
+    buf = open(p, "rb").read()
+    first_row = np.frombuffer(buf[-16:], dtype="<f4")  # last strip = data
+    # stored order: north row (3,4) first, so the FILE tail is (1,2)
+    np.testing.assert_array_equal(first_row[-2:], [1.0, 2.0])
+    out = read_geotiff(p)
+    np.testing.assert_array_equal(out["values"], g)
+
+
+def test_geotransform_origin_is_pixel_corner(tmp_path):
+    g, ys, xs = _grid()
+    p = write_geotiff(str(tmp_path / "o"), g, ys, xs)
+    out = read_geotiff(p)
+    # axes reconstruct exactly from corner + half-pixel offsets
+    np.testing.assert_allclose(out["xs"], xs)
+    np.testing.assert_allclose(out["ys"], ys)
+
+
+def test_per_day_export_names_and_content(tmp_path):
+    g, ys, xs = _grid()
+    cube = np.stack([g, g * 2])
+    dates = np.array(["2024-03-01", "2024-03-02"], dtype="datetime64[D]")
+    paths = write_geotiff_days(str(tmp_path / "pm"), cube, dates, ys, xs)
+    assert [p.split("_")[-1] for p in paths] == ["2024-03-01.tif", "2024-03-02.tif"]
+    out1 = read_geotiff(paths[1])
+    np.testing.assert_array_equal(out1["values"], g * 2)
+
+
+def test_reject_non_tiff(tmp_path):
+    p = tmp_path / "x.tif"
+    p.write_bytes(b"MM\x00\x2a" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="little-endian"):
+        read_geotiff(str(p))
