@@ -188,7 +188,7 @@ def main():
             for h in (0, 1, 2):
                 r, c = lsh_recall(ids, V, qmask, truth, n_planes, h)
                 print(f"  LSH planes={n_planes:2d} h={h}  recall@1={r:.2f} cand_frac={c:.4f}")
-        for npl, h, nt in ((8, 2, 2), (8, 1, 4), (12, 2, 4)):
+        for npl, h, nt in ((8, 1, 2), (8, 2, 2), (8, 1, 4), (12, 2, 4)):
             r, c = multi_table_recall(ids, V, qmask, truth, npl, h, nt)
             print(
                 f"  LSH planes={npl:2d} h={h} tables={nt}  "
