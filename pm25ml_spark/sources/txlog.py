@@ -1,0 +1,222 @@
+"""Transaction-log tables: snapshot isolation for the artifact store.
+
+The archive layer (``sources/archive.py``) gives validated idempotency —
+a stage skips work whose output already validates. What it cannot give
+is ATOMICITY under concurrent writers: a reader listing a directory
+mid-overwrite sees half-written parquet, and two backfill jobs racing on
+the same partition corrupt each other. At 100 TB with hundreds of
+concurrent stage tasks this is the first operational failure mode, and
+the lakehouse answer (Delta/Iceberg-style) is a commit log:
+
+- data files are written ONCE under unique names and never mutated;
+- a table's state is defined solely by an ordered log of JSON commit
+  entries (``_txlog/{version:020d}.json``), each listing files added and
+  removed plus row counts and the writer's intent;
+- a commit is a single ATOMIC create-if-absent of the next version file
+  (``os.open(O_CREAT|O_EXCL)`` locally — the same primitive object
+  stores expose as if-none-match puts). Losing the race = retry against
+  the new snapshot: optimistic concurrency, no locks;
+- readers resolve a VERSION (latest or pinned) and read exactly that
+  file set — a snapshot is immutable forever, so long queries never see
+  torn writes, and time travel is just reading an old version.
+
+Scale notes: the log is one tiny JSON per commit (listing paths, not
+data); snapshot resolution is an O(versions) listing that a real
+deployment checkpoints (``checkpoint()`` here writes a full-state entry
+so resolution reads one file + the tail). Data-file writes stay fully
+parallel Spark jobs; only the final rename-sized commit is serialized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — re-resolve and retry."""
+
+
+_LOG_DIR = "_txlog"
+_CHECKPOINT_EVERY = 10
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, _LOG_DIR)
+
+
+def _version_file(table_path: str, version: int) -> str:
+    return os.path.join(_log_dir(table_path), f"{version:020d}.json")
+
+
+class TxTable:
+    """A transaction-logged parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(_log_dir(path), exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(_log_dir(self.path)):
+            if name.endswith(".json"):
+                out.append(int(name[: -len(".json")]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _entry(self, version: int) -> dict:
+        with open(_version_file(self.path, version)) as f:
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> tuple[int, list[str]]:
+        """Resolve (version, live data files). Replays from the newest
+        checkpoint at or before ``version`` — older log entries need
+        never be read, which is what keeps resolution O(tail)."""
+        vs = self.versions()
+        if not vs:
+            return -1, []
+        if version is None:
+            version = vs[-1]
+        elif version not in vs:
+            raise ValueError(f"version {version} does not exist: {vs}")
+        replay = [v for v in vs if v <= version]
+        # find newest checkpoint in range
+        start = 0
+        for i in range(len(replay) - 1, -1, -1):
+            if self._entry(replay[i]).get("checkpoint"):
+                start = i
+                break
+        live: set[str] = set()
+        for v in replay[start:]:
+            e = self._entry(v)
+            if e.get("checkpoint"):
+                live = set(e["live"])
+            else:
+                live -= set(e.get("removed", []))
+                live |= set(e.get("added", []))
+        return version, sorted(live)
+
+    # -- commits ------------------------------------------------------------
+
+    def _commit(self, entry: dict) -> int:
+        """Atomically claim the next version number. O_CREAT|O_EXCL is
+        the local spelling of an object store's if-none-match put; a
+        loser raises :class:`CommitConflict` for the caller to retry."""
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        entry = {
+            **entry,
+            "version": version,
+            "ts": time.time(),
+        }
+        payload = json.dumps(entry, indent=1).encode()
+        try:
+            fd = os.open(
+                _version_file(self.path, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"version {version} was committed concurrently"
+            ) from exc
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        return version
+
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write df's rows as uniquely-named parquet under the table dir
+        (a fully parallel Spark job; nothing references the files until
+        the commit lands)."""
+        sub = f"part-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, sub)
+        df.write.mode("errorifexists").parquet(out_dir)
+        files = [
+            os.path.join(sub, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        ]
+        n = self.spark.read.parquet(out_dir).count()
+        return sorted(files), n
+
+    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+        """Atomic append: new files become visible all-or-nothing."""
+        files, n = self._write_files(df)
+        for _ in range(max_retries):
+            try:
+                return self._commit(
+                    {"op": "append", "added": files, "n_rows": n}
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append lost {max_retries} races")
+
+    def overwrite(self, df: DataFrame, max_retries: int = 5) -> int:
+        """Atomic replace: readers see the old snapshot until the single
+        commit file lands, then the new one — never a mix."""
+        files, n = self._write_files(df)
+        for _ in range(max_retries):
+            _, live = self.snapshot()
+            try:
+                return self._commit(
+                    {
+                        "op": "overwrite",
+                        "added": files,
+                        "removed": live,
+                        "n_rows": n,
+                    }
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"overwrite lost {max_retries} races")
+
+    def checkpoint(self) -> int:
+        """Write a full-state entry so future resolutions read one file
+        plus the tail after it."""
+        _, live = self.snapshot()
+        return self._commit({"op": "checkpoint", "checkpoint": True, "live": live})
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read an immutable snapshot (latest by default)."""
+        v, live = self.snapshot(version)
+        if not live:
+            raise ValueError(f"table {self.path} is empty at version {v}")
+        paths = [os.path.join(self.path, f) for f in live]
+        return self.spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """The commit log, oldest first — op, files, rows, timestamps."""
+        return [self._entry(v) for v in self.versions()]
+
+    def vacuum(self) -> list[str]:
+        """Delete data files no live snapshot references... in THIS
+        minimal implementation, files unreferenced by the LATEST
+        snapshot that are also older than every retained version —
+        i.e. safe only once readers of old versions are done. Returns
+        the deleted paths (relative)."""
+        _, live = self.snapshot()
+        live_set = set(live)
+        referenced: set[str] = set()
+        for e in self.history():
+            referenced |= set(e.get("added", []))
+            if e.get("checkpoint"):
+                referenced |= set(e.get("live", []))
+        dead = sorted(referenced - live_set)
+        for rel in dead:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        return dead

@@ -1,0 +1,121 @@
+"""Transaction-log table tests (sources/txlog.py): atomic visibility,
+optimistic-concurrency conflicts, time travel, checkpoint resolution,
+and vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pm25ml_spark.sources.txlog import CommitConflict, TxTable
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_append_and_read_latest(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 10, "a"))
+    v1 = t.append(_df(spark, 10, 15, "b"))
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 15
+    assert t.read(version=0).count() == 10  # time travel
+
+
+def test_overwrite_is_atomic_snapshot_swap(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "old"))
+    old_reader = t.read()  # resolves version 0's file list NOW
+    t.overwrite(_df(spark, 0, 3, "new"))
+    # new snapshot sees only the replacement
+    rows = t.read().select("tag").distinct().collect()
+    assert [r.tag for r in rows] == ["new"]
+    assert t.read().count() == 3
+    # the pre-overwrite reader still sees its immutable snapshot
+    assert old_reader.count() == 10
+    # and old data remains reachable via time travel
+    assert t.read(version=0).count() == 10
+
+
+def test_commit_conflict_raises_when_version_already_claimed(spark, tmp_path):
+    """_commit claims the next version with create-if-absent; if another
+    writer landed that exact file first, the loser gets CommitConflict
+    (not silent overwrite)."""
+    import json
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "a"))
+    # an interloper claims version 1 directly
+    interloper = os.path.join(
+        str(tmp_path / "t"), "_txlog", f"{1:020d}.json"
+    )
+    with open(interloper, "w") as f:
+        json.dump({"op": "append", "added": [], "version": 1}, f)
+    files, n = t._write_files(_df(spark, 5, 8, "b"))
+    with pytest.raises(CommitConflict):
+        # latest_version() now sees 1, so _commit targets 2... force the
+        # race by claiming 2 as well between resolve and commit: patch
+        # latest_version to the stale value the writer observed earlier
+        t_latest_stale = 0
+
+        class Stale(TxTable):
+            def latest_version(self):
+                return t_latest_stale
+
+        stale = Stale(spark, str(tmp_path / "t"))
+        stale._commit({"op": "append", "added": files, "n_rows": n})
+
+
+def test_concurrent_appends_both_land_under_retry(spark, tmp_path):
+    """Two writers appending concurrently: whichever claims version N
+    first wins it; the public append() retries the loser against the
+    new snapshot. Both file sets end up live - no lost update."""
+    a = TxTable(spark, str(tmp_path / "t"))
+    b = TxTable(spark, str(tmp_path / "t"))
+    a.append(_df(spark, 0, 2, "seed"))
+    fa, na = a._write_files(_df(spark, 10, 14, "a"))
+    fb, nb = b._write_files(_df(spark, 20, 26, "b"))
+    b._commit({"op": "append", "added": fb, "n_rows": nb})
+    a._commit({"op": "append", "added": fa, "n_rows": na})
+    assert a.read().count() == 2 + 4 + 6
+    ops = [e["op"] for e in a.history()]
+    assert ops == ["append", "append", "append"]
+
+
+def test_checkpoint_short_circuits_resolution(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, i * 10, i * 10 + 3, f"b{i}"))
+    cp = t.checkpoint()
+    t.append(_df(spark, 100, 101, "post"))
+    v, live = t.snapshot()
+    assert v == cp + 1
+    assert t.read().count() == 4 * 3 + 1
+    # resolution from an old version still works (pre-checkpoint replay)
+    assert t.read(version=1).count() == 6
+
+
+def test_vacuum_removes_only_dead_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "old"))
+    t.overwrite(_df(spark, 0, 4, "new"))
+    _, live = t.snapshot()
+    dead = t.vacuum()
+    assert dead  # the overwritten files were deleted
+    assert all(not os.path.exists(os.path.join(str(tmp_path / "t"), f)) for f in dead)
+    # the live snapshot still reads fine
+    assert t.read().count() == 4
+    # time travel to the vacuumed version now fails loudly at scan time
+    with pytest.raises(Exception):
+        t.read(version=0).count()
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="empty"):
+        t.read()
