@@ -220,3 +220,60 @@ class TxTable:
             if os.path.exists(p):
                 os.remove(p)
         return dead
+
+
+def sink_stream_exactly_once(
+    stream_df: DataFrame,
+    table: TxTable,
+    query_name: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into a TxTable via ``foreachBatch``.
+
+    Structured Streaming's foreachBatch is at-least-once: after a crash
+    the last epoch REPLAYS, and a plain parquet append would duplicate
+    it. Stamping the (query, epoch id) into the commit entry makes the
+    write idempotent — a replayed epoch finds its stamp in the log and
+    skips — which upgrades the sink to exactly-once, the same recipe
+    Delta's streaming sink uses (txn appId/version). The check runs
+    again after every lost commit race, so two concurrent replays
+    cannot both land.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = [query_name, int(batch_id)]
+
+        def already_committed() -> bool:
+            return any(
+                e.get("stream_batch") == stamp for e in table.history()
+            )
+
+        if already_committed():
+            return
+        files, n = table._write_files(batch_df)
+        while True:
+            try:
+                table._commit(
+                    {
+                        "op": "stream-append",
+                        "added": files,
+                        "n_rows": n,
+                        "stream_batch": stamp,
+                    }
+                )
+                return
+            except CommitConflict:
+                if already_committed():  # the racing writer was our replay
+                    return
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
