@@ -210,6 +210,11 @@ def read_geotiff(path: str) -> dict:
     if tags.get(_T_SAMPLE_FMT, [1])[0] != 3 or tags[_T_BITS][0] != 32:
         raise ValueError("only float32 samples supported")
     rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0]
+    if _T_STRIP_OFF not in tags or _T_STRIP_CNT not in tags:
+        raise ValueError(
+            "TIFF has no strip offsets/byte counts (tiled TIFFs are not "
+            "supported)"
+        )
     offsets, counts = tags[_T_STRIP_OFF], tags[_T_STRIP_CNT]
     rows = []
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -223,8 +228,14 @@ def read_geotiff(path: str) -> dict:
             )
         )
     north_up = np.vstack(rows)
-    dx, dy, _ = tags[_T_PIXEL_SCALE]
-    _, _, _, origin_x, origin_y, _ = tags[_T_TIEPOINT]
+    if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
+        dx, dy, _ = tags[_T_PIXEL_SCALE]
+        _, _, _, origin_x, origin_y, _ = tags[_T_TIEPOINT]
+    else:
+        # plain (non-geo) float TIFF: degrade to pixel-index axes rather
+        # than a KeyError — the docstring promises any strip float32 TIFF
+        dx = dy = 1.0
+        origin_x, origin_y = 0.0, float(h)
     xs = origin_x + dx / 2.0 + dx * np.arange(w)
     ys_desc = origin_y - dy / 2.0 - dy * np.arange(h)
     epsg = None

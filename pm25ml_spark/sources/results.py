@@ -87,21 +87,6 @@ def write_raster(
     :func:`pm25ml_spark.sources.zarr_io.write_zarr_distributed`."""
     if engine not in ("classic", "netcdf4", "zarr"):
         raise ValueError(f"unknown engine {engine!r}")
-    if engine == "zarr":
-        from pm25ml_spark.sources.zarr_io import write_zarr_cube
-
-        out = path if path.endswith(".zarr") else f"{path}.zarr"
-        write_zarr_cube(
-            out,
-            cube,
-            dates,
-            ys,
-            xs,
-            var_name=value_name,
-            attrs={"Conventions": "CF-1.8", "grid_mapping": "spatial_ref"},
-        )
-        return out
-    out = path if path.endswith(".nc") else f"{path}.nc"
     days = (
         (np.asarray(dates, dtype="datetime64[D]") - _TIME_EPOCH)
         .astype("timedelta64[D]")
@@ -115,6 +100,28 @@ def write_raster(
     # because its xarray cube is north-up/descending-y; emitting -dy over
     # ascending rows would georeference the raster vertically mirrored.)
     gt = f"{xs[0] - dx / 2.0} {dx} 0.0 {ys[0] - dy / 2.0} 0.0 {dy}"
+    if engine == "zarr":
+        from pm25ml_spark.sources.zarr_io import write_zarr_cube
+
+        out = path if path.endswith(".zarr") else f"{path}.zarr"
+        # no separate grid-mapping variable in the flat zarr layout —
+        # the CRS + GeoTransform ride on the value array's own attrs,
+        # so the projection survives the engine switch
+        write_zarr_cube(
+            out,
+            cube,
+            dates,
+            ys,
+            xs,
+            var_name=value_name,
+            attrs={
+                "Conventions": "CF-1.8",
+                "spatial_ref": "EPSG:7755",
+                "GeoTransform": gt,
+            },
+        )
+        return out
+    out = path if path.endswith(".nc") else f"{path}.nc"
     coords = {
         "time": (
             days,
@@ -187,25 +194,27 @@ def read_raster(path: str) -> dict[str, np.ndarray]:
     if os.path.isdir(path):  # Zarr v2 group store
         from pm25ml_spark.sources.zarr_io import read_zarr_array
 
-        arrays: dict[str, np.ndarray] = {}
+        arrays = {}
         for entry in sorted(os.listdir(path)):
             sub = os.path.join(path, entry)
             if os.path.isdir(sub) and os.path.exists(
                 os.path.join(sub, ".zarray")
             ):
                 arrays[entry], _ = read_zarr_array(sub)
-        return arrays
-    if path.endswith(".npz"):
+        # fall through to the shared time-axis decode so every engine
+        # returns identical semantics (datetime64, not raw day counts)
+    elif path.endswith(".npz"):
         with np.load(path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
-    with open(path, "rb") as fh:
-        magic = fh.read(8)
-    if magic == b"\x89HDF\r\n\x1a\n":
-        f = read_hdf5(path)
-        arrays = {n: ds.read() for n, ds in f.root.datasets.items()}
     else:
-        _, variables, _ = read_netcdf3(path)
-        arrays = {n: arr for n, (_, arr, _) in variables.items()}
+        with open(path, "rb") as fh:
+            magic = fh.read(8)
+        if magic == b"\x89HDF\r\n\x1a\n":
+            f = read_hdf5(path)
+            arrays = {n: ds.read() for n, ds in f.root.datasets.items()}
+        else:
+            _, variables, _ = read_netcdf3(path)
+            arrays = {n: arr for n, (_, arr, _) in variables.items()}
     out = {}
     for name, arr in arrays.items():
         if name == "time":

@@ -42,6 +42,9 @@ class CommitConflict(RuntimeError):
 
 
 _LOG_DIR = "_txlog"
+# append/overwrite auto-checkpoint when the claimed version crosses this
+# stride, so snapshot resolution stays O(tail) even for writers that
+# never call checkpoint() themselves
 _CHECKPOINT_EVERY = 10
 
 
@@ -90,15 +93,18 @@ class TxTable:
         elif version not in vs:
             raise ValueError(f"version {version} does not exist: {vs}")
         replay = [v for v in vs if v <= version]
-        # find newest checkpoint in range
-        start = 0
-        for i in range(len(replay) - 1, -1, -1):
-            if self._entry(replay[i]).get("checkpoint"):
-                start = i
+        # walk backward caching parsed entries until the newest
+        # checkpoint (or the log head), then fold forward over the
+        # cached list — each tail entry is opened exactly once and
+        # pre-checkpoint entries are never opened at all
+        tail: list[dict] = []
+        for v in reversed(replay):
+            e = self._entry(v)
+            tail.append(e)
+            if e.get("checkpoint"):
                 break
         live: set[str] = set()
-        for v in replay[start:]:
-            e = self._entry(v)
+        for e in reversed(tail):
             if e.get("checkpoint"):
                 live = set(e["live"])
             else:
@@ -108,12 +114,22 @@ class TxTable:
 
     # -- commits ------------------------------------------------------------
 
-    def _commit(self, entry: dict) -> int:
-        """Atomically claim the next version number. O_CREAT|O_EXCL is
-        the local spelling of an object store's if-none-match put; a
-        loser raises :class:`CommitConflict` for the caller to retry."""
-        latest = self.latest_version()
-        version = 0 if latest is None else latest + 1
+    def _commit(self, entry: dict, at_version: int | None = None) -> int:
+        """Atomically claim a version number. O_CREAT|O_EXCL is the
+        local spelling of an object store's if-none-match put; a loser
+        raises :class:`CommitConflict` for the caller to retry.
+
+        ``at_version`` pins the claim to the version the caller OBSERVED
+        as next when it made its decision — if the log has advanced past
+        it, the claim fails even though a later number would be free.
+        That pin is what lets idempotence checks (the streaming sink's
+        epoch stamp) be atomic with the commit: any interleaved commit
+        invalidates the decision and forces a re-check."""
+        if at_version is not None:
+            version = at_version
+        else:
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
         entry = {
             **entry,
             "version": version,
@@ -150,14 +166,27 @@ class TxTable:
         n = self.spark.read.parquet(out_dir).count()
         return sorted(files), n
 
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Auto-checkpoint on the stride so resolution stays O(tail)
+        even for writers that never checkpoint explicitly. Best-effort:
+        losing the race just means someone else committed — the next
+        stride will try again."""
+        if version > 0 and version % _CHECKPOINT_EVERY == 0:
+            try:
+                self.checkpoint()
+            except CommitConflict:
+                pass
+
     def append(self, df: DataFrame, max_retries: int = 5) -> int:
         """Atomic append: new files become visible all-or-nothing."""
         files, n = self._write_files(df)
         for _ in range(max_retries):
             try:
-                return self._commit(
+                v = self._commit(
                     {"op": "append", "added": files, "n_rows": n}
                 )
+                self._maybe_checkpoint(v)
+                return v
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {max_retries} races")
@@ -167,16 +196,23 @@ class TxTable:
         commit file lands, then the new one — never a mix."""
         files, n = self._write_files(df)
         for _ in range(max_retries):
-            _, live = self.snapshot()
+            # the removed set is only valid for the snapshot it was read
+            # from — pin the commit to that version so an interleaved
+            # append forces a re-resolve instead of silently surviving a
+            # stale removal list
+            sv, live = self.snapshot()
             try:
-                return self._commit(
+                v = self._commit(
                     {
                         "op": "overwrite",
                         "added": files,
                         "removed": live,
                         "n_rows": n,
-                    }
+                    },
+                    at_version=sv + 1,
                 )
+                self._maybe_checkpoint(v)
+                return v
             except CommitConflict:
                 continue
         raise CommitConflict(f"overwrite lost {max_retries} races")
@@ -234,39 +270,56 @@ def sink_stream_exactly_once(
     Structured Streaming's foreachBatch is at-least-once: after a crash
     the last epoch REPLAYS, and a plain parquet append would duplicate
     it. Stamping the (query, epoch id) into the commit entry makes the
-    write idempotent — a replayed epoch finds its stamp in the log and
-    skips — which upgrades the sink to exactly-once, the same recipe
-    Delta's streaming sink uses (txn appId/version). The check runs
-    again after every lost commit race, so two concurrent replays
-    cannot both land.
+    write idempotent — the Delta txn appId/version recipe — and the
+    stamp check is made ATOMIC with the commit by pinning the commit to
+    the exact version the check was performed against (``at_version``):
+    if ANY other commit lands in between — including a concurrent
+    replay of the same epoch claiming a DIFFERENT version number — the
+    pinned claim fails and the stamp is re-checked against the advanced
+    log. Without the pin, two replays interleaved as check/commit/
+    check/commit would both land (the second sees a free version number
+    and never conflicts).
+
+    Stamp state is scanned incrementally (only log entries newer than
+    the last scanned version are opened), so a long-lived stream pays
+    O(new commits) per epoch, not O(history).
 
     Returns the StreamingQuery (caller awaits termination).
     """
 
+    state = {"scanned": -1, "stamps": set()}
+
+    def refresh() -> None:
+        for v in table.versions():
+            if v > state["scanned"]:
+                sb = table._entry(v).get("stream_batch")
+                if sb:
+                    state["stamps"].add(tuple(sb))
+                state["scanned"] = v
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stamp = [query_name, int(batch_id)]
-
-        def already_committed() -> bool:
-            return any(
-                e.get("stream_batch") == stamp for e in table.history()
-            )
-
-        if already_committed():
+        stamp = (query_name, int(batch_id))
+        refresh()
+        if stamp in state["stamps"]:
             return
         files, n = table._write_files(batch_df)
         while True:
             try:
-                table._commit(
+                v = table._commit(
                     {
                         "op": "stream-append",
                         "added": files,
                         "n_rows": n,
-                        "stream_batch": stamp,
-                    }
+                        "stream_batch": list(stamp),
+                    },
+                    at_version=state["scanned"] + 1,
                 )
+                state["scanned"] = v
+                state["stamps"].add(stamp)
                 return
             except CommitConflict:
-                if already_committed():  # the racing writer was our replay
+                refresh()
+                if stamp in state["stamps"]:  # the racer was our replay
                     return
 
     writer = (

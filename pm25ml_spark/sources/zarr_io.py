@@ -95,6 +95,50 @@ def encode_chunk(
     return zlib.compress(raw, level) if level is not None else raw
 
 
+def _write_array_meta(
+    path: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: np.dtype,
+    dims: list[str],
+    attrs: dict | None,
+    level: int | None,
+    fill_value,
+) -> None:
+    """.zarray + .zattrs for one array dir — the ONE spelling of the
+    metadata schema, shared by the driver and distributed writers."""
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": _ZARR_FORMAT,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": _dtype_str(np.dtype(dtype)),
+        "compressor": {"id": "zlib", "level": level}
+        if level is not None
+        else None,
+        "fill_value": _fill_json(fill_value, np.dtype(dtype)),
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f, indent=1)
+    zattrs = {"_ARRAY_DIMENSIONS": dims, **(attrs or {})}
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(zattrs, f, indent=1)
+
+
+def _clear_chunk_files(path: str) -> None:
+    """Remove existing chunk objects (dot-separated integer names) so a
+    re-run can never leave STALE chunks behind — the reader treats any
+    present chunk as data, so leftovers from a previous write would
+    silently mix two runs."""
+    if not os.path.isdir(path):
+        return
+    for name in os.listdir(path):
+        if all(part.isdigit() for part in name.split(".")):
+            os.remove(os.path.join(path, name))
+
+
 def write_zarr_array(
     path: str,
     arr: np.ndarray,
@@ -105,25 +149,11 @@ def write_zarr_array(
     fill_value=np.nan,
 ) -> None:
     """Driver-side Zarr v2 array write (metadata + every chunk)."""
-    os.makedirs(path, exist_ok=True)
     dt = np.dtype(arr.dtype)
-    meta = {
-        "zarr_format": _ZARR_FORMAT,
-        "shape": list(arr.shape),
-        "chunks": list(chunks),
-        "dtype": _dtype_str(dt),
-        "compressor": {"id": "zlib", "level": level}
-        if level is not None
-        else None,
-        "fill_value": _fill_json(fill_value, dt),
-        "order": "C",
-        "filters": None,
-    }
-    with open(os.path.join(path, ".zarray"), "w") as f:
-        json.dump(meta, f, indent=1)
-    zattrs = {"_ARRAY_DIMENSIONS": dims, **(attrs or {})}
-    with open(os.path.join(path, ".zattrs"), "w") as f:
-        json.dump(zattrs, f, indent=1)
+    _write_array_meta(
+        path, arr.shape, chunks, dt, dims, attrs, level, fill_value
+    )
+    _clear_chunk_files(path)
     for idx, slc in chunk_grid(arr.shape, chunks):
         data = encode_chunk(arr[slc], chunks, dt, fill_value, level)
         with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
@@ -192,6 +222,12 @@ def write_zarr_cube(
         attrs=attrs,
         level=level,
     )
+    _write_coord_arrays(path, dates, ys, xs)
+
+
+def _write_coord_arrays(path: str, dates, ys, xs) -> None:
+    """The time/y/x coordinate arrays of an xarray-layout cube group —
+    shared by the driver and distributed cube writers."""
     from pm25ml_spark.sources.results import _TIME_EPOCH
 
     t = (
@@ -268,9 +304,9 @@ def write_zarr_distributed(
     y_keys = {float(v): i for i, v in enumerate(ys)}
     x_keys = {float(v): i for i, v in enumerate(xs)}
     ct, cy, cx = chunks
-    os.makedirs(os.path.join(path, var_name), exist_ok=True)
-
     var_dir = os.path.join(path, var_name)
+    os.makedirs(var_dir, exist_ok=True)
+    _clear_chunk_files(var_dir)
     fill = np.nan
 
     def write_chunk(key, pdf):
@@ -306,6 +342,7 @@ def write_zarr_distributed(
         & F.col("__y").isNotNull()
         & F.col("__x").isNotNull()
     )
+    n_input = df.count()
     written = (
         indexed.withColumn("__ct", (F.col("__t") / ct).cast("int"))
         .withColumn("__cy", (F.col("__y") / cy).cast("int"))
@@ -314,46 +351,28 @@ def write_zarr_distributed(
         .applyInPandas(write_chunk, "chunk string, n_cells long")
         .collect()
     )
+    n_written = sum(r.n_cells for r in written)
+    if n_written != n_input:
+        raise ValueError(
+            f"write_zarr_distributed: {n_input - n_written} of {n_input} "
+            "rows matched no coordinate axis value (dtype/precision "
+            "mismatch between frame columns and the dates/ys/xs axes?) — "
+            "refusing to stamp a silently-partial store"
+        )
 
     # driver stamps metadata; chunks the tasks didn't write are absent,
     # which the spec reads as all-fill
-    meta = {
-        "zarr_format": _ZARR_FORMAT,
-        "shape": list(shape),
-        "chunks": [ct, cy, cx],
-        "dtype": _dtype_str(dt),
-        "compressor": {"id": "zlib", "level": level}
-        if level is not None
-        else None,
-        "fill_value": "NaN",
-        "order": "C",
-        "filters": None,
-    }
-    with open(os.path.join(var_dir, ".zarray"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(var_dir, ".zattrs"), "w") as f:
-        json.dump({"_ARRAY_DIMENSIONS": ["time", "y", "x"], **(attrs or {})}, f)
+    _write_array_meta(
+        var_dir,
+        shape,
+        (ct, cy, cx),
+        dt,
+        ["time", "y", "x"],
+        attrs,
+        level,
+        np.nan,
+    )
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": _ZARR_FORMAT}, f)
-    from pm25ml_spark.sources.results import _TIME_EPOCH
-
-    t = (
-        (np.asarray(dates, dtype="datetime64[D]") - _TIME_EPOCH)
-        .astype("timedelta64[D]")
-        .astype(np.int32)
-    )
-    for name, vals, unit in (
-        ("time", t, "days since 2000-01-01"),
-        ("y", np.asarray(ys, dtype=np.float64), "m"),
-        ("x", np.asarray(xs, dtype=np.float64), "m"),
-    ):
-        write_zarr_array(
-            os.path.join(path, name),
-            vals,
-            (len(vals),),
-            [name],
-            attrs={"units": unit},
-            level=None,
-            fill_value=0,
-        )
+    _write_coord_arrays(path, dates, ys, xs)
     return len(written)

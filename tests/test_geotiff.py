@@ -83,3 +83,27 @@ def test_reject_non_tiff(tmp_path):
     p.write_bytes(b"MM\x00\x2a" + b"\x00" * 16)
     with pytest.raises(ValueError, match="little-endian"):
         read_geotiff(str(p))
+
+
+def test_plain_tiff_without_geo_tags_degrades_to_index_axes(tmp_path):
+    """A non-geo float strip TIFF (no ModelPixelScale/Tiepoint) reads
+    with pixel-index axes instead of raising KeyError."""
+    g, ys, xs = _grid()
+    p = write_geotiff(str(tmp_path / "geo"), g, ys, xs, compress=False)
+    buf = bytearray(open(p, "rb").read())
+    # surgically retag the geo tags to private ids the reader ignores
+    import struct as _s
+
+    (n_tags,) = _s.unpack("<H", buf[8:10])
+    for i in range(n_tags):
+        off = 10 + i * 12
+        (tag,) = _s.unpack("<H", buf[off : off + 2])
+        if tag in (33550, 33922, 34735):
+            buf[off : off + 2] = _s.pack("<H", 65000 + (tag % 100))
+    p2 = tmp_path / "plain.tif"
+    p2.write_bytes(bytes(buf))
+    out = read_geotiff(str(p2))
+    np.testing.assert_array_equal(out["values"], g)
+    # index axes: centered unit pixels
+    np.testing.assert_allclose(out["xs"], 0.5 + np.arange(g.shape[1]))
+    assert out["epsg"] is None

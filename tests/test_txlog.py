@@ -167,3 +167,57 @@ def test_streaming_sink_exactly_once_under_replay(spark, tmp_path):
     # a NEW epoch id still lands
     replay(replayed, 99)
     assert t.read().count() == before + 7
+
+
+def test_pinned_commit_rejects_interleaved_writer(spark, tmp_path):
+    """The exactly-once core: a commit pinned to the version the
+    idempotence check observed FAILS if any other commit interleaved —
+    even though a later version number is free — so check+commit is
+    atomic and two concurrent replays of one epoch cannot both land."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3, "seed"))  # version 0
+    observed = t.latest_version()
+    # another writer (a concurrent replay) lands version 1 in between
+    files_b, nb = t._write_files(_df(spark, 10, 13, "replayA"))
+    t._commit({"op": "stream-append", "added": files_b, "n_rows": nb,
+               "stream_batch": ["q", 7]}, at_version=observed + 1)
+    # our pinned claim at the SAME observed version must conflict, even
+    # though version 2 would be free
+    files_a, na = t._write_files(_df(spark, 20, 23, "replayB"))
+    with pytest.raises(CommitConflict):
+        t._commit({"op": "stream-append", "added": files_a, "n_rows": na,
+                   "stream_batch": ["q", 7]}, at_version=observed + 1)
+    # epoch 7 landed exactly once
+    stamps = [e.get("stream_batch") for e in t.history()]
+    assert stamps.count(["q", 7]) == 1
+
+
+def test_auto_checkpoint_on_stride(spark, tmp_path):
+    from pm25ml_spark.sources.txlog import _CHECKPOINT_EVERY
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(_CHECKPOINT_EVERY + 1):
+        t.append(_df(spark, i * 5, i * 5 + 2, f"b{i}"))
+    ops = [e["op"] for e in t.history()]
+    assert "checkpoint" in ops
+    assert t.read().count() == (_CHECKPOINT_EVERY + 1) * 2
+
+
+def test_overwrite_conflicts_with_interleaved_append(spark, tmp_path):
+    """An overwrite's removal list is pinned to the snapshot it read:
+    an append landing in between must force a re-resolve (retry), so
+    the final state is new-data-only — the interleaved append's rows
+    are removed by the re-resolved overwrite, never half-kept."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "old"))
+    # interleave an append between overwrite's snapshot and its commit
+    # by claiming the pinned version first
+    sv, live = t.snapshot()
+    files_i, ni = t._write_files(_df(spark, 50, 53, "interleaved"))
+    t._commit({"op": "append", "added": files_i, "n_rows": ni},
+              at_version=sv + 1)
+    # public overwrite retries internally and lands against the NEW
+    # snapshot (removing both old and interleaved files)
+    t.overwrite(_df(spark, 100, 102, "new"))
+    rows = {r.tag for r in t.read().select("tag").distinct().collect()}
+    assert rows == {"new"}

@@ -171,4 +171,63 @@ def test_write_raster_zarr_engine_roundtrip(tmp_path):
     back = read_raster(out)
     np.testing.assert_array_equal(back["value"], cube)
     np.testing.assert_array_equal(back["y"], ys)
-    np.testing.assert_array_equal(back["time"], np.array([8766, 8767, 8768]))
+    # read_raster returns the SAME time semantics as the NetCDF engines:
+    # decoded datetime64, not raw days-since-2000 ints
+    np.testing.assert_array_equal(back["time"], dates)
+    # georeferencing survives the engine switch: CRS + GeoTransform ride
+    # on the value array's attrs (no dangling grid_mapping reference)
+    attrs = json.load(open(os.path.join(out, "value", ".zattrs")))
+    assert attrs["spatial_ref"] == "EPSG:7755"
+    assert "GeoTransform" in attrs and "grid_mapping" not in attrs
+
+
+def test_distributed_sink_refuses_silently_dropped_rows(spark, tmp_path):
+    """Rows whose coordinates match no axis value must FAIL the write,
+    not produce an all-fill store."""
+    from pyspark.sql import functions as F
+
+    cube, dates, ys, xs = _cube_fixture()
+    rows = [(str(dates[0]), 999.0, float(xs[0]), 1.0)]  # y not on axis
+    df = spark.createDataFrame(
+        rows, "date string, original_y double, original_x double, pred double"
+    ).withColumn("date", F.to_date("date"))
+    with pytest.raises(ValueError, match="matched no coordinate axis"):
+        write_zarr_distributed(
+            df, str(tmp_path / "bad"), dates, ys, xs, value_col="pred"
+        )
+
+
+def test_rerun_clears_stale_chunks(spark, tmp_path):
+    """A second write into the same store must not leave chunks from the
+    first run behind — present chunks read as data, so staleness would
+    silently mix two runs."""
+    from pyspark.sql import functions as F
+
+    cube, dates, ys, xs = _cube_fixture()
+    store = str(tmp_path / "store")
+
+    def frame(n_days):
+        rows = [
+            (str(dates[ti]), float(ys[yi]), float(xs[xi]),
+             float(cube[ti, yi, xi]))
+            for ti in range(n_days)
+            for yi in range(len(ys))
+            for xi in range(len(xs))
+            if not np.isnan(cube[ti, yi, xi])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "date string, original_y double, original_x double, pred double",
+        ).withColumn("date", F.to_date("date"))
+
+    write_zarr_distributed(
+        frame(3), store, dates, ys, xs, value_col="pred", chunks=(1, 5, 7)
+    )
+    # re-run with only day 0's data and a 1-day axis: day-1/2 chunks of
+    # run 1 must be GONE, not readable as current data
+    write_zarr_distributed(
+        frame(1), store, dates[:1], ys, xs, value_col="pred", chunks=(1, 5, 7)
+    )
+    assert not os.path.exists(os.path.join(store, "pm25", "1.0.0"))
+    out = read_zarr_cube(store)
+    assert out["values"].shape == (1, 5, 7)
