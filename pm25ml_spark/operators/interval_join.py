@@ -56,3 +56,59 @@ def interval_join(
         .filter((F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end)))
         .drop("__bk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Join interval PAIRS that overlap: ``l_start <= r_end AND
+    r_start <= l_end`` — the interval-interval sibling of
+    :func:`interval_join` (both sides are ranges, so the naive plan is
+    again a cartesian with a residual predicate).
+
+    Both sides replicate to every bucket they overlap; the equi-join on
+    the bucket key + residual overlap test finds each qualifying pair in
+    EVERY bucket the pair shares, so emission is restricted to the pair's
+    FIRST shared bucket — ``max(floor(l_start/b), floor(r_start/b))``,
+    which both sides provably cover when the intervals overlap — making
+    the join exactly-once with no post-join dedup shuffle. Replication
+    factor is ``len/bucket + 1`` per side (same knob discussion as
+    interval_join: pick bucket ≈ typical interval length).
+    """
+    b = F.lit(int(bucket))
+    lb = left.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / b).cast("long"),
+                (F.col(l_end) / b).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / b).cast("long"),
+                (F.col(r_end) / b).cast("long"),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        (F.col(l_start) / b).cast("long"), (F.col(r_start) / b).cast("long")
+    )
+    return (
+        lb.join(rb, "__bk")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+        )
+        .filter(F.col("__bk") == first_shared)
+        .drop("__bk")
+    )

@@ -492,3 +492,87 @@ def iv01_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_errors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# iv02 — interval-INTERVAL overlap join (the range-join family's second
+# shape): concurrent session pairs across users, aggregated per user
+# pair with the total concurrency duration. Naively a cartesian with a
+# residual predicate over ~10^5 sessions; here both interval sets bucket
+# (operators/interval_join.interval_overlap_join), join on the bucket
+# key, and emit each pair exactly once via the first-shared-bucket rule.
+@query(
+    "iv02_concurrent_sessions",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WIN}) > 1800000000
+                     OR lag(epoch_us(ts)) OVER ({_WIN}) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               MIN(ts_us) AS s_start, MAX(ts_us) AS s_end
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               LEAST(a.s_end, b.s_end) - GREATEST(a.s_start, b.s_start)
+                 AS ov_us
+        FROM sessions a JOIN sessions b
+          ON a.s_start <= b.s_end AND b.s_start <= a.s_end
+         AND a.user_id < b.user_id
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov_us) AS BIGINT) AS total_overlap_us
+    FROM pairs
+    GROUP BY user_a, user_b
+    """,
+)
+def iv02_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.interval_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        (F.col("ts_us") - prev > 1_800_000_000) | prev.isNull(), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    a = sessions.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+    )
+    b = sessions.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket=1_800_000_000
+    ).filter(F.col("user_a") < F.col("user_b"))
+    ov = F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(ov).cast("bigint").alias("total_overlap_us"),
+    )

@@ -601,3 +601,47 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     )
     picked = {r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 10).collect()}
     assert picked == {1, 4}
+
+
+# ---- interval-interval overlap (operators/interval_join.py) --------------
+
+
+def test_interval_overlap_join_matches_naive_cross(spark):
+    """Bucketed overlap join == naive cross-join + predicate, each pair
+    exactly once, across bucket-straddling and multi-bucket intervals."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.interval_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 50), (2, 40, 45), (3, 100, 300), (4, 310, 320)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, 49, 120), (11, 200, 305), (12, 500, 600), (13, 0, 1000)],
+        "rid long, rs long, re long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket=10
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # exactly-once, no dedup needed
+
+
+def test_iv02_no_cartesian(spark):
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+    df = QUERIES["iv02_concurrent_sessions"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
