@@ -786,3 +786,90 @@ def a04_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(d, "doc_id", "n_tokens", _ES_K).select(
         "doc_id", "n_tokens", "es_key", "rk"
     )
+
+
+# --------------------------------------------------------------------------
+# a05 — temperature-scaled mixture sampling (the T5/PaLM data-mixing
+# rule): source s is sampled proportionally to size^(1/T), T = 2 — rare
+# sources UP-weighted relative to their natural share. Deterministic
+# per-doc hash draws make the "random" subsample oracle-checkable. The
+# plan is two tiny aggregates (per-source sizes → rates, broadcast) and
+# one stateless filter over the corpus — no shuffle of the corpus at all
+# beyond the size count.
+_MIX_T = 2.0
+_MIX_TARGET = 0.5  # sample half the corpus overall
+
+
+@query(
+    "a05_temperature_mixture",
+    f"""
+    WITH sizes AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    z AS (
+        SELECT SUM(POW(CAST(n_docs AS DOUBLE), {1.0 / _MIX_T!r})) AS z,
+               SUM(n_docs) AS n_total
+        FROM sizes
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               ROUND(LEAST(
+                   POW(CAST(n_docs AS DOUBLE), {1.0 / _MIX_T!r}) / z
+                     * {_MIX_TARGET!r} * n_total / n_docs,
+                   1.0), 6) AS keep_rate
+        FROM sizes CROSS JOIN z
+    ),
+    drawn AS (
+        SELECT d.source, r.n_docs, r.keep_rate,
+               CASE WHEN (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 1000000 + 0.5) / 1000000.0 < r.keep_rate
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT source,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           MAX(keep_rate) AS keep_rate,
+           CAST(SUM(kept) AS BIGINT) AS n_sampled
+    FROM drawn
+    GROUP BY source
+    """,
+)
+def a05_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.dedup import _md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    inv_t = 1.0 / _MIX_T
+    z = sizes.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), inv_t)).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = sizes.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.least(
+                F.pow(F.col("n_docs").cast("double"), inv_t)
+                / F.col("z")
+                * _MIX_TARGET
+                * F.col("n_total")
+                / F.col("n_docs"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    u = (
+        _md5_long(F.concat_ws(":", F.lit("mix"), F.col("doc_id")))
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    drawn = docs.select("doc_id", "source", u.alias("u")).join(
+        F.broadcast(rates), "source"
+    )
+    kept = F.when(F.col("u") < F.col("keep_rate"), 1).otherwise(0)
+    return drawn.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.max("keep_rate").alias("keep_rate"),
+        F.sum(kept).cast("bigint").alias("n_sampled"),
+    )
