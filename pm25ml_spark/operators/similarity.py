@@ -674,9 +674,12 @@ def pq_encode(
                 {c_id: out_id, "s": out_s, "sub": out_sub, "near": out_near}
             )
 
+    # the id column keeps its own type (long ids here, but string doc
+    # ids etc. must survive the kernel exactly like the pure-JVM path)
+    id_type = dict(candidates.dtypes)[c_id]
     near = candidates.select(c_id, c_vec).mapInPandas(
         prune_kernel,
-        f"{c_id} long, s int, sub array<double>, near array<bigint>",
+        f"{c_id} {id_type}, s int, sub array<double>, near array<bigint>",
     )
     enc = near.select(
         c_id, "s", "sub", F.explode("near").alias("cen_id")

@@ -347,7 +347,7 @@ def kmv_theta(sketch: DataFrame, group: str, k: int) -> DataFrame:
 
 
 def kmv_intersections(
-    sketch: DataFrame, theta: DataFrame, group: str, k: int
+    sketch: DataFrame, theta: DataFrame, group: str
 ) -> DataFrame:
     """Pairwise intersection-cardinality estimates between groups.
 

@@ -301,7 +301,7 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sbg = docs.select("source", F.explode(word_ngrams("text", 2)).alias("b"))
     sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K)
     th = SK.kmv_theta(sk, "source", _KMV_K)
-    inter = SK.kmv_intersections(sk, th, "source", _KMV_K)
+    inter = SK.kmv_intersections(sk, th, "source")
     db = sbg.select("source", "b").distinct()
     ex = (
         db.select(F.col("source").alias("g1"), "b")

@@ -228,9 +228,19 @@ def read_geotiff(path: str) -> dict:
             )
         )
     north_up = np.vstack(rows)
+    if 34264 in tags and _T_PIXEL_SCALE not in tags:
+        raise ValueError(
+            "GeoTIFF uses ModelTransformationTag (34264), which this "
+            "reader does not support — only PixelScale + Tiepoint"
+        )
     if _T_PIXEL_SCALE in tags and _T_TIEPOINT in tags:
         dx, dy, _ = tags[_T_PIXEL_SCALE]
-        _, _, _, origin_x, origin_y, _ = tags[_T_TIEPOINT]
+        # the tiepoint may anchor ANY raster pixel (i, j), not just the
+        # upper-left corner — shift back to pixel (0, 0) before building
+        # the axes (OGC GeoTIFF §B.1.4)
+        tie_i, tie_j, _, tie_x, tie_y, _ = tags[_T_TIEPOINT]
+        origin_x = tie_x - tie_i * dx
+        origin_y = tie_y + tie_j * dy
     else:
         # plain (non-geo) float TIFF: degrade to pixel-index axes rather
         # than a KeyError — the docstring promises any strip float32 TIFF

@@ -136,19 +136,25 @@ class TxTable:
             "ts": time.time(),
         }
         payload = json.dumps(entry, indent=1).encode()
+        # the claim must be atomic WITH ITS PAYLOAD: write the full entry
+        # to a private temp file first, then os.link it into place —
+        # link() fails with FileExistsError if the version is taken and
+        # never exposes a partially-written entry (a bare O_CREAT|O_EXCL
+        # + write would let a reader parse an empty file, and a crash
+        # between open and write would poison the log forever)
+        tmp = _version_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                _version_file(self.path, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            os.link(tmp, _version_file(self.path, version))
         except FileExistsError as exc:
             raise CommitConflict(
                 f"version {version} was committed concurrently"
             ) from exc
-        try:
-            os.write(fd, payload)
         finally:
-            os.close(fd)
+            os.unlink(tmp)
         return version
 
     def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
@@ -217,11 +223,22 @@ class TxTable:
                 continue
         raise CommitConflict(f"overwrite lost {max_retries} races")
 
-    def checkpoint(self) -> int:
+    def checkpoint(self, max_retries: int = 5) -> int:
         """Write a full-state entry so future resolutions read one file
-        plus the tail after it."""
-        _, live = self.snapshot()
-        return self._commit({"op": "checkpoint", "checkpoint": True, "live": live})
+        plus the tail after it. The live set is only valid for the
+        snapshot it was read from, so the commit is PINNED to that
+        version — an interleaved append would otherwise be silently
+        erased from every later snapshot by a stale checkpoint."""
+        for _ in range(max_retries):
+            sv, live = self.snapshot()
+            try:
+                return self._commit(
+                    {"op": "checkpoint", "checkpoint": True, "live": live},
+                    at_version=sv + 1,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"checkpoint lost {max_retries} races")
 
     # -- reads --------------------------------------------------------------
 

@@ -288,13 +288,21 @@ def write_zarr_distributed(
     them, which is the reason Zarr exists as a cloud-raster format.
     Chunk bytes are produced by the same :func:`encode_chunk` as the
     driver writer, so the two sinks are bit-identical file-for-file.
-    Metadata (.zarray/.zattrs/.zgroup + coordinate arrays) is stamped
-    by the driver after the chunk jobs finish. Returns the number of
+
+    Failure safety: chunks are staged into a temp directory and only
+    swapped into place (old chunks removed, metadata stamped) after the
+    ONE chunk job validates — rows whose coordinates match no axis value
+    ride through the same job under a sentinel group, so a
+    dtype/precision mismatch raises BEFORE anything touches the existing
+    store, with no second pass over the input. Returns the number of
     chunk files written.
 
     ``path`` must be a filesystem visible to every executor (local dir
     on local[*], NFS/object-store mount on a cluster).
     """
+    import shutil
+    import uuid as _uuid
+
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -305,12 +313,16 @@ def write_zarr_distributed(
     x_keys = {float(v): i for i, v in enumerate(xs)}
     ct, cy, cx = chunks
     var_dir = os.path.join(path, var_name)
-    os.makedirs(var_dir, exist_ok=True)
-    _clear_chunk_files(var_dir)
+    stage_dir = os.path.join(path, f".stage-{_uuid.uuid4().hex}")
+    os.makedirs(stage_dir, exist_ok=True)
     fill = np.nan
 
     def write_chunk(key, pdf):
         tc, yc, xc = (int(key[0]), int(key[1]), int(key[2]))
+        if tc < 0:  # sentinel: unmatched-coordinate rows, counted only
+            return pd.DataFrame(
+                {"chunk": ["__unmatched__"], "n_cells": [len(pdf)]}
+            )
         block = np.full((ct, cy, cx), fill, dtype=dt)
         ti = pdf["__t"].to_numpy() - tc * ct
         yi = pdf["__y"].to_numpy() - yc * cy
@@ -319,7 +331,7 @@ def write_zarr_distributed(
         # block is already full-size; encode_chunk pads no further
         data = encode_chunk(block, (ct, cy, cx), dt, fill, level)
         fname = f"{tc}.{yc}.{xc}"
-        with open(os.path.join(var_dir, fname), "wb") as f:
+        with open(os.path.join(stage_dir, fname), "wb") as f:
             f.write(data)
         return pd.DataFrame({"chunk": [fname], "n_cells": [len(pdf)]})
 
@@ -337,31 +349,51 @@ def write_zarr_distributed(
         y_map[F.col(y_col).cast("double")].alias("__y"),
         x_map[F.col(x_col).cast("double")].alias("__x"),
         F.col(value_col),
-    ).filter(
+    )
+    matched = (
         F.col("__t").isNotNull()
         & F.col("__y").isNotNull()
         & F.col("__x").isNotNull()
     )
-    n_input = df.count()
-    written = (
-        indexed.withColumn("__ct", (F.col("__t") / ct).cast("int"))
-        .withColumn("__cy", (F.col("__y") / cy).cast("int"))
-        .withColumn("__cx", (F.col("__x") / cx).cast("int"))
-        .groupBy("__ct", "__cy", "__cx")
-        .applyInPandas(write_chunk, "chunk string, n_cells long")
-        .collect()
-    )
-    n_written = sum(r.n_cells for r in written)
-    if n_written != n_input:
-        raise ValueError(
-            f"write_zarr_distributed: {n_input - n_written} of {n_input} "
-            "rows matched no coordinate axis value (dtype/precision "
-            "mismatch between frame columns and the dates/ys/xs axes?) — "
-            "refusing to stamp a silently-partial store"
+    try:
+        written = (
+            indexed.withColumn(
+                "__ct",
+                F.when(matched, (F.col("__t") / ct).cast("int")).otherwise(-1),
+            )
+            .withColumn(
+                "__cy",
+                F.when(matched, (F.col("__y") / cy).cast("int")).otherwise(-1),
+            )
+            .withColumn(
+                "__cx",
+                F.when(matched, (F.col("__x") / cx).cast("int")).otherwise(-1),
+            )
+            .groupBy("__ct", "__cy", "__cx")
+            .applyInPandas(write_chunk, "chunk string, n_cells long")
+            .collect()
         )
+        n_unmatched = sum(
+            r.n_cells for r in written if r.chunk == "__unmatched__"
+        )
+        if n_unmatched:
+            raise ValueError(
+                f"write_zarr_distributed: {n_unmatched} rows matched no "
+                "coordinate axis value (dtype/precision mismatch between "
+                "frame columns and the dates/ys/xs axes?) — the existing "
+                "store is untouched"
+            )
+    except BaseException:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise
 
-    # driver stamps metadata; chunks the tasks didn't write are absent,
-    # which the spec reads as all-fill
+    # validated: swap the staged chunks in, then stamp metadata; chunks
+    # the tasks didn't write are absent, which the spec reads as all-fill
+    os.makedirs(var_dir, exist_ok=True)
+    _clear_chunk_files(var_dir)
+    for name in os.listdir(stage_dir):
+        os.replace(os.path.join(stage_dir, name), os.path.join(var_dir, name))
+    shutil.rmtree(stage_dir, ignore_errors=True)
     _write_array_meta(
         var_dir,
         shape,
@@ -375,4 +407,4 @@ def write_zarr_distributed(
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": _ZARR_FORMAT}, f)
     _write_coord_arrays(path, dates, ys, xs)
-    return len(written)
+    return len([r for r in written if r.chunk != "__unmatched__"])

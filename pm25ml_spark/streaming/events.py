@@ -347,9 +347,16 @@ def kmv_sketch_stream(
     kept bottom-k with one numpy union+unique+partition, which is
     exactly the KMV merge — order-independent, so the stream sketch
     equals the batch sketch over the same rows
-    (:func:`pm25ml_spark.operators.sketches.kmv_bottomk`), and
-    :func:`pm25ml_spark.operators.sketches.kmv_theta` /
-    ``kmv_intersections`` consume either interchangeably."""
+    (:func:`pm25ml_spark.operators.sketches.kmv_bottomk`).
+
+    Output shape: one row per group per changed batch with a
+    monotonically increasing ``seq`` and the kept hashes as an array.
+    To feed the batch consumers (``kmv_theta`` / ``kmv_intersections``,
+    which expect one row per hash), take each group's max-``seq`` row
+    and explode ``h`` — the `seq` exists precisely because an
+    update-mode sink accumulates every emission and "latest" is not
+    otherwise recoverable from the rows alone.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -373,20 +380,33 @@ def kmv_sketch_stream(
     out_schema = StructType(
         [
             StructField(group, group_field.dataType),
+            StructField("seq", LongType()),
             StructField("h", ArrayType(LongType())),
         ]
     )
-    state_schema = StructType([StructField("ks", ArrayType(LongType()))])
+    state_schema = StructType(
+        [
+            StructField("ks", ArrayType(LongType())),
+            StructField("seq", LongType()),
+        ]
+    )
 
     def fn(key, pdfs, state: GroupState):
-        kept = np.array(state.get[0] if state.exists else [], dtype=np.int64)
+        if state.exists:
+            prev, seq = state.get
+        else:
+            prev, seq = [], 0
+        kept = np.array(prev, dtype=np.int64)
         batches = [kept]
         for pdf in pdfs:
             batches.append(pdf["h"].to_numpy(dtype=np.int64))
         merged = np.unique(np.concatenate(batches))  # sorted distinct
         kept = merged[:k]
-        state.update((kept.tolist(),))
-        yield pd.DataFrame({group: [key[0]], "h": [kept.tolist()]})
+        seq += 1
+        state.update((kept.tolist(), seq))
+        yield pd.DataFrame(
+            {group: [key[0]], "seq": [seq], "h": [kept.tolist()]}
+        )
 
     return hashes.groupBy(group).applyInPandasWithState(
         fn,

@@ -107,3 +107,31 @@ def test_plain_tiff_without_geo_tags_degrades_to_index_axes(tmp_path):
     # index axes: centered unit pixels
     np.testing.assert_allclose(out["xs"], 0.5 + np.arange(g.shape[1]))
     assert out["epsg"] is None
+
+
+def test_noncorner_tiepoint_honored(tmp_path):
+    """A tiepoint anchoring pixel (2, 3) instead of (0, 0) must shift
+    the reconstructed axes back — OGC GeoTIFF allows any anchor."""
+    import struct as _s
+
+    g, ys, xs = _grid()
+    p = write_geotiff(str(tmp_path / "t"), g, ys, xs, compress=False)
+    buf = bytearray(open(p, "rb").read())
+    out0 = read_geotiff(p)
+    # locate the tiepoint payload (6 doubles, out of line) and rewrite
+    # it to anchor pixel (2,3): model coords shift by (2*dx, -3*dy)
+    (n_tags,) = _s.unpack("<H", buf[8:10])
+    for i in range(n_tags):
+        off = 10 + i * 12
+        tag, ttype, count = _s.unpack("<HHI", buf[off : off + 8])
+        if tag == 33922:
+            (voff,) = _s.unpack("<I", buf[off + 8 : off + 12])
+            vals = list(_s.unpack("<6d", buf[voff : voff + 48]))
+            dx, dy = 10.0, 100.0
+            vals = [2.0, 3.0, 0.0, vals[3] + 2 * dx, vals[4] - 3 * dy, 0.0]
+            buf[voff : voff + 48] = _s.pack("<6d", *vals)
+    p2 = tmp_path / "anchored.tif"
+    p2.write_bytes(bytes(buf))
+    out = read_geotiff(str(p2))
+    np.testing.assert_allclose(out["xs"], out0["xs"])
+    np.testing.assert_allclose(out["ys"], out0["ys"])

@@ -266,7 +266,7 @@ def test_kmv_intersection_accuracy_and_exact_small_group(spark):
     sk = SK.kmv_bottomk(df, "k", "g", k)
     th = SK.kmv_theta(sk, "g", k)
     out = {(r.g1, r.g2): r for r in SK.kmv_intersections(
-        sk, th, "g", k).collect()}
+        sk, th, "g").collect()}
     assert set(out) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
     # true |g0 ∩ g1| = 500 of ~1000 each; 4-sigma band on k=64
     est = out[("g0", "g1")].est_intersection

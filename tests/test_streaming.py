@@ -351,16 +351,13 @@ def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
     k = 32
     sk = kmv_sketch_stream(stream, k=k, n=2, group="source")
     run_available_now(sk, "kmv_sk", str(tmp_path), output_mode="update")
-    # update mode re-emits a group's row each batch it changes in; the
-    # merge is monotone (the kept set only ever gets lower hashes), so
-    # the final sketch per group is the pointwise-minimal emission
+    # the documented consumption contract: per group, take the max-seq
+    # emission (update sinks accumulate every emission) and explode h
     final: dict[str, list] = {}
+    best_seq: dict[str, int] = {}
     for r in spark.table("kmv_sk").collect():
-        cur = final.get(r.source)
-        # longer beats shorter (the kept set only grows toward k), then
-        # lexicographically lower beats higher (hashes only get smaller)
-        cand = (-len(r.h), sorted(r.h))
-        if cur is None or cand <= (-len(cur), cur):
+        if r.seq > best_seq.get(r.source, -1):
+            best_seq[r.source] = r.seq
             final[r.source] = sorted(r.h)
 
     from pm25ml_spark.operators.dedup import word_ngrams
@@ -374,3 +371,18 @@ def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
         want_by_g.setdefault(r.source, []).append(r.h)
     for g, hs in want_by_g.items():
         assert final[g] == sorted(hs), f"group {g} sketch mismatch"
+
+    # and the exploded max-seq rows feed the batch theta consumer
+    # directly, as the docstring promises
+    from pyspark.sql import Row
+
+    from pm25ml_spark.operators.sketches import kmv_theta
+
+    exploded = spark.createDataFrame(
+        [Row(source=g, h=int(h)) for g, hs in final.items() for h in hs]
+    )
+    th_stream = {r.source: (r.n_k, r.theta, r.est_distinct)
+                 for r in kmv_theta(exploded, "source", k).collect()}
+    th_batch = {r.source: (r.n_k, r.theta, r.est_distinct)
+                for r in kmv_theta(want, "source", k).collect()}
+    assert th_stream == th_batch
