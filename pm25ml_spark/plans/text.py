@@ -866,3 +866,89 @@ def t15_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(app, F.col("n") - F.col("b")).otherwise(0).cast("long").alias("suffix_len"),
         F.when(app, spm).otherwise(F.md5("text")).alias("spm_digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# t14 — language mix of PACKED training sequences: after concat-and-chunk
+# packing (t13), how language-fragmented is each fixed-size chunk? Each
+# doc's token run is split exactly across the chunks it spans (tokens of
+# doc d in chunk c = min((c+1)·C, s+n) − max(c·C, s)), giving per-chunk
+# per-language token counts and the dominant-language share — the
+# diagnostic a mixing pipeline reads before choosing doc ordering or
+# chunk size. Same exact distributed prefix-sum as t13; the chunk-range
+# explode adds spans_boundary+1 rows per doc (≈1 for C ≫ doc length).
+@query(
+    "t14_chunk_language_mix",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_tokens AS s
+        FROM d
+    ),
+    spans AS (
+        SELECT lang, u.chunk_id,
+               LEAST((u.chunk_id + 1) * {_PACK_C}, s + n_tokens)
+                 - GREATEST(u.chunk_id * {_PACK_C}, s) AS n_in_chunk
+        FROM c, UNNEST(range(CAST(s // {_PACK_C} AS BIGINT),
+                             CAST((s + n_tokens - 1) // {_PACK_C} + 1 AS BIGINT)))
+             AS u(chunk_id)
+    ),
+    per AS (
+        SELECT chunk_id, lang, CAST(SUM(n_in_chunk) AS BIGINT) AS n_tokens
+        FROM spans GROUP BY chunk_id, lang
+    )
+    SELECT chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MAX(n_tokens) AS top_lang_tokens,
+           CAST(MAX(n_tokens) AS DOUBLE) / SUM(n_tokens) AS top_share
+    FROM per
+    GROUP BY chunk_id
+    """,
+)
+def t14_chunk_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(d, "n_tokens", ["doc_id", "lang"], _PACK_C)
+    c_lit = F.lit(_PACK_C)
+    spans = packed.select(
+        "lang",
+        "n_tokens",
+        F.col("start_offset").alias("s"),
+        F.explode(
+            F.sequence(
+                (F.col("start_offset") / c_lit).cast("long"),
+                ((F.col("start_offset") + F.col("n_tokens") - 1) / c_lit).cast(
+                    "long"
+                ),
+            )
+        ).alias("chunk_id"),
+    ).select(
+        "lang",
+        "chunk_id",
+        (
+            F.least((F.col("chunk_id") + 1) * c_lit, F.col("s") + F.col("n_tokens"))
+            - F.greatest(F.col("chunk_id") * c_lit, F.col("s"))
+        ).alias("n_in_chunk"),
+    )
+    per = spans.groupBy("chunk_id", "lang").agg(
+        F.sum("n_in_chunk").cast("bigint").alias("n_tokens")
+    )
+    return per.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").alias("top_lang_tokens"),
+        (F.max("n_tokens").cast("double") / F.sum("n_tokens")).alias(
+            "top_share"
+        ),
+    )
