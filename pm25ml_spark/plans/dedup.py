@@ -943,3 +943,105 @@ def cp07_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens")
         ).alias("kept_token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# gr01 — PageRank over the near-duplicate graph (graph analytics on the
+# dedup family's own edge set): rank documents by duplicate-cluster
+# centrality with 3 unrolled power iterations, damping 0.85. Iterative
+# graph algorithms are the classic "Spark needs a loop" case — here the
+# loop is UNROLLED into pure DataFrame algebra (3 equi-join + aggregate
+# rounds over a rank frame keyed by node), so Catalyst sees one DAG and
+# there is no driver-side convergence state. Determinism: double sums
+# are order-dependent, so each node's incoming contributions are rounded
+# to 6 dp and DECIMAL-summed before the damped update, which the oracle
+# replicates term-for-term. At 10^9 nodes each iteration is one shuffle
+# keyed by node id — the standard distributed PageRank shape.
+_PR_D, _PR_ITERS = 0.85, 3
+
+
+def _pr_oracle() -> str:
+    d = _PR_D
+    it = f"""
+    SELECT e.dst AS doc_id,
+           ROUND({(1 - d)!r} / (SELECT n FROM nn)
+                 + {d!r} * CAST(SUM(CAST(ROUND(r.rank / deg.deg, 6)
+                                          AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS rank
+    FROM edges e
+    JOIN {{prev}} r ON r.doc_id = e.src
+    JOIN deg ON deg.doc_id = e.src
+    GROUP BY e.dst
+    """
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qual
+        UNION ALL SELECT doc_b, doc_a FROM qual
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+        SELECT doc_id, ROUND(1.0 / (SELECT n FROM nn), 6) AS rank FROM deg
+    ),
+    r1 AS ({it.format(prev="r0")}),
+    r2 AS ({it.format(prev="r1")}),
+    r3 AS ({it.format(prev="r2")})
+    SELECT doc_id, rank FROM r3
+    """
+
+
+@query("gr01_dupgraph_pagerank", _pr_oracle())
+def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "doc_id", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .join(
+                F.broadcast(
+                    deg.select(F.col("doc_id").alias("src"), "deg")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.round(F.col("rank") / F.col("deg"), 6).alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("doc_id")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("s")
+            )
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "doc_id",
+                F.round(
+                    (1 - _PR_D) / F.col("n") + _PR_D * F.col("s"), 6
+                ).alias("rank"),
+            )
+        )
+    return ranks
