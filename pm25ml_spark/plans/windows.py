@@ -576,3 +576,66 @@ def iv02_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlaps"),
         F.sum(ov).cast("bigint").alias("total_overlap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# w13 — cumulative distinct users by day ("total unique users to date"):
+# the windows-family op a naive port writes as COUNT(DISTINCT) OVER a
+# growing frame — state linear in users PER ROW, hopeless at scale. The
+# scalable identity: cumulative distinct at day d = users whose FIRST
+# event day ≤ d, so the plan is groupBy(user).min(day) (one narrow
+# map-side-combinable shuffle) → per-day first-appearance counts → one
+# running sum over the tiny day-keyed frame. Also reports the per-day
+# active count for the new/returning split.
+@query(
+    "w13_cumulative_unique_users",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    per_day AS (
+        SELECT day, COUNT(DISTINCT user_id) AS n_active FROM daily GROUP BY day
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS first_day FROM daily GROUP BY user_id
+    ),
+    news AS (
+        SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT p.day, p.n_active,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_unique
+    FROM per_day p LEFT JOIN news n ON p.day = n.day
+    """,
+)
+def w13_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    per_day = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    # the running sum's frame is the day-keyed aggregate (≤ a few
+    # thousand rows at any corpus size) — a global window here is cheap
+    # by construction, unlike the per-event frame it replaces
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.join(news, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn(
+            "cumulative_unique",
+            F.sum("n_new").over(w).cast("bigint"),
+        )
+    )
