@@ -6,12 +6,16 @@ canonical order, and chunk ids fall out by integer division — so the
 operator is really "exact distributed prefix-sum", the same two-pass
 shape as ``sampling.decimate_partitioned``:
 
-1. ``repartitionByRange(order_cols)`` + a per-partition window gives each
+1. A ROW-PURE ``__bucket`` id (``bucketize.range_bucket_column`` — split
+   keys sampled once and embedded as literals, NOT ``repartitionByRange``
+   whose boundaries re-sample per job) + a per-bucket window gives each
    row its LOCAL cumulative token count — parallel everywhere, no
    single-task stage.
-2. One tiny extra job emits the per-partition token totals
-   (num_partitions rows to the driver); their running sum is each
-   partition's GLOBAL offset, joined back as a broadcast.
+2. One tiny extra job emits the per-bucket token totals (≤ num_buckets
+   rows to the driver); their running sum is each bucket's GLOBAL
+   offset, joined back as a broadcast. Because the bucket id is a pure
+   function of the row, the totals pass and the apply pass agree by
+   construction no matter how Spark physically partitions either job.
 
 All arithmetic is integer, so results are bit-identical to the
 single-window spelling (equivalence-tested) and to any other engine.
@@ -21,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from pm25ml_spark.operators.bucketize import range_bucket_column
 
 
 def pack_sequences(
@@ -40,25 +46,26 @@ def pack_sequences(
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(
-        nparts, *[F.col(c) for c in order_cols]
-    ).withColumn("__pid", F.spark_partition_id())
-    # tiny driver pass: per-partition token totals → global offsets
-    totals = part.groupBy("__pid").agg(F.sum(token_col).alias("t")).collect()
+    bucket_expr, _ = range_bucket_column(df, order_cols, nparts)
+    part = df.withColumn("__bucket", bucket_expr)
+    # tiny driver pass: per-bucket token totals → global offsets
+    totals = (
+        part.groupBy("__bucket").agg(F.sum(token_col).alias("t")).collect()
+    )
     offsets, acc = [], 0
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offsets.append((int(r["__pid"]), acc))
+    for r in sorted(totals, key=lambda r: r["__bucket"]):
+        offsets.append((int(r["__bucket"]), acc))
         acc += int(r["t"])
-    odf = spark.createDataFrame(offsets, "__pid int, __off long")
+    odf = spark.createDataFrame(offsets, "__bucket int, __off long")
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__bucket")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     start = (
         F.col("__off") + F.sum(token_col).over(w) - F.col(token_col)
     ).alias("start_offset")
-    out = part.join(F.broadcast(odf), "__pid").select(
+    out = part.join(F.broadcast(odf), "__bucket").select(
         *df.columns, start
     )
     first = F.expr(f"start_offset div {capacity}")

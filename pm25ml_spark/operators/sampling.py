@@ -120,52 +120,65 @@ def decimate_partitioned(
 ) -> DataFrame:
     """Exact gather_every(n) without the global window (the W7 scale
     path): EXACTLY the rows :func:`decimate` keeps, computed with
-    per-partition ranks + partition offsets (the classic two-pass
-    zipWithIndex shape) instead of a single-task global sort.
+    per-bucket ranks + bucket offsets (the classic two-pass zipWithIndex
+    shape) instead of a single-task global sort.
 
-    1. ``repartitionByRange(order_cols) + sortWithinPartitions`` gives a
-       global total order split across tasks (range exchange, parallel
-       sort — no single-partition stage anywhere).
-    2. A per-partition COUNT (one extra narrow job emitting
-       num_partitions rows) yields each partition's global rank offset.
-    3. ``mapInPandas`` streams each sorted partition once, adds its
-       broadcast offset to the local running index, and keeps
-       rank % every == 0 rows.
+    1. :func:`~pm25ml_spark.operators.bucketize.range_bucket_column`
+       derives a ROW-PURE ``__bucket`` id from once-sampled split keys —
+       unlike ``repartitionByRange`` (whose RangePartitioner re-samples
+       boundaries per job), every job in this plan computes the same
+       bucket for the same row, so the offsets-vs-apply passes agree by
+       construction.
+    2. A per-bucket COUNT (one extra job emitting ≤ num_buckets rows)
+       yields each bucket's global rank offset.
+    3. ``repartition(__bucket) + sortWithinPartitions(__bucket, order)``
+       then ``mapInPandas`` streams each bucket contiguously, adds its
+       broadcast offset to the bucket-local running index, and keeps
+       rank % every == 0 rows. Range exchange + parallel sort — no
+       single-partition stage anywhere.
 
     Requires unique ``order_cols`` keys for a well-defined result (the
     same contract as ``decimate`` — with ties, ANY engine's rank is
     arbitrary). The two passes re-evaluate the input, so the source must
     be deterministic (true of every storage scan; re-derive plans with
-    nondeterministic columns should persist first).
+    nondeterministic columns should persist first) — and the bucket id
+    itself is deterministic even across different physical partitionings.
     """
     import numpy as np
 
+    from pm25ml_spark.operators.bucketize import range_bucket_column
+
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    bucket_expr, nbuckets = range_bucket_column(df, order_cols, nparts)
+    tagged = df.withColumn("__bucket", bucket_expr)
+    counts = (
+        tagged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     offsets: dict[int, int] = {}
     acc = 0
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[int(r["__pid"])] = acc
+    for r in sorted(counts, key=lambda r: r["__bucket"]):
+        offsets[int(r["__bucket"])] = acc
         acc += int(r["n"])
     bofs = spark.sparkContext.broadcast(offsets)
 
+    part = tagged.repartition(nbuckets, "__bucket").sortWithinPartitions(
+        "__bucket", *order_cols
+    )
+
     def keep(batches):
-        seen = 0
-        off = None
+        cur, seen = None, 0
         for pdf in batches:
             if pdf.empty:
                 continue
-            if off is None:
-                off = bofs.value.get(int(pdf["__pid"].iloc[0]), 0)
-            ranks = off + seen + np.arange(len(pdf))
-            seen += len(pdf)
-            yield pdf[ranks % every == 0].drop(columns="__pid")
+            # buckets arrive contiguously (sorted first key); a physical
+            # partition may hold several buckets when ids hash-collide.
+            for bk, g in pdf.groupby("__bucket", sort=False):
+                if bk != cur:
+                    cur, seen = bk, 0
+                ranks = bofs.value.get(int(bk), 0) + seen + np.arange(len(g))
+                seen += len(g)
+                yield g[ranks % every == 0].drop(columns="__bucket")
 
     return part.mapInPandas(keep, df.schema)
 

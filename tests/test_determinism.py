@@ -1,0 +1,153 @@
+"""Multi-partition, multi-action determinism for every two-pass (multi-job)
+operator — the regression class behind the round-6 w08/t13 reds.
+
+Why these tests are shaped this way: the r6 bug was `repartitionByRange`
+re-sampling its split boundaries PER JOB, so an operator that evaluates the
+ranged frame twice (collect offsets, then apply them) applied job-1 offsets
+to job-2's different partitioning. Tiny inputs never trip it — with few
+rows per partition the resample lands on the same boundaries — so every
+test here forces ≥10k rows through ≥8 buckets from a shuffled physical
+layout, compares against the single-window global reference, and collects
+the operator output through two INDEPENDENT actions (what the driver's
+value-hash does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N = 10_007
+BUCKETS = 11
+
+
+def _permuted_ids(spark, n=N):
+    # non-contiguous, shuffled keys over a multi-partition layout
+    return (
+        spark.range(0, n)
+        .select((F.col("id") * 7919 % 100_003).alias("id"))
+        .repartition(13)
+    )
+
+
+def test_decimate_partitioned_at_scale_matches_global(spark):
+    from pm25ml_spark.operators.sampling import decimate, decimate_partitioned
+
+    df = _permuted_ids(spark)
+    want = sorted(r.id for r in decimate(df, 7, ["id"]).collect())
+    out = decimate_partitioned(df, 7, ["id"], num_partitions=BUCKETS)
+    got1 = sorted(r.id for r in out.collect())
+    got2 = sorted(r.id for r in out.collect())  # second independent action
+    assert got1 == want
+    assert got2 == want
+
+
+def test_decimate_partitioned_fresh_plans_agree(spark):
+    from pm25ml_spark.operators.sampling import decimate_partitioned
+
+    df = _permuted_ids(spark)
+    runs = {
+        tuple(
+            sorted(
+                r.id
+                for r in decimate_partitioned(
+                    df, 7, ["id"], num_partitions=BUCKETS
+                ).collect()
+            )
+        )
+        for _ in range(3)
+    }
+    assert len(runs) == 1
+
+
+def test_pack_sequences_at_scale_matches_global(spark):
+    from pm25ml_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    docs = (
+        spark.range(0, 12_000)
+        .select(
+            F.concat(
+                F.lit("doc_"), F.lpad(F.col("id").cast("string"), 6, "0")
+            ).alias("doc_id"),
+            ((F.col("id") * 31 % 97) + 1).cast("long").alias("n_tokens"),
+        )
+        .repartition(17)
+    )
+    a = pack_sequences(docs, "n_tokens", ["doc_id"], 128, num_partitions=BUCKETS)
+    b = pack_sequences_global(docs, "n_tokens", ["doc_id"], 128)
+    got1 = sorted(map(tuple, a.collect()))
+    got2 = sorted(map(tuple, a.collect()))
+    want = sorted(map(tuple, b.collect()))
+    assert got1 == want
+    assert got2 == want
+
+
+def test_pack_sequences_composite_order_key(spark):
+    """t14's shape: a two-column (string, string) order key."""
+    from pm25ml_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    docs = (
+        spark.range(0, 10_500)
+        .select(
+            F.concat(
+                F.lit("d"), F.lpad(F.col("id").cast("string"), 6, "0")
+            ).alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("de"), F.lit("en"), F.lit("fr"), F.lit("hi")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("lang"),
+            ((F.col("id") * 13 % 61) + 1).cast("long").alias("n_tokens"),
+        )
+        .repartition(19)
+    )
+    a = pack_sequences(
+        docs, "n_tokens", ["lang", "doc_id"], 200, num_partitions=BUCKETS
+    )
+    b = pack_sequences_global(docs, "n_tokens", ["lang", "doc_id"], 200)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_range_bucket_column_is_row_pure_and_monotone(spark):
+    from pm25ml_spark.operators.bucketize import range_bucket_column
+
+    df = _permuted_ids(spark)
+    expr, nb = range_bucket_column(df, ["id"], 8)
+    assert 1 <= nb <= 8
+    rows = df.select("id", expr.alias("b")).collect()
+    # monotone: sort by key → bucket ids non-decreasing, all within range
+    by_key = sorted((r.id, r.b) for r in rows)
+    bs = [b for _, b in by_key]
+    assert all(0 <= b < nb for b in bs)
+    assert bs == sorted(bs)
+    # row-pure: same row → same bucket under a different physical layout
+    again = dict(
+        (r.id, r.b)
+        for r in df.repartition(3).select("id", expr.alias("b")).collect()
+    )
+    assert all(again[k] == b for k, b in by_key)
+
+
+def test_range_bucket_column_nulls_land_in_bucket_zero(spark):
+    from pm25ml_spark.operators.bucketize import range_bucket_column
+
+    df = spark.createDataFrame(
+        [(None,)] + [(i,) for i in range(1000)], "id long"
+    ).repartition(7)
+    expr, nb = range_bucket_column(df, ["id"], 4)
+    got = {r.id: r.b for r in df.select("id", expr.alias("b")).collect()}
+    assert got[None] == 0
+    assert nb >= 2
+
+
+def test_range_bucket_column_degenerate_single_key(spark):
+    from pm25ml_spark.operators.bucketize import range_bucket_column
+
+    df = spark.createDataFrame([(1,)] * 500, "id long")
+    expr, nb = range_bucket_column(df, ["id"], 8)
+    assert nb == 1
+    assert df.select(expr.alias("b")).distinct().collect()[0].b == 0

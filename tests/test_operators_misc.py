@@ -110,7 +110,10 @@ def test_decimate_partitioned_plan_has_no_global_window(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "id long")
     plan = decimate_partitioned(df, 5, ["id"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+    # row-pure bucket ids hash-exchanged — NOT repartitionByRange, whose
+    # RangePartitioner re-samples boundaries per job (the r6 w08 bug)
+    assert "hashpartitioning(__bucket" in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_hive_path_roundtrip():

@@ -155,9 +155,12 @@ def test_t13_no_single_partition_stage(spark, sf_dir):
 
     plan = physical_plan(QUERIES["t13_sequence_packing"](spark, sf_dir))
     # the whole point: no Exchange SinglePartition anywhere (the global
-    # window spelling would need one); prefix-sum runs range-partitioned
+    # window spelling would need one); prefix-sum runs bucket-partitioned
+    # on the row-pure __bucket id (NOT rangepartitioning — its per-job
+    # boundary resample caused the r6 t13 red)
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(__bucket" in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 # ---- Count-Min (operators/sketches.py cm_*) ------------------------------
