@@ -215,6 +215,41 @@ def stratified_split_portable(
     )
 
 
+def global_topk(
+    df: DataFrame,
+    order: list,
+    k: int,
+    lane_col: str,
+    salts: int = 64,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exact global top-k with rank, WITHOUT sorting the whole frame
+    through one task: per-salt-lane top-k first (``salts`` parallel
+    windows over ``xxhash64(lane_col) % salts``), then the true top-k
+    over the ≤ k·salts survivors. Exact by the subset argument — any
+    global top-k row is also top-k within its lane, so the prune never
+    drops a winner. The final unpartitioned window sees a BOUNDED frame
+    (k·salts rows), not the corpus.
+
+    ``order`` is the ordering column list (e.g. ``[F.desc("score"),
+    F.asc("id")]``) — it must be a total order (include a tie-break) for
+    a well-defined result. ``lane_col`` is any column; the lane hash only
+    affects balance, never the result.
+    """
+    lane = F.xxhash64(F.col(lane_col)) % salts
+    lw = Window.partitionBy("__lane").orderBy(*order)
+    pruned = (
+        df.withColumn("__lane", lane)
+        .withColumn("__rn", F.row_number().over(lw))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__lane")
+    )
+    final = Window.orderBy(*order)
+    return pruned.withColumn(
+        rank_col, F.row_number().over(final).cast("long")
+    ).filter(F.col(rank_col) <= k)
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str,

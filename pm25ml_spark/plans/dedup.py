@@ -1010,26 +1010,23 @@ def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("deg")
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    # deg rides INSIDE the rank frame (doc_id-keyed equi-join, co-
+    # partitioned with the groupBy output) — never broadcast: at 10^9
+    # nodes a broadcast deg table would kill the driver long before the
+    # per-iteration shuffle mattered. Each iteration is then exactly one
+    # shuffle keyed by node id (edge join + regroup), plus a cheap
+    # co-partitioned deg re-attach on non-final iterations.
     ranks = deg.crossJoin(F.broadcast(nn)).select(
-        "doc_id", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank")
+        "doc_id", F.round(F.lit(1.0) / F.col("n"), 6).alias("rank"), "deg"
     )
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(
-                ranks.withColumnRenamed("doc_id", "src"), "src"
-            )
-            .join(
-                F.broadcast(
-                    deg.select(F.col("doc_id").alias("src"), "deg")
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("doc_id"),
-                F.round(F.col("rank") / F.col("deg"), 6).alias("c"),
-            )
+    for i in range(_PR_ITERS):
+        contrib = edges.join(
+            ranks.withColumnRenamed("doc_id", "src"), "src"
+        ).select(
+            F.col("dst").alias("doc_id"),
+            F.round(F.col("rank") / F.col("deg"), 6).alias("c"),
         )
-        ranks = (
+        agg = (
             contrib.groupBy("doc_id")
             .agg(
                 F.sum(F.col("c").cast("decimal(38,6)"))
@@ -1044,4 +1041,5 @@ def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        ranks = agg if i == _PR_ITERS - 1 else agg.join(deg, "doc_id")
     return ranks

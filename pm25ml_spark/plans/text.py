@@ -470,12 +470,14 @@ def t10_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = scored.groupBy("doc_id").agg(
         F.sum(F.col("term_score").cast("decimal(38,6)")).cast("double").alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .select("doc_id", "score", "rk")
-    )
+    # two-level prune (operators/sampling.global_topk): per-lane top-10
+    # windows in parallel, then the true top-10 over ≤ 10·64 survivors —
+    # never a corpus-cardinality frame through one WindowExec task.
+    from pm25ml_spark.operators.sampling import global_topk
+
+    return global_topk(
+        per_doc, [F.desc("score"), F.asc("doc_id")], 10, "doc_id"
+    ).select("doc_id", "score", "rk")
 
 
 # --------------------------------------------------------------------------

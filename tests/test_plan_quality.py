@@ -246,7 +246,10 @@ def test_w08_decimation_has_no_single_partition_window(spark, sf_dir):
     df = QUERIES["w08_decimate_100"](spark, sf_dir)
     plan = physical_plan(df)
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # row-pure bucket exchange, not repartitionByRange (whose per-job
+    # boundary resample caused the r6 w08 red)
+    assert "hashpartitioning(__bucket" in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_cp03_assignment_has_no_window(spark, sf_dir):
@@ -352,3 +355,56 @@ def test_ss09_multitable_join_is_bucket_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- catalog-wide unpartitioned-window audit ------------------------------
+#
+# An unpartitioned WindowExec funnels its whole input through ONE task — a
+# corpus-cardinality frame there is the single worst scale bug a plan can
+# hide (round-6 finding on t10). This audit walks the physical plan of
+# EVERY catalog query and fails on any unpartitioned WindowExec unless the
+# query is allowlisted with a bounded-input justification, turning the
+# bench-tail "No Partition Defined for Window" warnings into signal.
+
+# query -> (max allowed unpartitioned WindowExec nodes, why it's bounded)
+_BOUNDED_GLOBAL_WINDOWS = {
+    # final top-k over ≤ k·salts lane survivors (two-level prune)
+    "a04_weighted_sample": (1, "A-ES final top-k over ≤ k·64 lane survivors"),
+    "t10_bm25_top10": (1, "BM25 final top-10 over ≤ 10·64 lane survivors"),
+    "sk03_countmin": (2, "top-20 probes over ≤ 20·32 lane survivors"),
+    # dimension-sized frames
+    "w13_cumulative_unique_users": (1, "day-keyed aggregate (calendar-bounded)"),
+    "m01_group_folds": (1, "dense_rank over DISTINCT group keys (dimension)"),
+}
+
+
+def _walk_physical(node):
+    yield node
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.inputPlan())
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_physical(it.next())
+
+
+def test_no_unbounded_unpartitioned_windows_anywhere(spark, sf_dir):
+    offenders = {}
+    for name, fn in QUERIES.items():
+        n_unpart = sum(
+            1
+            for n in _walk_physical(
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            )
+            if n.getClass().getSimpleName() == "WindowExec"
+            and n.partitionSpec().size() == 0
+        )
+        allowed = _BOUNDED_GLOBAL_WINDOWS.get(name, (0, ""))[0]
+        if n_unpart > allowed:
+            offenders[name] = n_unpart
+    assert not offenders, (
+        f"unpartitioned WindowExec over a potentially unbounded frame in: "
+        f"{offenders} — either repartition the window, apply the "
+        f"global_topk two-level prune, or allowlist with a bounded-input "
+        f"justification"
+    )
