@@ -75,3 +75,63 @@ def test_rotation_module_reimport_stable():
     q1 = list(entry.queries())
     q2 = list(entry.queries())
     assert q1 == q2
+
+
+def _simulate(n_queries, sample_size, n_rounds, tmp_path, monkeypatch, red=()):
+    """Drive sample_order the way the external driver does: each round
+    verify the first ``sample_size`` names, write CORRECTNESS_r{N}.json,
+    repeat. Returns {query: [rounds it was sampled]}."""
+    import json
+
+    names = [f"x{i:03d}" for i in range(n_queries)]
+    monkeypatch.setattr(entry, "__file__", str(tmp_path / "e.py"))
+    sampled_at = {n: [] for n in names}
+    for rnd in range(1, n_rounds + 1):
+        order = entry.sample_order(names)
+        assert sorted(order) == sorted(names)  # always a permutation
+        batch = order[:sample_size]
+        result = {}
+        for n in batch:
+            sampled_at[n].append(rnd)
+            ok = n not in red
+            result[n] = {"hash_match": ok, "rows_match": True}
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(result)
+        )
+    return sampled_at
+
+
+def test_staleness_bound_at_120_queries(tmp_path, monkeypatch):
+    """The r6 headroom ask: at >100 queries the old latest-round-only
+    policy could starve part of the due set. Staleness ordering must hit
+    the information-theoretic floor: every query sampled at least once
+    in any ceil(N/S) consecutive rounds."""
+    import math
+
+    n, s, rounds = 120, 50, 9
+    window = math.ceil(n / s)  # 3
+    sampled_at = _simulate(n, s, rounds, tmp_path, monkeypatch)
+    for q, hits in sampled_at.items():
+        assert hits, f"{q} never sampled in {rounds} rounds"
+        seq = [0] + hits + [rounds + 1]
+        gaps = [b - a for a, b in zip(seq, seq[1:])]
+        assert max(gaps) <= window, f"{q} gap {max(gaps)} > {window}: {hits}"
+
+
+def test_staleness_bound_at_100_queries_is_two_rounds(tmp_path, monkeypatch):
+    sampled_at = _simulate(100, 50, 8, tmp_path, monkeypatch)
+    for q, hits in sampled_at.items():
+        seq = [0] + hits + [9]
+        gaps = [b - a for a, b in zip(seq, seq[1:])]
+        assert max(gaps) <= 2, f"{q}: {hits}"
+
+
+def test_persistent_red_resamples_every_round(tmp_path, monkeypatch):
+    """A regression must re-enter the sample immediately and keep being
+    re-checked until fixed (its last_green never advances)."""
+    sampled_at = _simulate(
+        120, 50, 6, tmp_path, monkeypatch, red={"x007"}
+    )
+    # after its first appearance, x007 is in EVERY subsequent sample
+    first = sampled_at["x007"][0]
+    assert sampled_at["x007"] == list(range(first, 7))
