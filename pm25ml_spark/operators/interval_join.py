@@ -18,8 +18,22 @@ plus an interval replication factor of ``len/bucket + 1`` (pick
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _floor_div(col: str, b: int) -> Column:
+    """Exact long floor-division ``floor(col / b)`` for b > 0.
+
+    NOT ``(col / b).cast('long')``: that routes through DOUBLE division
+    (misbuckets past 2^53) and truncates toward zero, merging buckets
+    -1..0 and doubling replication near the origin. Integral ``div`` is
+    exact at any magnitude; the correction term turns its
+    truncate-toward-zero into a true floor for negative values.
+    """
+    c = F.col(col).cast("long")
+    q = F.expr(f"CAST({col} AS BIGINT) div {b}")
+    return q - F.when((c % b != 0) & (c < 0), 1).otherwise(0)
 
 
 def interval_join(
@@ -41,16 +55,12 @@ def interval_join(
     """
     if how != "inner":
         raise ValueError("interval_join supports how='inner' only")
-    b = F.lit(int(bucket))
+    b = int(bucket)
     iv = intervals.withColumn(
         "__bk",
-        F.explode(
-            F.sequence(
-                (F.col(start) / b).cast("long"), (F.col(end) / b).cast("long")
-            )
-        ),
+        F.explode(F.sequence(_floor_div(start, b), _floor_div(end, b))),
     )
-    pt = points.withColumn("__bk", (F.col(point) / b).cast("long"))
+    pt = points.withColumn("__bk", _floor_div(point, b))
     return (
         iv.join(pt, "__bk")
         .filter((F.col(point) >= F.col(start)) & (F.col(point) <= F.col(end)))
@@ -81,28 +91,16 @@ def interval_overlap_join(
     factor is ``len/bucket + 1`` per side (same knob discussion as
     interval_join: pick bucket ≈ typical interval length).
     """
-    b = F.lit(int(bucket))
+    b = int(bucket)
     lb = left.withColumn(
         "__bk",
-        F.explode(
-            F.sequence(
-                (F.col(l_start) / b).cast("long"),
-                (F.col(l_end) / b).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(_floor_div(l_start, b), _floor_div(l_end, b))),
     )
     rb = right.withColumn(
         "__bk",
-        F.explode(
-            F.sequence(
-                (F.col(r_start) / b).cast("long"),
-                (F.col(r_end) / b).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(_floor_div(r_start, b), _floor_div(r_end, b))),
     )
-    first_shared = F.greatest(
-        (F.col(l_start) / b).cast("long"), (F.col(r_start) / b).cast("long")
-    )
+    first_shared = F.greatest(_floor_div(l_start, b), _floor_div(r_start, b))
     return (
         lb.join(rb, "__bk")
         .filter(

@@ -638,9 +638,13 @@ def pq_encode(
         dtype=np.int64,
     )
     # loud completeness check: a grid with any (s, cen_id) hole would
-    # otherwise compare against unset rows and prune the true argmin
+    # otherwise compare against unset rows and prune the true argmin.
+    # Compares the DISTINCT id set per subspace, not entry counts — a
+    # duplicated (s, cen_id) masking a missing cell must raise, not leave
+    # a NaN row that silently empties the prune mask.
+    want = set(int(i) for i in cen_ids)
     if sorted(by_s) != list(range(m)) or any(
-        len(entries) != len(cen_ids) for entries in by_s.values()
+        {i for i, _ in entries} != want for entries in by_s.values()
     ):
         raise ValueError(
             "pq_encode: codebook is not a complete m x K grid "

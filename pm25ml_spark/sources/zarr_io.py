@@ -223,6 +223,7 @@ def write_zarr_cube(
         level=level,
     )
     _write_coord_arrays(path, dates, ys, xs)
+    consolidate_metadata(path)
 
 
 def _write_coord_arrays(path: str, dates, ys, xs) -> None:
@@ -249,6 +250,33 @@ def _write_coord_arrays(path: str, dates, ys, xs) -> None:
             level=None,
             fill_value=0,
         )
+
+
+def consolidate_metadata(path: str) -> dict:
+    """Write the Zarr v2 CONSOLIDATED metadata key ``.zmetadata`` at the
+    group root: every ``.zgroup`` / ``.zarray`` / ``.zattrs`` document in
+    the store, inlined under one JSON object (spec:
+    ``zarr_consolidated_format: 1``; the layout xarray's
+    ``open_zarr(consolidated=True)`` expects).
+
+    Why it matters at scale: on an object store, discovering a group's
+    arrays otherwise costs one LIST plus one GET per metadata key —
+    consolidation makes opening the store exactly ONE read regardless of
+    how many arrays/attributes it holds. Returns the document written.
+    """
+    metadata: dict[str, dict] = {}
+    for dirpath, _dirnames, filenames in os.walk(path):
+        rel = os.path.relpath(dirpath, path)
+        for name in filenames:
+            if name not in (".zgroup", ".zarray", ".zattrs"):
+                continue
+            key = name if rel == "." else f"{rel}/{name}"
+            with open(os.path.join(dirpath, name)) as f:
+                metadata[key.replace(os.sep, "/")] = json.load(f)
+    doc = {"metadata": metadata, "zarr_consolidated_format": 1}
+    with open(os.path.join(path, ".zmetadata"), "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    return doc
 
 
 def read_zarr_cube(path: str, var_name: str = "pm25") -> dict:
@@ -327,6 +355,15 @@ def write_zarr_distributed(
         ti = pdf["__t"].to_numpy() - tc * ct
         yi = pdf["__y"].to_numpy() - yc * cy
         xi = pdf["__x"].to_numpy() - xc * cx
+        # duplicate (date, y, x) rows would let the LAST row win — a
+        # shuffle-order-dependent, nondeterministic chunk — so they ride
+        # back as a sentinel (same pattern as unmatched rows) and the
+        # driver raises before anything touches the existing store
+        n_dup = len(pdf) - len({(t, y, x) for t, y, x in zip(ti, yi, xi)})
+        if n_dup:
+            return pd.DataFrame(
+                {"chunk": ["__duplicate__"], "n_cells": [n_dup]}
+            )
         block[ti, yi, xi] = pdf[value_col].to_numpy(dtype=dt)
         # block is already full-size; encode_chunk pads no further
         data = encode_chunk(block, (ct, cy, cx), dt, fill, level)
@@ -383,28 +420,49 @@ def write_zarr_distributed(
                 "frame columns and the dates/ys/xs axes?) — the existing "
                 "store is untouched"
             )
+        n_dup = sum(r.n_cells for r in written if r.chunk == "__duplicate__")
+        if n_dup:
+            raise ValueError(
+                f"write_zarr_distributed: {n_dup} duplicate (date, y, x) "
+                "rows — last-row-wins would make chunk bytes depend on "
+                "shuffle order; dedup the frame first. The existing store "
+                "is untouched"
+            )
+        # the FULL array dir (chunks + .zarray + .zattrs) is staged, so
+        # the go-live step below is two directory renames, never a
+        # file-by-file swap that a crash could tear into old-metadata/
+        # new-chunks mixtures
+        _write_array_meta(
+            stage_dir,
+            shape,
+            (ct, cy, cx),
+            dt,
+            ["time", "y", "x"],
+            attrs,
+            level,
+            np.nan,
+        )
     except BaseException:
         shutil.rmtree(stage_dir, ignore_errors=True)
         raise
 
-    # validated: swap the staged chunks in, then stamp metadata; chunks
-    # the tasks didn't write are absent, which the spec reads as all-fill
-    os.makedirs(var_dir, exist_ok=True)
-    _clear_chunk_files(var_dir)
-    for name in os.listdir(stage_dir):
-        os.replace(os.path.join(stage_dir, name), os.path.join(var_dir, name))
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    _write_array_meta(
-        var_dir,
-        shape,
-        (ct, cy, cx),
-        dt,
-        ["time", "y", "x"],
-        attrs,
-        level,
-        np.nan,
-    )
+    # validated: retire the old array dir in ONE rename, promote the
+    # staged dir in ONE rename. A crash between the two leaves the array
+    # ABSENT (fail-stop for readers, old data recoverable from .old-*) —
+    # never a partial mixture of two runs' chunks under live metadata.
+    old_dir = os.path.join(path, f".old-{_uuid.uuid4().hex}")
+    if os.path.isdir(var_dir):
+        os.rename(var_dir, old_dir)
+    os.rename(stage_dir, var_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": _ZARR_FORMAT}, f)
     _write_coord_arrays(path, dates, ys, xs)
-    return len([r for r in written if r.chunk != "__unmatched__"])
+    consolidate_metadata(path)
+    return len(
+        [
+            r
+            for r in written
+            if r.chunk not in ("__unmatched__", "__duplicate__")
+        ]
+    )

@@ -648,3 +648,60 @@ def test_iv02_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_negative_endpoints_true_floor(spark):
+    """Bucket ids use exact long floor-division: negative endpoints get
+    their own buckets (truncate-toward-zero would merge buckets -1..0,
+    doubling replication near the origin) and results still match the
+    brute-force join exactly."""
+    from pm25ml_spark.operators.interval_join import (
+        _floor_div,
+        interval_join,
+        interval_overlap_join,
+    )
+    from pyspark.sql import functions as F
+
+    # floor semantics: -1 div 25 == -1 (not 0), -25 div 25 == -1, -26 -> -2
+    vals = spark.createDataFrame(
+        [(-51,), (-26,), (-25,), (-1,), (0,), (1,), (24,), (25,)], "v long"
+    )
+    got = {r.v: r.b for r in vals.select("v", _floor_div("v", 25).alias("b")).collect()}
+    assert got == {-51: -3, -26: -2, -25: -1, -1: -1, 0: 0, 1: 0, 24: 0, 25: 1}
+
+    iv = spark.createDataFrame(
+        [(i, -100 + 13 * i, -100 + 13 * i + (i % 4) * 9) for i in range(20)],
+        "iid long, s long, e long",
+    )
+    pt = spark.createDataFrame(
+        [(j, -110 + 7 * j) for j in range(35)], "pid long, t long"
+    )
+    fast = sorted(
+        (r.iid, r.pid)
+        for r in interval_join(iv, pt, "s", "e", "t", bucket=25).collect()
+    )
+    brute = sorted(
+        (r.iid, r.pid)
+        for r in iv.crossJoin(pt)
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+        .collect()
+    )
+    assert fast == brute
+
+    other = spark.createDataFrame(
+        [(k, -95 + 11 * k, -95 + 11 * k + 6) for k in range(18)],
+        "oid long, os long, oe long",
+    )
+    fast2 = sorted(
+        (r.iid, r.oid)
+        for r in interval_overlap_join(
+            iv, other, "s", "e", "os", "oe", bucket=25
+        ).collect()
+    )
+    brute2 = sorted(
+        (r.iid, r.oid)
+        for r in iv.crossJoin(other)
+        .filter((F.col("s") <= F.col("oe")) & (F.col("os") <= F.col("e")))
+        .collect()
+    )
+    assert fast2 == brute2

@@ -231,3 +231,73 @@ def test_rerun_clears_stale_chunks(spark, tmp_path):
     assert not os.path.exists(os.path.join(store, "pm25", "1.0.0"))
     out = read_zarr_cube(store)
     assert out["values"].shape == (1, 5, 7)
+
+
+def test_distributed_sink_refuses_duplicate_cells(spark, tmp_path):
+    """Duplicate (date, y, x) rows are last-row-wins under applyInPandas
+    — shuffle-order-dependent chunk bytes — so the sink must raise and
+    leave any existing store untouched."""
+    from pyspark.sql import functions as F
+
+    cube, dates, ys, xs = _cube_fixture()
+    store = str(tmp_path / "dupstore")
+    good = [
+        (str(dates[0]), float(ys[0]), float(xs[0]), 1.0),
+        (str(dates[0]), float(ys[0]), float(xs[1]), 2.0),
+    ]
+    write_zarr_distributed(
+        spark.createDataFrame(
+            good,
+            "date string, original_y double, original_x double, pred double",
+        ).withColumn("date", F.to_date("date")),
+        store, dates, ys, xs, value_col="pred", chunks=(1, 5, 7),
+    )
+    before = open(os.path.join(store, "pm25", "0.0.0"), "rb").read()
+
+    dup = good + [(str(dates[0]), float(ys[0]), float(xs[1]), 99.0)]
+    with pytest.raises(ValueError, match="duplicate"):
+        write_zarr_distributed(
+            spark.createDataFrame(
+                dup,
+                "date string, original_y double, original_x double, pred double",
+            ).withColumn("date", F.to_date("date")),
+            store, dates, ys, xs, value_col="pred", chunks=(1, 5, 7),
+        )
+    # failed write touched nothing: same bytes, no stage/old leftovers
+    assert open(os.path.join(store, "pm25", "0.0.0"), "rb").read() == before
+    leftovers = [n for n in os.listdir(store) if n.startswith((".stage-", ".old-"))]
+    assert leftovers == []
+
+
+def test_consolidated_metadata_matches_store(spark, tmp_path):
+    """.zmetadata must inline every metadata doc in the store verbatim
+    (zarr_consolidated_format 1 — one GET opens the store on s3)."""
+    cube, dates, ys, xs = _cube_fixture()
+    store = str(tmp_path / "cons")
+    write_zarr_cube(store, cube, dates, ys, xs, chunks=(2, 3, 4))
+    doc = json.load(open(os.path.join(store, ".zmetadata")))
+    assert doc["zarr_consolidated_format"] == 1
+    md = doc["metadata"]
+    assert md[".zgroup"] == {"zarr_format": 2}
+    for key in ("pm25/.zarray", "pm25/.zattrs", "time/.zarray",
+                "y/.zarray", "x/.zarray"):
+        assert key in md, key
+        on_disk = json.load(open(os.path.join(store, *key.split("/"))))
+        assert md[key] == on_disk
+    assert md["pm25/.zattrs"]["_ARRAY_DIMENSIONS"] == ["time", "y", "x"]
+    # the distributed sink consolidates too, and re-runs refresh it
+    from pyspark.sql import functions as F
+
+    rows = [(str(dates[0]), float(ys[0]), float(xs[0]), 1.0)]
+    dist = str(tmp_path / "cons2")
+    write_zarr_distributed(
+        spark.createDataFrame(
+            rows,
+            "date string, original_y double, original_x double, pred double",
+        ).withColumn("date", F.to_date("date")),
+        dist, dates, ys, xs, value_col="pred", chunks=(1, 5, 7),
+    )
+    doc2 = json.load(open(os.path.join(dist, ".zmetadata")))
+    assert json.load(
+        open(os.path.join(dist, "pm25", ".zarray"))
+    ) == doc2["metadata"]["pm25/.zarray"]
