@@ -193,3 +193,32 @@ def test_transform_rebroadcasts_after_model_swap(spark):
     assert out1.tolist() == [1.0, 1.0]
     assert out2.tolist() == [2.0, 2.0]
     imp.release()
+
+
+def test_parity_bound_tree_task_excess_under_8pct():
+    """The measurable half of reference-booster parity (see the numeric
+    parity appendix in ml/numpy_gbm.py): on a tree-representable target
+    with known noise, any learner's held-out RMSE >= sigma, so OUR
+    excess over sigma bounds our gap to real XGBoost under the same
+    translated config. Smaller/faster variant of
+    tools/gbm_parity_bound.py; pins excess < 8%."""
+    import numpy as np
+
+    from pm25ml_spark.ml.boosters import XGB_AOD_PARAMS, numpy_params_from_xgb
+    from pm25ml_spark.ml.numpy_gbm import NumpyHistGBM
+
+    sigma, n_tr, n_te = 0.5, 8000, 4000
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(n_tr + n_te, 8))
+    f = (
+        2.0 * (X[:, 0] > 0)
+        + 1.5 * ((X[:, 1] > 0.5) & (X[:, 2] < 0))
+        - 1.0 * (X[:, 3] > 1.0)
+    )
+    y = f + rng.normal(scale=sigma, size=len(f))
+    params = numpy_params_from_xgb(
+        XGB_AOD_PARAMS, n_estimators=120, max_depth=6
+    )
+    m = NumpyHistGBM(**params).fit(X[:n_tr], y[:n_tr])
+    rmse = float(np.sqrt(np.mean((m.predict(X[n_tr:]) - y[n_tr:]) ** 2)))
+    assert rmse / sigma - 1.0 < 0.08, rmse
