@@ -1,0 +1,90 @@
+"""Exact distributed quantiles — order statistics WITHOUT a global sort.
+
+``approxQuantile`` trades error for speed; the reference's Polars stack
+computes exact quantiles in-memory. This operator gets EXACT order
+statistics at cluster scale with two narrow jobs and no corpus-wide
+sort, built on the row-pure range buckets of
+:mod:`pm25ml_spark.operators.bucketize` (the same primitive that fixed
+the r6 prefix-sum nondeterminism):
+
+1. Bucket counts (one aggregation job, ≤ num_buckets rows to the
+   driver) → cumulative offsets locate WHICH bucket holds each
+   requested global rank, and the rank's offset within it.
+2. A second job filters to ONLY the rank-containing buckets (≤ one per
+   requested quantile — the other buckets are never scanned past the
+   filter), sorts each within its task, and picks the local ranks.
+
+The value at global rank k under ``ORDER BY value`` is well-defined
+even with duplicate values (any tie order yields the same k-th VALUE),
+so the result is engine-portable with no tie-break column. Rank
+convention: ``k_p = max(1, ceil(p * n))`` — p = 0 → minimum, p = 1 →
+maximum, matching ``SELECT v ... ORDER BY v LIMIT 1 OFFSET k-1``.
+
+Memory per task is one bucket (tunable via ``num_buckets``), never the
+frame; at 100 TB the plan reads the column once for counts and once
+filtered down to the probed buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pm25ml_spark.operators.bucketize import range_bucket_column
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return a DataFrame ``(p double, value <col type>)`` with the
+    exact ``max(1, ceil(p*n))``-rank order statistic per requested p.
+    Null values are excluded (SQL aggregate semantics)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    vals = df.select(value_col).filter(F.col(value_col).isNotNull())
+    bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
+    tagged = vals.withColumn("__bucket", bucket_expr)
+    counts = (
+        tagged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    sizes = {int(r["__bucket"]): int(r["n"]) for r in counts}
+    n = sum(sizes.values())
+    out_schema = f"p double, value {dict(df.dtypes)[value_col]}"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+
+    # driver-side rank → (bucket, local_rank); dict keeps ≤ len(ps) rows
+    targets: dict[int, list[tuple[float, int]]] = {}
+    for p in ps:
+        k = min(max(1, math.ceil(p * n)), n)
+        acc = 0
+        for b in sorted(sizes):
+            if k <= acc + sizes[b]:
+                targets.setdefault(b, []).append((float(p), k - acc))
+                break
+            acc += sizes[b]
+    btargets = spark.sparkContext.broadcast(targets)
+    needed = sorted(targets)
+
+    def pick(key, pdf):
+        b = int(key[0])
+        want = btargets.value.get(b, [])
+        if not want:
+            return pd.DataFrame({"p": [], "value": []})
+        v = pdf[value_col].sort_values(kind="mergesort").to_numpy()
+        return pd.DataFrame(
+            {"p": [p for p, _ in want], "value": [v[r - 1] for _, r in want]}
+        )
+
+    return (
+        tagged.filter(F.col("__bucket").isin(needed))
+        .groupBy("__bucket")
+        .applyInPandas(pick, out_schema)
+    )

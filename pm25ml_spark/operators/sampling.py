@@ -215,6 +215,47 @@ def stratified_split_portable(
     )
 
 
+def stratified_cap_k(
+    df: DataFrame,
+    stratum: str,
+    id_col: str,
+    k: int,
+    seed: str = "cap",
+    salts: int = 32,
+) -> DataFrame:
+    """Cap every stratum at its k hash-FIRST rows — the class-rebalancing
+    primitive of a training-data mix ("at most k docs per source"), with
+    membership portable across engines: rows rank by the 60-bit md5 of
+    ``"{seed}:{id}"`` (then the id), so any SQL engine reproduces the
+    same sample exactly.
+
+    Scale shape: a plain per-stratum window shuffles the whole corpus
+    onto stratum keys, and a dominant stratum becomes one giant task. So
+    the rank is two-level, like :func:`global_topk` but per stratum:
+    per-(stratum, lane) top-k first (salted parallel windows), then the
+    true per-stratum top-k over the ≤ k·salts survivors. Adds ``rk``
+    (1-based within stratum); keeps all input columns.
+    """
+    from pm25ml_spark.operators.dedup import _md5_long
+
+    h = _md5_long(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+    keyed = df.withColumn("__h", h).withColumn("__lane", h % salts)
+    lane = Window.partitionBy(stratum, "__lane").orderBy(
+        "__h", F.col(id_col)
+    )
+    pruned = (
+        keyed.withColumn("__rn", F.row_number().over(lane))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__lane")
+    )
+    final = Window.partitionBy(stratum).orderBy("__h", F.col(id_col))
+    return (
+        pruned.withColumn("rk", F.row_number().over(final).cast("long"))
+        .filter(F.col("rk") <= k)
+        .drop("__h")
+    )
+
+
 def global_topk(
     df: DataFrame,
     order: list,

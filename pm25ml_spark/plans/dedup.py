@@ -1043,3 +1043,181 @@ def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = agg if i == _PR_ITERS - 1 else agg.join(deg, "doc_id")
     return ranks
+
+
+# --------------------------------------------------------------------------
+# gr02 — triangle counting on the duplicate graph (per-node triangle
+# membership). Triangles in a near-dup graph expose CLUSTERS the pairwise
+# threshold alone can't: a doc in many triangles sits in a dense plagiarism
+# /boilerplate clique, not a chance collision. The plan is the classic
+# degree-oriented algorithm: orient every undirected edge from the
+# (degree, id)-SMALLER endpoint to the larger, enumerate wedges from each
+# source's oriented out-edges, and close them against the oriented edge
+# list — two equi-joins, O(m^1.5) wedges total, immune to high-degree hubs
+# (a hub's edges mostly point INTO it, so it sources few wedges). The
+# oracle enumerates each triangle once via a < b < c id-ordering —
+# different orientation, same triangle set, hash-identical counts.
+
+
+@query(
+    "gr02_dupgraph_triangles",
+    f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    tri AS (
+        SELECT q1.doc_a AS a, q1.doc_b AS b, q2.doc_b AS c
+        FROM qual q1
+        JOIN qual q2 ON q2.doc_a = q1.doc_b
+        JOIN qual q3 ON q3.doc_a = q1.doc_a AND q3.doc_b = q2.doc_b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def gr02_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b"
+    )
+    # degree over both endpoints of the undirected pair list
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        pairs.join(
+            deg.select(
+                F.col("node").alias("doc_a"), F.col("deg").alias("da")
+            ),
+            "doc_a",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("doc_b"), F.col("deg").alias("db")
+            ),
+            "doc_b",
+        )
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("doc_a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("doc_b").alias("i"))
+    oriented = e.select(
+        F.when(ka < kb, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(ka < kb, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    k1 = F.struct(F.col("e1.dst_deg").alias("d"), F.col("e1.dst").alias("i"))
+    k2 = F.struct(F.col("e2.dst_deg").alias("d"), F.col("e2.dst").alias("i"))
+    wedges = e1.join(
+        e2, (F.col("e1.src") == F.col("e2.src")) & (k1 < k2)
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+# --------------------------------------------------------------------------
+# cp08 — contamination SCORING (the GPT-3 appendix-C recipe, Brown et al.
+# 2020): unlike cp02 (flag any hit) or cp04 (Bloom membership), score
+# EVERY corpus document by the fraction of its distinct 3-grams that also
+# occur in the benchmark source, and band it clean / questionable / dirty.
+# The benchmark gram set is eval-suite-sized → distinct + broadcast; the
+# corpus explodes once and aggregates keyed by doc_id — zero corpus-side
+# wide shuffle beyond the per-doc groupBy, same scale shape as cp02.
+_CP08_DIRTY = 0.5
+
+
+@query(
+    "cp08_contamination_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               UNNEST(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok
+    ),
+    gd AS (SELECT DISTINCT doc_id, source, s FROM g),
+    bench AS (SELECT DISTINCT s FROM gd WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, s FROM gd WHERE source <> 'src0')
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS overlap_frac,
+           CASE
+             WHEN CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) >= {_CP08_DIRTY!r} THEN 'dirty'
+             WHEN SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) > 0
+               THEN 'questionable'
+             ELSE 'clean'
+           END AS label
+    FROM corpus c LEFT JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+)
+def cp08_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.word_ngrams("text", 3)
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("s"))
+        .distinct()
+    )
+    corpus = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(grams).alias("s"))
+        .distinct()
+    )
+    hit = F.when(F.col("b").isNotNull(), 1).otherwise(0)
+    scored = (
+        corpus.join(
+            F.broadcast(bench.select(F.col("s"), F.lit(1).alias("b"))),
+            "s",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_grams")
+    label = (
+        F.when(frac >= _CP08_DIRTY, "dirty")
+        .when(F.col("n_hit") > 0, "questionable")
+        .otherwise("clean")
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(frac, 6).alias("overlap_frac"),
+        label.alias("label"),
+    )

@@ -873,3 +873,71 @@ def a05_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("keep_rate").alias("keep_rate"),
         F.sum(kept).cast("bigint").alias("n_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# a06 — exact distributed quantiles (order statistics without a global
+# sort): the p-quantiles of lineitem extended price at rank
+# max(1, ceil(p*n)). approxQuantile gives an error band; this plan gives
+# the EXACT value via row-pure range buckets (operators/quantiles.py):
+# one bucket-count job locates which bucket holds each requested rank,
+# a second job sorts ONLY the rank-containing buckets. Task memory is
+# one bucket, never the frame.
+_Q_PS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+@query(
+    "a06_exact_quantiles",
+    f"""
+    WITH v AS (
+        SELECT l_extendedprice AS value FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v)
+    SELECT CAST(p AS DOUBLE) AS p, value
+    FROM (VALUES {", ".join(f"({p!r})" for p in _Q_PS)}) AS ps(p)
+    CROSS JOIN nn
+    JOIN r ON r.rn = LEAST(GREATEST(1, CAST(CEIL(p * n) AS BIGINT)), n)
+    """,
+)
+def a06_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.quantiles import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice", _Q_PS)
+
+
+# --------------------------------------------------------------------------
+# a07 — capped stratified rebalance: at most k documents per source, the
+# "cap the over-represented domain" move of a training-data mixture.
+# Membership is the k hash-FIRST docs per source (portable 60-bit md5
+# order), so the "random" cap is oracle-checkable. The plan never funnels
+# a whole stratum through one task: per-(source, lane) top-k windows
+# first, then the true per-source top-k over <= k * 32 survivors — the
+# global_topk two-level prune applied per stratum.
+_CAP_K = 40
+
+
+@query(
+    "a07_capped_rebalance",
+    f"""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents
+    )
+    SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM keyed)
+    WHERE rk <= {_CAP_K}
+    """,
+)
+def a07_capped_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.sampling import stratified_cap_k
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    return stratified_cap_k(docs, "source", "doc_id", _CAP_K).select(
+        "source", "doc_id", "rk"
+    )

@@ -639,3 +639,126 @@ def w13_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(w).cast("bigint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w14 — funnel analysis (view → click → purchase): each user's chained
+# first-occurrence times — first view, first click strictly AFTER that
+# view, first purchase strictly after that click — and the funnel depth
+# reached. The product-analytics staple. The plan is three conditional
+# MIN-aggregates chained by user-keyed left joins: every shuffle is keyed
+# user_id (co-partitioned end-to-end, AQE coalesces the re-use), the
+# event_type filters push into the scan, and nothing ever sorts the raw
+# event stream — at 100 TB the heavy frame moves exactly once per stage,
+# already keyed.
+@query(
+    "w14_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS view_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+           CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+                     WHEN c.click_us IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def w14_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    depth = (
+        F.when(F.col("purchase_us").isNotNull(), 3)
+        .when(F.col("click_us").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            depth.cast("bigint").alias("funnel_depth"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# w15 — retention cohorts: bucket users by first-activity day, then count
+# distinct active users per (cohort_day, day_offset) — the retention
+# triangle every product-analytics stack computes. Plan shape: one
+# per-user MIN (keyed user_id), joined back onto the distinct
+# (user, day) activity set (same user_id key — co-partitioned), then a
+# (cohort, offset)-keyed count. The raw event stream is never sorted and
+# each shuffle key is either user_id or the calendar-bounded cohort pair.
+@query(
+    "w15_retention_cohorts",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def w15_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

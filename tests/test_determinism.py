@@ -151,3 +151,41 @@ def test_range_bucket_column_degenerate_single_key(spark):
     expr, nb = range_bucket_column(df, ["id"], 8)
     assert nb == 1
     assert df.select(expr.alias("b")).distinct().collect()[0].b == 0
+
+
+def test_exact_quantiles_matches_sort_and_repeats(spark):
+    """exact_quantiles is a two-pass (counts job + pick job) operator on
+    range buckets — same regression class as decimate/pack: multi-bucket,
+    shuffled layout, independent actions, duplicate values included."""
+    import math
+
+    from pm25ml_spark.operators.quantiles import exact_quantiles
+
+    vals = [(float((i * 7919) % 997),) for i in range(10_007)]
+    df = spark.createDataFrame(vals, "v double").repartition(13)
+    truth = sorted(v for (v,) in vals)
+    ps = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    want = {
+        p: truth[min(max(1, math.ceil(p * len(truth))), len(truth)) - 1]
+        for p in ps
+    }
+    out = exact_quantiles(df, "v", ps, num_partitions=11)
+    got1 = {r.p: r.value for r in out.collect()}
+    got2 = {r.p: r.value for r in out.collect()}
+    assert got1 == want
+    assert got2 == want
+
+
+def test_exact_quantiles_nulls_and_empty(spark):
+    from pm25ml_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (1.0,), (None,), (3.0,)], "v double"
+    )
+    got = {
+        r.p: r.value
+        for r in exact_quantiles(df, "v", [0.5, 1.0]).collect()
+    }
+    assert got == {0.5: 3.0, 1.0: 5.0}  # nulls excluded, n=3
+    empty = spark.createDataFrame([], "v double")
+    assert exact_quantiles(empty, "v", [0.5]).collect() == []
