@@ -456,3 +456,23 @@ def m02_stratified_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("fold").cast("long").alias("fold"), "stratum")
         .agg(F.countDistinct("user_id").alias("n_groups"))
     )
+
+
+# --------------------------------------------------------------------------
+# m03 — per-group closed-form OLS (the classical baseline next to the
+# GBM pipeline, reference training/imputation_model_pipeline.py's linear
+# sanity fit): slope/intercept/R² of extendedprice on quantity per
+# returnflag. ONE map-side-combinable hash aggregate of six decimal
+# sufficient statistics — |groups| rows through the shuffle at any input
+# size; the closed form is a fixed IEEE double chain both engines round
+# identically.
+from pm25ml_spark.ml.linreg import group_ols, ols_sql  # noqa: E402
+
+
+@query(
+    "m03_ols_by_flag",
+    ols_sql("l_quantity", "l_extendedprice", ["l_returnflag"], "lineitem"),
+)
+def m03_ols_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_ols(li, "l_quantity", "l_extendedprice", ["l_returnflag"])

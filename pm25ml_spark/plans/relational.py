@@ -941,3 +941,72 @@ def a07_capped_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_cap_k(docs, "source", "doc_id", _CAP_K).select(
         "source", "doc_id", "rk"
     )
+
+
+# --------------------------------------------------------------------------
+# a08 — per-group higher moments (mean/variance/skewness/kurtosis) from
+# exact decimal power sums: the method-of-moments distribution profile a
+# data-quality sweep runs over every numeric column. One hash aggregate,
+# map-side combinable, |groups| shuffle rows at any scale; decimal sums
+# make the statistics split-invariant (headroom: DECIMAL(38,6) holds
+# Σ quantity⁴ up to ~10^26 rows at TPC-H quantity magnitudes).
+from pm25ml_spark.ml.linreg import group_moments, moments_sql  # noqa: E402
+
+
+@query(
+    "a08_group_moments",
+    moments_sql("l_quantity", ["l_returnflag"], "lineitem"),
+)
+def a08_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_moments(li, "l_quantity", ["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
+# q22 — TPC-H Q22 shape (global-scalar subquery + anti join): customers
+# in three market segments whose balance beats the positive-balance
+# average of those segments AND who never ordered. The scalar average is
+# a 1-row aggregate cross-joined in (broadcast — no shuffle); the
+# "never ordered" test is a left-anti join keyed on custkey; the final
+# rollup is one small hash aggregate. (The testdata customer table has
+# no c_phone, so market segment stands in for Q22's country code —
+# the operator composition is identical.)
+_Q22_SEGS = ("BUILDING", "MACHINERY", "FURNITURE")
+
+
+@query(
+    "q22_sales_opportunity",
+    f"""
+    WITH seg AS (
+        SELECT * FROM customer
+        WHERE c_mktsegment IN {_Q22_SEGS!r}
+    ),
+    threshold AS (
+        SELECT {davg_expr("c_acctbal")} AS avg_bal
+        FROM seg WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           {dsum_expr("c_acctbal")} AS totacctbal
+    FROM seg, threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = cust.filter(F.col("c_mktsegment").isin(*_Q22_SEGS))
+    threshold = seg.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        seg.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, seg.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -408,3 +408,26 @@ def test_no_unbounded_unpartitioned_windows_anywhere(spark, sf_dir):
         f"global_topk two-level prune, or allowlist with a bounded-input "
         f"justification"
     )
+
+
+def test_m03_a08_single_aggregate_with_partial(spark, sf_dir):
+    """The sufficient-statistics aggregates must be ONE hash aggregate
+    with map-side combine (partial_count/partial_sum before the single
+    exchange) — the shuffle carries |groups| rows, not the input."""
+    for name in ("m03_ols_by_flag", "a08_group_moments"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert plan.count("Exchange") == 1, name
+        assert "partial_sum" in plan or "partial_count" in plan, name
+        assert "SortMergeJoin" not in plan and "Window" not in plan, name
+
+
+def test_q22_scalar_threshold_broadcast_anti_join(spark, sf_dir):
+    """Q22 shape: the 1-row scalar threshold joins via broadcast (never a
+    shuffled NLJ) and the "never ordered" test is a broadcast/shuffled
+    ANTI join, not a cartesian."""
+    df = QUERIES["q22_sales_opportunity"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
