@@ -518,3 +518,99 @@ def daily_spatial_interpolate(
         return interpolate_frame(pdf, value_cols, x_col, y_col)
 
     return df.groupBy(date_col).applyInPandas(fn, schema=df.schema)
+
+
+def idw_regrid_bucketed(
+    targets,
+    sources,
+    value_col: str,
+    radius_km: float,
+    cell_deg: float,
+    target_id: str = "id",
+    lat: str = "latitude",
+    lon: str = "longitude",
+    src_lat: str = "lat",
+    src_lon: str = "lon",
+    power: int = 2,
+):
+    """Inverse-distance-weighted interpolation onto target points — the
+    K1 family's oracle-checkable face (the Delaunay/barycentric operator
+    above matches the reference numerically but has no SQL dual; IDW is
+    the standard alternative the literature reports alongside it).
+
+    value(t) = Σ v_i / d_i^p  /  Σ 1 / d_i^p   over sources with
+    haversine d_i ≤ radius_km.  Targets with no source in range drop out
+    (same as an inner join — callers gap-fill downstream).
+
+    Scale shape (same as ``nn_join.nearest_grid_join_bucketed``): both
+    sides bucket into ``cell_deg`` cells, sources replicate to their 3×3
+    neighborhood, and the candidate set is a co-located equi-join — no
+    cross join, no broadcast of the full source table. EXACT coverage
+    requires radius_km ≤ cell_deg · 111.3 · cos(max |lat|) so a cell
+    step always exceeds the radius in km.
+
+    Determinism: the haversine distance is rounded to 6 dp FIRST (the
+    one cross-engine agreement point, as in the NN join oracle), the
+    per-pair weight chain ``1/d6^p`` is then a fixed IEEE double
+    sequence, and the two sums run in DECIMAL(38,18) — order-independent
+    and exactly mirrored in SQL. A floor of 1e-6 km on d6 guards
+    coincident points (deterministically, in both engines).
+    """
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.nn_join import _haversine_col
+
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    s = (
+        sources.select(src_lat, src_lon, value_col)
+        .withColumn("o", F.explode(offsets))
+        .select(
+            src_lat,
+            src_lon,
+            value_col,
+            (F.floor(F.col(src_lon) / cell_deg) + F.col("o.dx")).alias("cx"),
+            (F.floor(F.col(src_lat) / cell_deg) + F.col("o.dy")).alias("cy"),
+        )
+    )
+    t = targets.withColumn(
+        "cx", F.floor(F.col(lon) / cell_deg)
+    ).withColumn("cy", F.floor(F.col(lat) / cell_deg))
+    d6 = F.greatest(
+        F.round(
+            _haversine_col(
+                F.col(lat), F.col(lon), F.col(src_lat), F.col(src_lon)
+            ),
+            6,
+        ),
+        F.lit(1e-6),
+    )
+    # spelled as repeated multiplication, not pow(): pow is not guaranteed
+    # correctly rounded everywhere, a product chain is
+    dpow = d6
+    for _ in range(power - 1):
+        dpow = dpow * d6
+    w = F.lit(1.0) / dpow
+    cand = (
+        t.join(s, ["cx", "cy"])
+        .withColumn("__d6", d6)
+        .filter(F.col("__d6") <= radius_km)
+        .withColumn("__w", w)
+    )
+    dec = "decimal(38,18)"
+    return cand.groupBy(target_id).agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        (
+            F.sum((F.col("__w") * F.col(value_col).cast("double")).cast(dec)).cast("double")
+            / F.sum(F.col("__w").cast(dec)).cast("double")
+        ).alias("__idw"),
+    ).select(
+        target_id,
+        "n_sources",
+        F.round("__idw", 6).alias("idw_value"),
+    )

@@ -71,3 +71,71 @@ def k02_raster_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "grid_id", "date", "variable", F.round("value", 6).alias("value")
     )
+
+
+# --------------------------------------------------------------------------
+# k03 — IDW regrid (K1's oracle-checkable face; the Delaunay operator in
+# `operators/interpolation.py` matches the reference's scipy.griddata
+# numerically but has no SQL dual, so IDW carries the family's
+# value-hash check). Synthetic station/grid geometry from the embedding
+# table, as in ss06: targets are every 5th vector, sources the rest.
+# Scale shape: 3×3 cell-bucketed equi-join — no cross join, no broadcast
+# of the source table; the oracle pays the cross join only at oracle SF.
+_IDW_RADIUS_KM, _IDW_CELL_DEG = 250.0, 4.0
+_IDW_DIST = """ROUND(2 * 6371.0088 * asin(sqrt(
+                   pow(sin(radians(g.lat - p.latitude) / 2), 2)
+                   + cos(radians(p.latitude)) * cos(radians(g.lat))
+                     * pow(sin(radians(g.lon - p.longitude) / 2), 2))), 6)"""
+
+
+@query(
+    "k03_idw_regrid",
+    f"""
+    WITH pts AS (
+        SELECT vec_id AS id,
+               CAST(embedding[1] AS DOUBLE) * 50 AS latitude,
+               70 + CAST(embedding[2] AS DOUBLE) * 50 AS longitude
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    g AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) * 50 AS lat,
+               70 + CAST(embedding[2] AS DOUBLE) * 50 AS lon,
+               CAST(label AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    cand AS (
+        SELECT p.id, g.v,
+               GREATEST({_IDW_DIST}, 1e-6) AS d6
+        FROM pts p CROSS JOIN g
+    ),
+    kept AS (SELECT id, v, 1.0 / (d6 * d6) AS w FROM cand WHERE d6 <= {_IDW_RADIUS_KM})
+    SELECT id, COUNT(*) AS n_sources,
+           ROUND(CAST(SUM(CAST((w * v) AS DECIMAL(38,18))) AS DOUBLE)
+                 / CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE), 6) AS idw_value
+    FROM kept GROUP BY id
+    """,
+)
+def k03_idw_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.interpolation import idw_regrid_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lat = F.element_at("embedding", 1).cast("double") * 50
+    lon = F.lit(70.0) + F.element_at("embedding", 2).cast("double") * 50
+    targets = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id"),
+        lat.alias("latitude"),
+        lon.alias("longitude"),
+    )
+    sources = emb.filter(F.col("vec_id") % 5 != 0).select(
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.col("label").cast("double").alias("v"),
+    )
+    return idw_regrid_bucketed(
+        targets,
+        sources,
+        "v",
+        radius_km=_IDW_RADIUS_KM,
+        cell_deg=_IDW_CELL_DEG,
+    )

@@ -954,3 +954,122 @@ def t14_chunk_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t16 — n-gram novelty: per doc, the fraction of its distinct 3-grams
+# whose FIRST corpus occurrence (min doc_id) is this doc — the freshness
+# metric a curation pipeline tracks across crawl snapshots (a corpus of
+# near-copies scores ~0, novel text ~1). Shape: explode grams → distinct
+# → gram-keyed min-agg → gram-keyed join back (co-partitioned — the agg
+# output is already hashed on gram) → per-doc agg. Linear in total
+# grams; no windows, no cartesian.
+@query(
+    "t16_ngram_novelty",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g
+        FROM toks, UNNEST(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (first_doc = doc_id) AS DOUBLE)
+                 / COUNT(*), 6) AS novel_frac
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def t16_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', split(text, ' ')[i-1],"
+                    " split(text, ' ')[i], split(text, ' ')[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# t17 — sliding-window chunker (RAG/pretraining chunking with overlap):
+# every doc yields ceil(max(n-W,0)/S)+1 chunks of ≤ W tokens at stride
+# S (tail chunks overlap their predecessor, standard practice). A PURE
+# NARROW PROJECTION — split + sequence + explode + slice, zero shuffle,
+# embarrassingly parallel at any corpus size.
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@query(
+    "t17_sliding_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(LEAST({_CHUNK_W}, n - cid * {_CHUNK_S}) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, cid * {_CHUNK_S} + 1,
+                          cid * {_CHUNK_S}
+                          + LEAST({_CHUNK_W}, n - cid * {_CHUNK_S})), ' '))
+             AS chunk_hash
+    FROM toks,
+         UNNEST(range(0, GREATEST((n - {_CHUNK_W} + {_CHUNK_S} - 1)
+                                  // {_CHUNK_S}, 0) + 1)) AS u(cid)
+    """,
+)
+def t17_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    exploded = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.expr(f"sequence(0, greatest((n - {W} + {S} - 1) div {S}, 0))")
+        ).alias("cid"),
+    )
+    clen = F.least(F.lit(W), F.col("n") - F.col("cid") * S)
+    return exploded.select(
+        "doc_id",
+        F.col("cid").cast("long").alias("chunk_id"),
+        clen.cast("long").alias("chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("cid") * S + 1, clen)
+            )
+        ).alias("chunk_hash"),
+    )

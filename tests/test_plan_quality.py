@@ -431,3 +431,28 @@ def test_q22_scalar_threshold_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_k03_idw_is_bucketed_equi_join(spark, sf_dir):
+    """IDW candidates come from the 3x3 cell equi-join — never a
+    cartesian or a broadcast nested loop over the source table."""
+    df = QUERIES["k03_idw_regrid"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t17_chunker_is_pure_narrow_projection(spark, sf_dir):
+    """The sliding-window chunker must be shuffle-free: split + sequence
+    + explode + slice are all narrow — zero Exchange at any corpus size."""
+    df = QUERIES["t17_sliding_chunks"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_t16_novelty_no_cartesian(spark, sf_dir):
+    df = QUERIES["t16_ngram_novelty"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
