@@ -799,3 +799,148 @@ def pq_rerank_topk(
         .filter(F.col("rk") <= k)
         .select(q_id, c_id, "dist", "rk")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    coarse_stride: int = 100,
+    coarse_offset: int = 7,
+    m: int = 16,
+    sub_dim: int = 4,
+    pq_stride: int = 13,
+    pq_offset: int = 7,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the billion-scale ANN composition —
+    IVF coarse lists to prune WHICH vectors are scored, residual PQ codes
+    to compress HOW they are scored. This is the FAISS ``IVFx,PQy``
+    default and the shape a 100 TB embedding store actually runs:
+
+    1. **Coarse quantizer** — strided centroid set (data-independent so
+       the SQL oracle rebuilds it; ``kmeans_codebook`` is the production
+       choice, as in :func:`ivf_topk`). One numpy kernel assigns every
+       candidate its nearest coarse centroid by rounded L2 (ties: lower
+       cen id) and emits the RESIDUAL ``c − centroid`` — float64
+       subtraction, bit-exact in any engine.
+    2. **Residual PQ** — :func:`pq_encode` quantizes the residuals
+       against a residual codebook (strided candidate ids again), so the
+       corpus collapses to one narrow table: (cid, coarse cen, m codes).
+    3. **Probe + ADC** — each query probes its ``nprobe`` nearest coarse
+       lists; its LUT is built from the PER-LIST residual ``q − centroid``
+       (the part plain PQ skips — reusing one LUT across lists is the
+       IVFADC approximation error), joins broadcast against the codes
+       keyed (cen, s, code), and the approximate distance is the decimal
+       sum of m lookups — map-side combinable, order-independent.
+
+    At 10^9 vectors: the corpus side carries m+1 small ints per vector
+    (64× compression at the defaults), the probe LUT is n_q·nprobe·m·K
+    broadcast rows, and nothing quadratic materializes. Returns
+    (q_id, c_id, adist, rk)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    cent = candidates.filter(
+        (F.col(c_id) % coarse_stride) == coarse_offset
+    ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
+    crows = cent.collect()  # coarse codebook: contract-small
+    if not crows:
+        raise ValueError("ivfpq_topk: coarse centroid selection is empty")
+    cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
+    CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    order = np.argsort(cen_ids)
+    cen_ids, CM = cen_ids[order], CM[order]
+    bc = spark.sparkContext.broadcast((cen_ids, CM))
+
+    def _nearest(V):
+        """Rounded-L2 argmin with (d6 asc, cen_id asc) tie-break."""
+        ids, M = bc.value
+        D = np.round(
+            ((V[:, None, :] - M[None, :, :]) ** 2).sum(axis=-1), 6
+        )
+        # ids ascend, so the first strict minimum wins ties
+        return ids[D.argmin(axis=1)], D
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            best, _ = _nearest(V)
+            ids, M = bc.value
+            pos = {int(i): j for j, i in enumerate(ids)}
+            resid = V - M[[pos[int(b)] for b in best]]
+            yield pd.DataFrame(
+                {
+                    c_id: pdf[c_id].to_numpy(),
+                    "cen": best,
+                    "resid": list(resid),
+                }
+            )
+
+    assigned = candidates.select(c_id, c_vec).mapInPandas(
+        assign, f"{c_id} long, cen long, resid array<double>"
+    )
+    # residual PQ codebook: residuals of the strided candidate ids
+    rsubs = _subspaces(
+        assigned.filter((F.col(c_id) % pq_stride) == pq_offset).select(
+            F.col(c_id).alias("cen_id"), F.col("resid").alias("cv")
+        ),
+        "cen_id",
+        "cv",
+        m,
+        sub_dim,
+    ).withColumnRenamed("sub", "csub")
+    codes = pq_encode(assigned, rsubs, m, sub_dim, c_id, "resid")
+
+    # driver-side probe selection + per-list query residual LUT rows
+    qrows = queries.select(q_id, q_vec).collect()  # contract-small
+    lut_rows = []
+    for r in qrows:
+        qid = int(r[0])
+        qv = np.array(list(r[1]), dtype=np.float64)
+        _, D = _nearest(qv[None, :])
+        probe = sorted(
+            range(len(cen_ids)), key=lambda j: (D[0, j], cen_ids[j])
+        )[:nprobe]
+        for j in probe:
+            qresid = qv - CM[j]
+            for s in range(m):
+                lut_rows.append(
+                    (
+                        qid,
+                        int(cen_ids[j]),
+                        s,
+                        qresid[s * sub_dim : (s + 1) * sub_dim].tolist(),
+                    )
+                )
+    qsub = spark.createDataFrame(
+        lut_rows, f"{q_id} long, cen long, s int, qsub array<double>"
+    )
+    lut = qsub.join(F.broadcast(rsubs), "s").select(
+        q_id,
+        "cen",
+        "s",
+        F.col("cen_id").alias("code"),
+        F.round(_sub_l2(F.col("qsub"), F.col("csub")), 6).alias("d6"),
+    )
+    part = (
+        codes.join(assigned.select(c_id, "cen"), c_id)
+        .join(F.broadcast(lut), ["cen", "s", "code"])
+        .filter(F.col(q_id) != F.col(c_id))
+    )
+    agg = part.groupBy(q_id, c_id).agg(
+        F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("adist")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.asc("adist"), F.asc(c_id))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "adist", "rk")
+    )

@@ -542,3 +542,118 @@ def ss09_lsh_multitable_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_hamming=_MT_H,
         n_tables=_MT_TABLES,
     ).select("qid", "cid", "score", "rk")
+
+
+# --------------------------------------------------------------------------
+# ss10 — IVFADC (IVF coarse pruning × residual-PQ compression): the
+# composition FAISS ships as `IVFx,PQy` and the one that actually runs
+# at 10^9 vectors — ss04 prunes WHICH vectors get scored, ss07
+# compresses HOW; ss10 is both at once, with the per-list query
+# residual LUT that distinguishes true IVFADC from "PQ behind a
+# filter". Every quantizer is the deterministic strided variant so the
+# oracle rebuilds the whole pipeline in SQL: coarse assign by rounded
+# L2 (ties: lower cen id), residuals as exact float64 differences, PQ
+# codes by rounded sub-L2 argmin, ADC as a decimal sum of m lookups.
+_IVFPQ_NPROBE = 4
+
+
+def _resid_sql(e: str, cv: str, dim: int = 64) -> str:
+    return (
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({e}[i] AS DOUBLE) - CAST({cv}[i] AS DOUBLE))"
+    )
+
+
+@query(
+    "ss10_ivfpq_top3",
+    f"""
+    WITH ccents AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 100 = 7
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    cass AS (
+        SELECT cid, cen_id AS cen, ce, cv FROM (
+            SELECT c.cid, ccents.cen_id, c.ce, ccents.cv,
+                   row_number() OVER (PARTITION BY c.cid
+                                      ORDER BY {_l2_sql('ce', 'cv', 64)},
+                                               ccents.cen_id) AS r
+            FROM c CROSS JOIN ccents)
+        WHERE r = 1
+    ),
+    resid AS (
+        SELECT cid, cen, {_resid_sql('ce', 'cv')} AS rv FROM cass
+    ),
+    rcents AS (
+        SELECT cid AS cen_id, s,
+               list_slice(rv, s * {_PQ_SD} + 1, s * {_PQ_SD} + {_PQ_SD}) AS csub
+        FROM resid, UNNEST([{", ".join(str(s) for s in range(_PQ_M))}]) AS t(s)
+        WHERE cid % {_PQ_STRIDE} = {_PQ_OFFSET}
+    ),
+    rsubs AS (
+        SELECT cid, s,
+               list_slice(rv, s * {_PQ_SD} + 1, s * {_PQ_SD} + {_PQ_SD}) AS sub
+        FROM resid, UNNEST([{", ".join(str(s) for s in range(_PQ_M))}]) AS t(s)
+    ),
+    codes AS (
+        SELECT cid, s, cen_id AS code FROM (
+            SELECT cid, s, cen_id,
+                   row_number() OVER (PARTITION BY cid, s
+                                      ORDER BY {_l2_sql('sub', 'csub', _PQ_SD)},
+                                               cen_id) AS rn
+            FROM rsubs JOIN rcents USING (s))
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id % 50 = 0),
+    probes AS (
+        SELECT qid, cen, cv FROM (
+            SELECT q.qid, ccents.cen_id AS cen, q.qe, ccents.cv,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY {_l2_sql('qe', 'cv', 64)},
+                                               ccents.cen_id) AS r
+            FROM q CROSS JOIN ccents)
+        WHERE r <= {_IVFPQ_NPROBE}
+    ),
+    qresid AS (
+        SELECT p.qid, p.cen, {_resid_sql('qe', 'cv')} AS qrv
+        FROM probes p JOIN q USING (qid)
+    ),
+    lut AS (
+        SELECT qid, cen, s, cen_id AS code,
+               {_l2_sql("list_slice(qrv, s * " + str(_PQ_SD) + " + 1, s * "
+                        + str(_PQ_SD) + " + " + str(_PQ_SD) + ")", 'csub', _PQ_SD)}
+                 AS d6
+        FROM qresid CROSS JOIN rcents
+    ),
+    agg AS (
+        SELECT l.qid, co.cid,
+               CAST(SUM(CAST(l.d6 AS DECIMAL(38,6))) AS DOUBLE) AS adist
+        FROM codes co
+        JOIN cass a USING (cid)
+        JOIN lut l ON l.cen = a.cen AND l.s = co.s AND l.code = co.code
+        WHERE l.qid <> co.cid
+        GROUP BY l.qid, co.cid
+    )
+    SELECT qid, cid, adist, rk FROM (
+        SELECT qid, cid, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, cid) AS rk
+        FROM agg)
+    WHERE rk <= 3
+    """,
+)
+def ss10_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    return S.ivfpq_topk(
+        q,
+        c,
+        k=3,
+        nprobe=_IVFPQ_NPROBE,
+        coarse_stride=100,
+        coarse_offset=7,
+        m=_PQ_M,
+        sub_dim=_PQ_SD,
+        pq_stride=_PQ_STRIDE,
+        pq_offset=_PQ_OFFSET,
+    )

@@ -456,3 +456,14 @@ def test_t16_novelty_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ss10_ivfpq_corpus_joins_are_equi_lut_broadcast(spark, sf_dir):
+    """IVFADC: the two corpus-sized joins (codes x assignment on cid,
+    scoring vs the probe LUT on (cen,s,code)) must be equi-joins with
+    the LUT broadcast; nothing quadratic, no cartesian."""
+    df = QUERIES["ss10_ivfpq_top3"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

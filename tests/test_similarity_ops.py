@@ -361,3 +361,35 @@ def test_pq_encode_rejects_incomplete_codebook(spark):
     )
     with _pytest.raises(ValueError, match="complete m x K grid"):
         S.pq_encode(df, holey, m=2, sub_dim=4)
+
+
+def test_ivfpq_residual_beats_reusing_one_lut(spark):
+    """IVFADC sanity on a structured mini-corpus: candidates cluster
+    tightly around two far-apart coarse centroids, so per-list residual
+    LUTs must rank each query's own-cluster neighbours first."""
+    from pm25ml_spark.operators.similarity import ivfpq_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = {0: np.zeros(8), 50: np.full(8, 10.0)}
+    rows = []
+    for i in range(100):
+        base = centers[0] if i < 50 else centers[50]
+        rows.append((i, (base + rng.normal(0, 0.1, 8)).tolist()))
+    # ids 0 and 50 are the strided coarse centroids (stride 50, offset 0)
+    c = spark.createDataFrame(rows, "cid long, ce array<double>")
+    q = spark.createDataFrame(
+        [(0, rows[0][1]), (50, rows[50][1])], "qid long, qe array<double>"
+    )
+    out = ivfpq_topk(
+        q, c, k=5, nprobe=1, coarse_stride=50, coarse_offset=0,
+        m=4, sub_dim=2, pq_stride=7, pq_offset=3,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r.cid)
+    # every retrieved neighbour is from the query's own cluster
+    assert all(cid < 50 for cid in by_q[0])
+    assert all(cid >= 50 for cid in by_q[50])
+    assert len(by_q[0]) == 5 and len(by_q[50]) == 5

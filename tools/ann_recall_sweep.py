@@ -176,6 +176,57 @@ def pq_recall(ids, V, qmask, m, stride, offset=7):
     return len(cen), rec3 / len(Q)
 
 
+def ivfpq_recall(ids, V, qmask, coarse_stride, m, pq_stride, nprobe=4, offset=7):
+    """IVFADC recall@3 of the true L2 top-1 — numpy mirror of
+    operators.similarity.ivfpq_topk (L2 coarse assign, residual PQ,
+    per-list query LUTs, 6-dp rounding, id tie-breaks)."""
+    d = V.shape[1]
+    sd = d // m
+    Q = V[qmask]
+    qids = ids[qmask]
+    D = ((Q[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    D[np.arange(len(Q)), np.nonzero(qmask)[0]] = np.inf
+    true1 = ids[
+        np.lexsort((ids[None, :].repeat(len(Q), 0), np.round(D, 6)), axis=1)[:, 0]
+    ]
+    cmask = (ids % coarse_stride) == offset
+    CM, CMids = V[cmask], ids[cmask]
+    o = np.argsort(CMids)
+    CM, CMids = CM[o], CMids[o]
+    Dc = np.round(((V[:, None, :] - CM[None, :, :]) ** 2).sum(-1), 6)
+    assign = Dc.argmin(axis=1)           # CMids ascend: first min wins ties
+    resid = V - CM[assign]
+    pmask = (ids % pq_stride) == offset
+    cen = resid[pmask]
+    codes = np.zeros((len(V), m), dtype=int)
+    for s in range(m):
+        dd = np.round(((resid[:, s*sd:(s+1)*sd][:, None, :]
+                        - cen[None, :, s*sd:(s+1)*sd]) ** 2).sum(-1), 6)
+        codes[:, s] = dd.argmin(axis=1)
+    rec3 = 0
+    avg_cand = 0
+    for qi in range(len(Q)):
+        dq = np.round(((Q[qi][None, :] - CM) ** 2).sum(-1), 6)
+        probe = np.argsort(dq, kind="stable")[:nprobe]
+        best = {}
+        for j in probe:
+            members = np.nonzero(assign == j)[0]
+            members = members[ids[members] != qids[qi]]
+            avg_cand += len(members)
+            qr = Q[qi] - CM[j]
+            lut = np.stack([
+                np.round(((qr[s*sd:(s+1)*sd][None, :]
+                           - cen[:, s*sd:(s+1)*sd]) ** 2).sum(-1), 6)
+                for s in range(m)
+            ])
+            ad = lut[np.arange(m)[:, None], codes[members].T].sum(0)
+            for i, mi in enumerate(members):
+                best[ids[mi]] = ad[i]
+        top3 = sorted(best, key=lambda c: (best[c], c))[:3]
+        rec3 += true1[qi] in top3
+    return len(CM), len(cen), rec3 / len(Q), avg_cand / len(Q) / len(ids)
+
+
 def main():
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     corpora = [(d.split("/")[-1], *load(d)) for d in dirs]
@@ -205,6 +256,12 @@ def main():
         for m, stride in ((8, 31), (16, 13), (32, 13)):
             K, r = pq_recall(ids, V, qmask, m, stride)
             print(f"  PQ  m={m:2d} sub_dim={V.shape[1] // m} K={K:3d}  recall@3={r:.2f}")
+        for cs, m, ps, nprobe in ((100, 16, 13, 2), (100, 16, 13, 4), (100, 32, 13, 4)):
+            kc, kp, r, c = ivfpq_recall(ids, V, qmask, cs, m, ps, nprobe)
+            print(
+                f"  IVFPQ coarse={kc:3d} m={m:2d} K={kp:3d} nprobe={nprobe}  "
+                f"recall@3={r:.2f} cand_frac={c:.4f}"
+            )
 
 
 if __name__ == "__main__":
