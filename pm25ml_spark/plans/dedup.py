@@ -1221,3 +1221,75 @@ def cp08_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("overlap_frac"),
         label.alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# gr03 — bounded k-core peel on the duplicate graph: R rounds of
+# "remove nodes with degree < k, recompute" (k=2, R=3 — enough to
+# converge on near-dup graphs, whose cores are shallow; the operator is
+# defined as the R-round peel so both engines compute the identical
+# partial fixpoint). k-cores separate DENSE duplication communities
+# (template farms, mirror networks) from incidental pairwise overlaps —
+# the graph-side quality gate after dd08's components. Each round is
+# one degree aggregate + two node-keyed semi joins: everything shuffles
+# on node id, nothing node-sized is ever broadcast or collected.
+_KCORE_K, _KCORE_ROUNDS = 2, 3
+
+
+def _kcore_oracle() -> str:
+    k = _KCORE_K
+    rounds = ""
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds += f"""
+    d{i} AS (SELECT src, COUNT(*) AS c FROM {prev} GROUP BY src),
+    keep{i} AS (SELECT src FROM d{i} WHERE c >= {k}),
+    e{i} AS (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN keep{i} ka ON e.src = ka.src
+        JOIN keep{i} kb ON e.dst = kb.src
+    ),"""
+        prev = f"e{i}"
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    e0 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qual
+        UNION ALL SELECT doc_b, doc_a FROM qual
+    ),{rounds}
+    final AS (SELECT src AS doc_id, COUNT(*) AS degree
+              FROM {prev} GROUP BY src)
+    SELECT doc_id, degree FROM final
+    """
+
+
+@query("gr03_kcore_members", _kcore_oracle())
+def gr03_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+        )
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -476,3 +476,61 @@ from pm25ml_spark.ml.linreg import group_ols, ols_sql  # noqa: E402
 def m03_ols_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return group_ols(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
+# d07 — forward as-of with tolerance (J9's other direction): each view
+# event's NEXT purchase within 2 h per user — pandas merge_asof
+# (direction='forward', tolerance=...) / "time to conversion". Same
+# union+window single-shuffle shape as d02's backward operator; the
+# oracle pays a range join + min-aggregate only at oracle SF.
+_D07_TOL_US = 7_200_000_000
+
+
+@query(
+    "d07_next_purchase_asof",
+    f"""
+    WITH v AS (
+        SELECT user_id, event_id, epoch_us(ts) AS view_ts_us
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (SELECT user_id, epoch_us(ts) AS pts FROM events
+          WHERE event_type = 'purchase')
+    SELECT v.user_id, v.event_id, v.view_ts_us,
+           MIN(p.pts) AS next_purchase_us,
+           MIN(p.pts) - v.view_ts_us AS delta_us
+    FROM v LEFT JOIN p
+      ON p.user_id = v.user_id
+     AND p.pts >= v.view_ts_us
+     AND p.pts <= v.view_ts_us + {_D07_TOL_US}
+    GROUP BY v.user_id, v.event_id, v.view_ts_us
+    """,
+)
+def d07_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts_us").alias("view_ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("pts")
+    )
+    out = asof_join_forward(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts_us",
+        right_ts="pts",
+        payload=[],
+        tolerance=_D07_TOL_US,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "view_ts_us",
+        F.col("asof_ts").alias("next_purchase_us"),
+        (F.col("asof_ts") - F.col("view_ts_us")).alias("delta_us"),
+    )

@@ -705,3 +705,39 @@ def test_interval_join_negative_endpoints_true_floor(spark):
         .collect()
     )
     assert fast2 == brute2
+
+
+def test_asof_forward_basic_tolerance_and_ties(spark):
+    from pm25ml_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 95, 102), (2, 5, 103)],
+        "user_id long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, "a"), (1, 20, "b"), (1, 50, "c"), (2, 90, "d")],
+        "user_id long, ts long, mark string",
+    )
+    out = asof_join_forward(
+        left, right, "user_id", "ts", "ts", ["mark"], tolerance=30
+    )
+    got = {r.event_id: (r.asof_ts, r.asof_mark) for r in out.collect()}
+    # equal-ts right row matches (>=); tie at ts=20 -> smallest payload 'a'
+    assert got[101] == (20, "a")
+    # earliest at-or-after within tolerance
+    assert got[100] == (20, "a")
+    # nearest right (ts=50)... none within ts<=95+30? 50 < 95 -> next is none
+    assert got[102] == (None, None)
+    # right exists but beyond tolerance (90 > 5+30)
+    assert got[103] == (None, None)
+
+
+def test_asof_forward_without_tolerance_matches_next(spark):
+    from pm25ml_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 40, 2.0)], "k long, ts long, v double"
+    )
+    out = asof_join_forward(left, right, "k", "ts", "ts", ["v"]).collect()
+    assert out[0].asof_ts == 40 and out[0].asof_v == 2.0

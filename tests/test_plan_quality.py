@@ -467,3 +467,24 @@ def test_ss10_ivfpq_corpus_joins_are_equi_lut_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_d07_forward_asof_is_single_shuffle_union_window(spark, sf_dir):
+    """The forward as-of must stay the union+window shape: no range
+    join, no cartesian — one Window over the key partitioning."""
+    df = QUERIES["d07_next_purchase_asof"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+    assert "Union" in plan
+
+
+def test_gr03_kcore_never_broadcasts_node_tables(spark, sf_dir):
+    """Every peel round shuffles on node id; the keep-set joins are
+    semi joins, and no node-sized table rides a broadcast nested loop."""
+    df = QUERIES["gr03_kcore_members"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
