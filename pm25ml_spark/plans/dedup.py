@@ -1084,9 +1084,12 @@ def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gr02_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # the shingle→groupBy pair-builder is referenced (via deg / e1 / e2 /
+    # closing) six times downstream — without a persist Spark re-runs the
+    # whole subplan per reference (measured 71 s → 9 s at sf0.1)
     pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
         "doc_a", "doc_b"
-    )
+    ).persist()
     # degree over both endpoints of the undirected pair list
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
@@ -1114,7 +1117,7 @@ def gr02_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ka < kb, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(ka < kb, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
         F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
+    ).persist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     k1 = F.struct(F.col("e1.dst_deg").alias("d"), F.col("e1.dst").alias("i"))
     k2 = F.struct(F.col("e2.dst_deg").alias("d"), F.col("e2.dst").alias("i"))
@@ -1284,11 +1287,15 @@ def gr03_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.filter(F.col("c") >= _KCORE_K).select("src")
+        # each round's edge set feeds BOTH the next degree aggregate and
+        # the next semi joins — persist per round or the lineage
+        # re-evaluates every earlier round 2× per reference
         edges = (
             edges.join(keep, "src", "left_semi")
             .join(
                 keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
+            .persist()
         )
     return edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
