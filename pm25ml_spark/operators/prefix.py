@@ -1,0 +1,77 @@
+"""Exact distributed prefix sum over an ordered key.
+
+The generalization of the two-pass shape ``packing.pack_sequences`` and
+``sampling.decimate_partitioned`` share, exposed as its own operator: an
+inclusive running sum of ``value_col`` in ``order_cols`` order, with no
+global window and no single-task sort.
+
+1. A ROW-PURE ``__bucket`` id (``bucketize.range_bucket_column`` — split
+   keys sampled once and embedded as literals, never ``repartitionByRange``
+   whose boundaries re-sample per job) keys every row to a range bucket
+   deterministically across jobs.
+2. One tiny job collects per-bucket totals (≤ num_buckets rows to the
+   driver); their running sum is each bucket's global offset, joined back
+   as a broadcast.
+3. A per-bucket window (parallel — one frame per bucket) adds the local
+   inclusive sum to the bucket offset.
+
+Integral value columns sum in LONG (exact); floating columns sum in
+DECIMAL(38,6) (exact, associative) and return as double — either way the
+result is independent of physical partitioning and bit-identical to a
+single global window (the equivalence the t13/w08 regression suite pins).
+``order_cols`` must be a unique key for a well-defined order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pm25ml_spark.operators.bucketize import range_bucket_column
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive prefix sum of ``value_col`` over the
+    global ``order_cols`` order. Schema: input columns + ``out_col``."""
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    integral = dict(df.dtypes)[value_col] in _INTEGRAL
+    sum_cast = "bigint" if integral else "decimal(38,6)"
+    out_type = "bigint" if integral else "double"
+
+    bucket_expr, _ = range_bucket_column(df, order_cols, nparts)
+    part = df.withColumn("__bucket", bucket_expr)
+    totals = (
+        part.groupBy("__bucket")
+        .agg(F.sum(F.col(value_col).cast(sum_cast)).alias("t"))
+        .collect()
+    )
+    from decimal import Decimal
+
+    offsets, acc = [], (0 if integral else Decimal(0))
+    for r in sorted(totals, key=lambda r: r["__bucket"]):
+        offsets.append((int(r["__bucket"]), acc))
+        acc += int(r["t"]) if integral else (r["t"] or Decimal(0))
+    # float offsets stay DECIMAL end-to-end: offset + local sum combine
+    # exactly, with ONE final deterministic cast to double
+    odf = spark.createDataFrame(
+        offsets, f"__bucket int, __off {sum_cast}"
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = F.sum(F.col(value_col).cast(sum_cast)).over(w)
+    return part.join(F.broadcast(odf), "__bucket").select(
+        *df.columns,
+        (F.col("__off") + local).cast(out_type).alias(out_col),
+    )

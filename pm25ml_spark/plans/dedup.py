@@ -1300,3 +1300,71 @@ def gr03_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# cp09 — soft dedup (down-WEIGHT duplicates instead of dropping them —
+# the SlimPajama/Doremi-style alternative when duplicates carry signal):
+# every doc weighs 1/|its duplicate cluster| (singletons 1), and each
+# source reports its raw count, effective (deduplicated) mass, and the
+# inflation ratio raw/effective — the number a mixture designer feeds
+# back into sampling temperatures. Reuses dd08's component machinery;
+# docs outside the pair graph join as cluster_size 1 via coalesce.
+@query(
+    "cp09_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM qual
+        UNION SELECT doc_b, doc_a FROM qual
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY cluster_id),
+    weighted AS (
+        SELECT d.source,
+               1.0 / CAST(COALESCE(s.cluster_size, 1) AS DOUBLE) AS w
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes s USING (cluster_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS effective_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS inflation
+    FROM weighted GROUP BY source
+    """,
+)
+def cp09_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_size")
+    w = F.lit(1.0) / F.coalesce(
+        F.col("cluster_size"), F.lit(1)
+    ).cast("double")
+    weighted = (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id", "left")
+        .select("source", w.alias("w"))
+    )
+    eff = F.sum(F.col("w").cast("decimal(38,6)")).cast("double")
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(eff, 6).alias("effective_docs"),
+        F.round(F.count(F.lit(1)).cast("double") / eff, 6).alias(
+            "inflation"
+        ),
+    )

@@ -534,3 +534,80 @@ def d07_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").alias("next_purchase_us"),
         (F.col("asof_ts") - F.col("view_ts_us")).alias("delta_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# m04 — exact distributed ROC-AUC (M5's metric family at scale): the
+# Mann-Whitney rank-sum identity with average ranks for ties,
+#   AUC = (Σ_pos avg_rank − n_p(n_p+1)/2) / (n_p · n_n),
+# computed WITHOUT a global sort: scores aggregate per distinct value
+# (one map-side-combinable shuffle), then `operators/prefix.
+# ordered_prefix_sum` — the row-pure two-pass bucket prefix sum — gives
+# each score its count of strictly-smaller rows. No unpartitioned
+# window anywhere, so the plan survives an unbounded score domain.
+@query(
+    "m04_roc_auc",
+    """
+    WITH s AS (
+        SELECT ROUND(value, 2) AS sc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT sc, COUNT(*) AS n, SUM(p) AS np FROM s GROUP BY sc),
+    c AS (
+        SELECT sc, n, np,
+               SUM(n) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - n
+                 AS cum_less
+        FROM g
+    ),
+    t AS (
+        SELECT
+            CAST(SUM(CAST(CAST(np AS DOUBLE)
+                          * (CAST(cum_less AS DOUBLE)
+                             + (CAST(n AS DOUBLE) + 1) / 2)
+                          AS DECIMAL(38,6))) AS DOUBLE) AS s_pos,
+            CAST(SUM(np) AS BIGINT) AS n_pos,
+            CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg
+        FROM c
+    )
+    SELECT n_pos, n_neg,
+           ROUND((s_pos - CAST(n_pos AS DOUBLE)
+                          * (CAST(n_pos AS DOUBLE) + 1) / 2)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+             AS auc
+    FROM t
+    """,
+)
+def m04_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.round("value", 2).alias("sc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    g = s.groupBy("sc").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p").alias("np")
+    )
+    c = ordered_prefix_sum(g, ["sc"], "n", "cum_n").withColumn(
+        "cum_less", F.col("cum_n") - F.col("n")
+    )
+    nd = F.col("n").cast("double")
+    term = F.col("np").cast("double") * (
+        F.col("cum_less").cast("double") + (nd + 1) / 2
+    )
+    t = c.agg(
+        F.sum(term.cast("decimal(38,6)")).cast("double").alias("s_pos"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).cast("bigint").alias("n_neg"),
+    )
+    npd = F.col("n_pos").cast("double")
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("s_pos") - npd * (npd + 1) / 2)
+            / (npd * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )

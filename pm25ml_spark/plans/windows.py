@@ -762,3 +762,81 @@ def w15_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# w16 — per-user TIME-weighted average (trapezoidal rule over irregular
+# samples — TimescaleDB's time_weight / industrial-historian semantics):
+# uneven gaps mean a plain AVG over-weights bursts; the trapezoid
+# integral Σ (vᵢ+vᵢ₊₁)/2·Δtᵢ / (t_n−t₁) is the right mean. One
+# user-partitioned window (lead) — per-key cardinality is bounded, no
+# global frame; per-pair terms are fixed double chains summed in
+# decimal. Single-event users drop (zero-length support).
+@query(
+    "w16_time_weighted_avg",
+    """
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               lead(value) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS nv,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS nt
+        FROM events WHERE value IS NOT NULL
+    ),
+    terms AS (
+        SELECT user_id,
+               (value + nv) / 2 * (CAST(nt AS DOUBLE) - CAST(ts_us AS DOUBLE))
+                 AS area
+        FROM seq WHERE nt IS NOT NULL
+    ),
+    spans AS (
+        SELECT user_id, MAX(ts_us) - MIN(ts_us) AS span_us
+        FROM seq GROUP BY user_id
+    )
+    SELECT t.user_id,
+           ROUND(CAST(SUM(CAST(area AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(span_us AS DOUBLE), 6) AS twa,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM terms t JOIN spans USING (user_id)
+    WHERE span_us > 0
+    GROUP BY t.user_id, span_us
+    """,
+)
+def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts_us",
+        "value",
+        F.lead("value").over(w).alias("nv"),
+        F.lead("ts_us").over(w).alias("nt"),
+    )
+    terms = seq.filter(F.col("nt").isNotNull()).select(
+        "user_id",
+        (
+            (F.col("value") + F.col("nv")) / 2
+            * (F.col("nt").cast("double") - F.col("ts_us").cast("double"))
+        ).alias("area"),
+    )
+    spans = seq.groupBy("user_id").agg(
+        (F.max("ts_us") - F.min("ts_us")).alias("span_us")
+    )
+    return (
+        terms.join(spans, "user_id")
+        .filter(F.col("span_us") > 0)
+        .groupBy("user_id", "span_us")
+        .agg(
+            F.round(
+                F.sum(F.col("area").cast("decimal(38,6)")).cast("double")
+                / F.col("span_us").cast("double"),
+                6,
+            ).alias("twa"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        )
+        .select("user_id", "twa", "n_segments")
+    )

@@ -189,3 +189,42 @@ def test_exact_quantiles_nulls_and_empty(spark):
     assert got == {0.5: 3.0, 1.0: 5.0}  # nulls excluded, n=3
     empty = spark.createDataFrame([], "v double")
     assert exact_quantiles(empty, "v", [0.5]).collect() == []
+
+
+def test_ordered_prefix_sum_matches_global_window_two_actions(spark):
+    from pyspark.sql import Window
+
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    df = _permuted_ids(spark).withColumn("v", (F.col("id") % 13) + 1)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    out = ordered_prefix_sum(df, ["id"], "v", "c", num_partitions=BUCKETS)
+    got1 = {r.id: r.c for r in out.collect()}
+    got2 = {r.id: r.c for r in out.collect()}
+    assert got1 == want
+    assert got2 == want
+
+
+def test_ordered_prefix_sum_double_is_decimal_exact(spark):
+    from pyspark.sql import Window
+
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    df = _permuted_ids(spark).withColumn(
+        "v", (F.col("id") % 97).cast("double") / 8 + 0.125
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.c
+        for r in df.withColumn(
+            "c",
+            F.sum(F.col("v").cast("decimal(38,6)")).over(w).cast("double"),
+        ).collect()
+    }
+    out = ordered_prefix_sum(df, ["id"], "v", "c", num_partitions=BUCKETS)
+    got = {r.id: r.c for r in out.collect()}
+    assert got == want

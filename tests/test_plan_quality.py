@@ -488,3 +488,17 @@ def test_gr03_kcore_never_broadcasts_node_tables(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_m04_auc_has_no_unpartitioned_window(spark, sf_dir):
+    """The rank-sum AUC must get its cum-counts from the bucketed
+    prefix-sum operator — no global WindowExec, so the plan survives an
+    unbounded score domain."""
+    df = QUERIES["m04_roc_auc"](spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected the per-bucket local prefix-sum window"
+    for spec in specs:
+        assert "__bucket" in spec, f"unpartitioned window in m04 plan: {spec}"
