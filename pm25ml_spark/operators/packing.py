@@ -4,18 +4,10 @@ training sequences (the "concat-and-chunk" packing LLM trainers use).
 Beyond-reference surface. Each document gets its global token offset in a
 canonical order, and chunk ids fall out by integer division — so the
 operator is really "exact distributed prefix-sum", the same two-pass
-shape as ``sampling.decimate_partitioned``:
-
-1. A ROW-PURE ``__bucket`` id (``bucketize.range_bucket_column`` — split
-   keys sampled once and embedded as literals, NOT ``repartitionByRange``
-   whose boundaries re-sample per job) + a per-bucket window gives each
-   row its LOCAL cumulative token count — parallel everywhere, no
-   single-task stage.
-2. One tiny extra job emits the per-bucket token totals (≤ num_buckets
-   rows to the driver); their running sum is each bucket's GLOBAL
-   offset, joined back as a broadcast. Because the bucket id is a pure
-   function of the row, the totals pass and the apply pass agree by
-   construction no matter how Spark physically partitions either job.
+shape as ``sampling.decimate_partitioned`` — both now delegate to
+``prefix.ordered_prefix_sum`` (row-pure range buckets, per-bucket
+totals collected once, broadcast offsets + per-bucket window), the one
+audited implementation of the deterministic two-pass pattern.
 
 All arithmetic is integer, so results are bit-identical to the
 single-window spelling (equivalence-tested) and to any other engine.
@@ -25,8 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from pm25ml_spark.operators.bucketize import range_bucket_column
 
 
 def pack_sequences(
@@ -44,29 +34,16 @@ def pack_sequences(
     boundary are flagged, not split — the downstream chunker decides
     whether to split or mask across the seam.
     """
-    spark = df.sparkSession
-    nparts = num_partitions or spark.sparkContext.defaultParallelism
-    bucket_expr, _ = range_bucket_column(df, order_cols, nparts)
-    part = df.withColumn("__bucket", bucket_expr)
-    # tiny driver pass: per-bucket token totals → global offsets
-    totals = (
-        part.groupBy("__bucket").agg(F.sum(token_col).alias("t")).collect()
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    cum = ordered_prefix_sum(
+        df, order_cols, token_col, "__cum", num_partitions=num_partitions
     )
-    offsets, acc = [], 0
-    for r in sorted(totals, key=lambda r: r["__bucket"]):
-        offsets.append((int(r["__bucket"]), acc))
-        acc += int(r["t"])
-    odf = spark.createDataFrame(offsets, "__bucket int, __off long")
-    w = (
-        Window.partitionBy("__bucket")
-        .orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    start = (
-        F.col("__off") + F.sum(token_col).over(w) - F.col(token_col)
-    ).alias("start_offset")
-    out = part.join(F.broadcast(odf), "__bucket").select(
-        *df.columns, start
+    out = cum.select(
+        *df.columns,
+        (F.col("__cum") - F.col(token_col))
+        .cast("long")
+        .alias("start_offset"),
     )
     first = F.expr(f"start_offset div {capacity}")
     last = F.expr(f"(start_offset + {token_col} - 1) div {capacity}")

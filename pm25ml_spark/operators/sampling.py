@@ -123,19 +123,12 @@ def decimate_partitioned(
     per-bucket ranks + bucket offsets (the classic two-pass zipWithIndex
     shape) instead of a single-task global sort.
 
-    1. :func:`~pm25ml_spark.operators.bucketize.range_bucket_column`
-       derives a ROW-PURE ``__bucket`` id from once-sampled split keys —
-       unlike ``repartitionByRange`` (whose RangePartitioner re-samples
-       boundaries per job), every job in this plan computes the same
-       bucket for the same row, so the offsets-vs-apply passes agree by
-       construction.
-    2. A per-bucket COUNT (one extra job emitting ≤ num_buckets rows)
-       yields each bucket's global rank offset.
-    3. ``repartition(__bucket) + sortWithinPartitions(__bucket, order)``
-       then ``mapInPandas`` streams each bucket contiguously, adds its
-       broadcast offset to the bucket-local running index, and keeps
-       rank % every == 0 rows. Range exchange + parallel sort — no
-       single-partition stage anywhere.
+    The global rank is :func:`~pm25ml_spark.operators.prefix.
+    ordered_prefix_sum` of a literal 1 — the one audited implementation
+    of the deterministic two-pass pattern (row-pure ``__bucket`` from
+    once-sampled split keys, per-bucket totals collected once, broadcast
+    offsets + per-bucket window) — entirely JVM-side, no Python kernel,
+    no single-partition stage anywhere.
 
     Requires unique ``order_cols`` keys for a well-defined result (the
     same contract as ``decimate`` — with ties, ANY engine's rank is
@@ -143,44 +136,23 @@ def decimate_partitioned(
     be deterministic (true of every storage scan; re-derive plans with
     nondeterministic columns should persist first) — and the bucket id
     itself is deterministic even across different physical partitionings.
+
+    Implementation: the global rank is ``prefix.ordered_prefix_sum`` of
+    a literal 1 — entirely JVM-side (per-bucket window + broadcast
+    offsets), no Python kernel.
     """
-    import numpy as np
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
 
-    from pm25ml_spark.operators.bucketize import range_bucket_column
-
-    spark = df.sparkSession
-    nparts = num_partitions or spark.sparkContext.defaultParallelism
-    bucket_expr, nbuckets = range_bucket_column(df, order_cols, nparts)
-    tagged = df.withColumn("__bucket", bucket_expr)
-    counts = (
-        tagged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    ranked = ordered_prefix_sum(
+        df.withColumn("__one", F.lit(1).cast("bigint")),
+        order_cols,
+        "__one",
+        "__rank",
+        num_partitions=num_partitions,
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in sorted(counts, key=lambda r: r["__bucket"]):
-        offsets[int(r["__bucket"])] = acc
-        acc += int(r["n"])
-    bofs = spark.sparkContext.broadcast(offsets)
-
-    part = tagged.repartition(nbuckets, "__bucket").sortWithinPartitions(
-        "__bucket", *order_cols
+    return ranked.filter((F.col("__rank") - 1) % every == 0).drop(
+        "__one", "__rank"
     )
-
-    def keep(batches):
-        cur, seen = None, 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            # buckets arrive contiguously (sorted first key); a physical
-            # partition may hold several buckets when ids hash-collide.
-            for bk, g in pdf.groupby("__bucket", sort=False):
-                if bk != cur:
-                    cur, seen = bk, 0
-                ranks = bofs.value.get(int(bk), 0) + seen + np.arange(len(g))
-                seen += len(g)
-                yield g[ranks % every == 0].drop(columns="__bucket")
-
-    return part.mapInPandas(keep, df.schema)
 
 
 def stratified_split_portable(

@@ -109,7 +109,14 @@ def test_decimate_partitioned_plan_has_no_global_window(spark):
 
     df = spark.createDataFrame([(i,) for i in range(50)], "id long")
     plan = decimate_partitioned(df, 5, ["id"])._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    # every window must be the per-__bucket local rank (parallel), never
+    # a global orderBy frame
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected the per-bucket local rank window"
+    for spec in specs:
+        assert "__bucket" in spec, f"unpartitioned window: {spec}"
     # row-pure bucket ids hash-exchanged — NOT repartitionByRange, whose
     # RangePartitioner re-samples boundaries per job (the r6 w08 bug)
     assert "hashpartitioning(__bucket" in plan

@@ -245,7 +245,14 @@ def test_w08_decimation_has_no_single_partition_window(spark, sf_dir):
     Window.orderBy here would funnel the whole input through one task."""
     df = QUERIES["w08_decimate_100"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "Window" not in plan
+    # every window must be the per-__bucket local rank (parallel), never
+    # a global orderBy frame
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected the per-bucket local rank window"
+    for spec in specs:
+        assert "__bucket" in spec, f"unpartitioned window in w08: {spec}"
     # row-pure bucket exchange, not repartitionByRange (whose per-job
     # boundary resample caused the r6 w08 red)
     assert "hashpartitioning(__bucket" in plan
