@@ -1368,3 +1368,179 @@ def cp09_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inflation"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# dd11 — canonical-document selection (the dedup pipeline's END step):
+# within every near-dup cluster keep the HIGHEST-QUALITY member (most
+# tokens, ties to the lowest doc_id) instead of dd08/cp01's
+# lowest-id-wins policy — the difference between "drop arbitrary
+# duplicates" and "keep the best copy", which is what production corpus
+# curation actually ships. Only true clusters (size >= 2) are reported,
+# with the token mass the selection keeps vs drops. The per-cluster
+# argmax is a window PARTITIONED by cluster_id — frames are
+# cluster-sized (bounded by the dup-graph's component sizes), never
+# corpus-sized.
+@query(
+    "dd11_canonical_selection",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM qual
+        UNION SELECT doc_b, doc_a FROM qual
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    membered AS (
+        SELECT c.cluster_id, c.doc_id,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY len(string_split(d.text, ' ')) DESC,
+                                           c.doc_id) AS rk
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+           COUNT(*) AS n_members,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS tokens_dropped
+    FROM membered
+    GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dd11_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pm25ml_spark.operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    members = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = members.join(toks, "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "canonical_doc"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("rk") == 1, 0).otherwise(F.col("n_tokens")))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# gr04 — multi-source BFS hop distance on the duplicate graph (bounded
+# to 3 rounds, the diameter that matters for near-dup neighborhoods):
+# how far is every node from the graph's 3 highest-degree "template
+# hubs"? A node 1-2 hops from a boilerplate hub is near-certainly
+# templated content even when its own pairwise similarity was below the
+# dedup threshold — the transitive evidence dd08's components collapse
+# away. Each round is one edge join + one min-aggregate, all keyed by
+# node id; seeds are picked with the salt-lane exact top-k (never a
+# global sort), and nothing node-sized is broadcast or collected.
+_BFS_ROUNDS, _BFS_SEEDS = 3, 3
+
+
+def _bfs_oracle() -> str:
+    rounds = ""
+    prev = "d0"
+    for i in range(1, _BFS_ROUNDS + 1):
+        rounds += f"""
+    f{i} AS (
+        SELECT e.dst AS doc_id, p.hops + 1 AS hops
+        FROM {prev} p JOIN e ON e.src = p.doc_id
+    ),
+    d{i} AS (
+        SELECT doc_id, MIN(hops) AS hops
+        FROM (SELECT * FROM {prev} UNION ALL SELECT * FROM f{i})
+        GROUP BY doc_id
+    ),"""
+        prev = f"d{i}"
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qual
+        UNION ALL SELECT doc_b, doc_a FROM qual
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS degree FROM e GROUP BY src),
+    seeds AS (
+        SELECT doc_id FROM deg
+        ORDER BY degree DESC, doc_id LIMIT {_BFS_SEEDS}
+    ),
+    d0 AS (SELECT doc_id, 0 AS hops FROM seeds),{rounds}
+    final AS (SELECT doc_id, CAST(hops AS BIGINT) AS hops FROM {prev})
+    SELECT doc_id, hops FROM final
+    """
+
+
+@query("gr04_bfs_hops", _bfs_oracle())
+def gr04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.sampling import global_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        # the edge set feeds the degree aggregate plus one join per BFS
+        # round — persist or the jaccard-pair build re-runs 4x
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    seeds = global_topk(
+        deg, [F.desc("degree"), F.asc("doc_id")], _BFS_SEEDS, "doc_id"
+    ).select("doc_id")
+    dist = seeds.select("doc_id", F.lit(0).cast("bigint").alias("hops"))
+    for _ in range(_BFS_ROUNDS):
+        # dist feeds BOTH the frontier join and the union — persist per
+        # round or the lineage (and the seed top-k subplan inside it)
+        # re-evaluates 2^rounds times
+        dist = dist.persist()
+        frontier = edges.join(
+            dist.withColumnRenamed("doc_id", "src"), "src"
+        ).select(
+            F.col("dst").alias("doc_id"),
+            (F.col("hops") + 1).alias("hops"),
+        )
+        dist = (
+            dist.unionAll(frontier)
+            .groupBy("doc_id")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist

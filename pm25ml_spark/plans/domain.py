@@ -611,3 +611,226 @@ def m04_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# d08 — SCD-2 validity intervals (slowly-changing-dimension type 2, the
+# warehouse pattern for "attribute history as [from, to) ranges"): per
+# user, consecutive runs of the same event_type collapse to one row with
+# valid_from/valid_to timestamps (NULL valid_to = current). Classic
+# gaps-and-islands by VALUE CHANGE (w09 sessionizes by time gap — the
+# other islands axis). Two user-partitioned windows (change flag + next
+# run's start) and one aggregate — per-key frames, nothing global.
+@query(
+    "d08_scd2_intervals",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts_us,
+               CAST(SUM(is_change) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM seq
+    ),
+    collapsed AS (
+        SELECT user_id, run_id, MIN(event_type) AS event_type,
+               MIN(ts_us) AS valid_from_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to_us,
+           n_events
+    FROM collapsed
+    """,
+)
+def d08_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_change = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = ev.withColumn("is_change", is_change).withColumn(
+        "run_id", F.sum("is_change").over(cum).cast("bigint")
+    )
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    nxt = Window.partitionBy("user_id").orderBy("run_id")
+    return collapsed.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(nxt).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# m05 — calibration bins (reliability diagram, M5's metric family): a
+# model score per vector vs the true label, bucketed into 10 equal-width
+# score bins, each reporting count, mean predicted score, and observed
+# positive fraction. A calibrated model has mean_score ≈ frac_pos per
+# bin. Score = mean of 4 embedding dims (a linear stand-in evaluated
+# identically in both engines: fixed left-assoc double chain, rounded);
+# positives are labels >= 5. ONE hash aggregate — |bins| rows out, any
+# input size in.
+_M05_SCORE = (
+    "ROUND((((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE))"
+    " + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE))"
+    " / 4, 6)"
+)
+
+
+@query(
+    "m05_calibration_bins",
+    f"""
+    WITH scored AS (
+        SELECT {_M05_SCORE} AS score,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+               score, pos
+        FROM scored
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+)
+def m05_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = [F.element_at("embedding", i).cast("double") for i in (1, 2, 3, 4)]
+    score = F.round((((e[0] + e[1]) + e[2]) + e[3]) / 4, 6)
+    pos = F.when(F.col("label") >= 5, 1).otherwise(0)
+    binned = emb.select(
+        F.least(F.floor(score * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        score.alias("score"),
+        pos.alias("pos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum("pos").cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m06 — lift / gains table (the ranking-quality dual of m04's ROC-AUC):
+# score-rank the population, cut into 10 deciles, and report each
+# decile's positive rate vs the base rate (lift) plus the cumulative
+# gain curve. The global rank comes from `operators/prefix.
+# ordered_prefix_sum` of a literal 1 over (score DESC, vec_id) — the
+# row-pure two-pass bucket pattern — so NO corpus-cardinality frame ever
+# passes through one WindowExec; the only unpartitioned window runs over
+# the 10 decile rows.
+@query(
+    "m06_lift_table",
+    f"""
+    WITH scored AS (
+        SELECT vec_id, {_M05_SCORE} AS score,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT pos,
+               ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk,
+               COUNT(*) OVER () AS n_total
+        FROM scored
+    ),
+    deciles AS (
+        -- explicit FLOOR: DuckDB CAST(double AS BIGINT) rounds half-even
+        -- while Spark's cast truncates; floor is what both engines share
+        SELECT CAST(FLOOR((rk - 1) * 10.0 / n_total) AS BIGINT) AS decile,
+               pos, n_total
+        FROM ranked
+    ),
+    per AS (
+        SELECT decile, n_total, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM deciles GROUP BY decile, n_total
+    ),
+    tot AS (SELECT SUM(n_pos) AS tot_pos FROM per)
+    SELECT decile, n, n_pos,
+           ROUND((CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(tot_pos AS DOUBLE) / n_total), 6) AS lift,
+           ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / tot_pos, 6) AS cum_gain
+    FROM per CROSS JOIN tot
+    """,
+)
+def m06_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = [F.element_at("embedding", i).cast("double") for i in (1, 2, 3, 4)]
+    score = F.round((((e[0] + e[1]) + e[2]) + e[3]) / 4, 6)
+    pos = F.when(F.col("label") >= 5, 1).otherwise(0)
+    scored = emb.select(
+        "vec_id",
+        (-score).alias("neg_score"),
+        pos.alias("pos"),
+        F.lit(1).cast("bigint").alias("__one"),
+    )
+    ranked = ordered_prefix_sum(
+        scored, ["neg_score", "vec_id"], "__one", "rk"
+    )
+    n_total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    per = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.floor((F.col("rk") - 1) * 10.0 / F.col("n_total"))
+            .cast("bigint")
+            .alias("decile"),
+            "pos",
+            "n_total",
+        )
+        .groupBy("decile", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = per.agg(F.sum("n_pos").alias("tot_pos"))
+    cum = (
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n"))
+            / (F.col("tot_pos").cast("double") / F.col("n_total")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.sum("n_pos").over(cum).cast("double") / F.col("tot_pos"), 6
+        ).alias("cum_gain"),
+    )

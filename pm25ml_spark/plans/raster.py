@@ -139,3 +139,93 @@ def k03_idw_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius_km=_IDW_RADIUS_KM,
         cell_deg=_IDW_CELL_DEG,
     )
+
+
+# --------------------------------------------------------------------------
+# k04 — raster stencil smoothing (3×3 neighborhood mean — the K-family's
+# convolution face; reference regridders smooth fields the same way
+# before export). Cells lattice from a hash aggregate of `events`
+# (user_id → 20×20 cell), then the stencil runs as SCATTER: each cell
+# explodes to its 9 (dx, dy) offsets and an equi-join on the target cell
+# id aggregates contributions — the scale-correct convolution shape
+# (offset explode + hash join keyed by cell), never a 9-way self-join or
+# a windowed sort over the raster. Lattice edges naturally average over
+# the contributions present.
+#
+# Determinism: both means are computed in 6-dp FIXED POINT — micro-unit
+# bigint sums with an explicit half-up integer rounding
+# ((s*10 div n + 5) div 10) — because a double ROUND of mean-of-6dp
+# values lands on exact 10^-7 halfway points where engine rounding modes
+# diverge (observed at sf0.01: 54.5894765 → .589476 vs .589477). Integer
+# algebra is exact to ±9.2e18 µ-units per cell (≈2e10 rows/cell at
+# value≈500); beyond that widen the sums to DECIMAL(38,0) — same algebra.
+@query(
+    "k04_grid_smooth",
+    """
+    WITH cells AS (
+        SELECT CAST(user_id % 20 AS BIGINT) AS gx,
+               CAST((user_id // 20) % 20 AS BIGINT) AS gy,
+               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) * 10
+                // COUNT(value) + 5) // 10 AS vm
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    offs AS (
+        SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                   (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)
+    ),
+    contrib AS (
+        SELECT gx + dx AS tx, gy + dy AS ty, vm
+        FROM cells CROSS JOIN offs
+    ),
+    sm AS (
+        SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+               (SUM(vm) * 10 // COUNT(*) + 5) // 10 AS smm
+        FROM contrib GROUP BY tx, ty
+    )
+    SELECT c.gx, c.gy, c.vm / 1e6 AS value, s.smm / 1e6 AS smooth,
+           s.n_contrib
+    FROM cells c JOIN sm s ON s.tx = c.gx AND s.ty = c.gy
+    """,
+)
+def k04_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cells = ev.groupBy(
+        (F.col("user_id") % 20).cast("bigint").alias("gx"),
+        (F.expr("user_id div 20") % 20).cast("bigint").alias("gy"),
+    ).agg(
+        F.expr(
+            "(sum(cast(round(value * 1000000) as bigint)) * 10"
+            " div count(value) + 5) div 10"
+        ).alias("vm")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = cells.select(
+        F.explode(offs).alias("o"), "gx", "gy", "vm"
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("tx"),
+        (F.col("gy") + F.col("o.dy")).alias("ty"),
+        "vm",
+    )
+    sm = contrib.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contrib"),
+        F.expr("(sum(vm) * 10 div count(1) + 5) div 10").alias("smm"),
+    )
+    return cells.join(
+        sm,
+        (F.col("tx") == F.col("gx")) & (F.col("ty") == F.col("gy")),
+    ).select(
+        "gx",
+        "gy",
+        (F.col("vm") / 1e6).alias("value"),
+        (F.col("smm") / 1e6).alias("smooth"),
+        "n_contrib",
+    )

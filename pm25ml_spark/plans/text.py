@@ -1073,3 +1073,77 @@ def t17_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# t18 — token-distribution entropy (the information-theoretic quality
+# signal next to t02's ratios and t11's repetition counts): Shannon
+# entropy of each document's token frequency distribution plus its
+# normalized form H / log2(n_distinct) in [0,1] — degenerate spammy docs
+# sit near 0, natural text near 1. Per-token terms round at 6 dp and
+# decimal-sum so the per-doc total is order-independent; the whole plan
+# is one explode + two hash aggregates (map-side combinable), no windows,
+# no Python.
+@query(
+    "t18_token_entropy",
+    """
+    WITH tf AS (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        GROUP BY doc_id, t
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct
+          FROM tf GROUP BY doc_id),
+    terms AS (
+        SELECT tf.doc_id,
+               ROUND((CAST(c AS DOUBLE) / n)
+                     * log2(CAST(n AS DOUBLE) / c), 6) AS term
+        FROM tf JOIN n USING (doc_id)
+    )
+    SELECT t.doc_id,
+           CAST(ANY_VALUE(n.n) AS BIGINT) AS n_tokens,
+           CAST(ANY_VALUE(n.n_distinct) AS BIGINT) AS n_distinct,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS entropy,
+           CASE WHEN ANY_VALUE(n.n_distinct) > 1
+                THEN ROUND(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+                           / log2(CAST(ANY_VALUE(n.n_distinct) AS DOUBLE)), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM terms t JOIN n ON t.doc_id = n.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def t18_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("n").cast("double") / F.col("c")),
+        6,
+    )
+    ent = F.sum(term.cast("decimal(38,6)")).cast("double")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.first("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(ent, 6).alias("entropy"),
+            F.when(
+                F.first("n_distinct") > 1,
+                F.round(
+                    ent / F.log2(F.first("n_distinct").cast("double")), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("norm_entropy"),
+        )
+    )

@@ -840,3 +840,58 @@ def w16_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "twa", "n_segments")
     )
+
+
+# --------------------------------------------------------------------------
+# w17 — EWMA (exponentially weighted moving average, α = 1/2) over each
+# user's trailing 20 events — pandas ewm(alpha=.5).mean() semantics
+# truncated to a 20-row frame so the operator has bounded state (the
+# streaming-friendly form). α = 1/2 makes every weight 2^(19-j) an EXACT
+# integer, so term products are pure power-of-two scalings (no rounding
+# error introduced by the weights themselves); terms sum in decimal and
+# one final divide by the integer weight mass yields a cross-engine
+# bit-identical double. The plan is ONE user-partitioned window carrying
+# 20 lag expressions — no arrays, no Python, frames bounded per key.
+_EWMA_LAGS = 20
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"COALESCE(CAST(lag(value, {j}) OVER w * {1 << (_EWMA_LAGS - 1 - j)}"
+        f" AS DECIMAL(38,6)), 0)"
+        for j in range(_EWMA_LAGS)
+    )
+    mass = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0 "
+        f"ELSE {1 << (_EWMA_LAGS - 1 - j)} END"
+        for j in range(_EWMA_LAGS)
+    )
+    return f"""
+    SELECT event_id,
+           ROUND(CAST(({terms}) AS DOUBLE) / ({mass}), 6) AS ewma
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """
+
+
+@query("w17_ewma", _ewma_sql())
+def w17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(_EWMA_LAGS)]
+    weights = [1 << (_EWMA_LAGS - 1 - j) for j in range(_EWMA_LAGS)]
+    num = None
+    mass = None
+    for lg, wt in zip(lags, weights):
+        t = F.coalesce((lg * wt).cast(DEC), F.lit(0).cast(DEC))
+        m = F.when(lg.isNull(), 0).otherwise(wt)
+        num = t if num is None else num + t
+        mass = m if mass is None else mass + m
+    return ev.select(
+        "event_id",
+        F.round(num.cast("double") / mass, 6).alias("ewma"),
+    )

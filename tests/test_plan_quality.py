@@ -382,6 +382,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # dimension-sized frames
     "w13_cumulative_unique_users": (1, "day-keyed aggregate (calendar-bounded)"),
     "m01_group_folds": (1, "dense_rank over DISTINCT group keys (dimension)"),
+    "m06_lift_table": (1, "cumulative gain over the 10 decile rows"),
+    "gr04_bfs_hops": (1, "seed top-3 over ≤ 3·64 lane survivors"),
 }
 
 
