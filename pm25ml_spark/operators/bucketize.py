@@ -53,6 +53,45 @@ def _to_literal(v):
     return v
 
 
+def _numeric_fast_splits(
+    df: DataFrame, col: str, dtype, num_buckets: int
+) -> list[tuple] | None:
+    """JVM-side split sampling for a SINGLE numeric key: one
+    ``approxQuantile`` pass (Greenwald-Khanna inside codegen) instead of
+    the Arrow ``mapInPandas`` sampler, which streams every row's key
+    through Python — the difference between an O(N)-in-JVM and an
+    O(N)-in-Python job at corpus scale. Split values are approximate,
+    which only affects bucket BALANCE: they are embedded as literals, so
+    every job still derives the identical bucket for the identical row.
+    Returns None when the type has no safe double mapping (strings,
+    timestamps) — callers fall back to the generic sampler.
+    """
+    import pyspark.sql.types as T
+
+    integral = isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    if not integral and not isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return None
+    c = F.col(col)
+    probe = df.select(c.cast("double").alias("__q")).filter(
+        c.isNotNull() & ~F.isnan(c.cast("double"))
+    )
+    ps = [0.0] + [i / num_buckets for i in range(1, num_buckets)]
+    qs = probe.approxQuantile("__q", ps, 1.0 / (4 * num_buckets))
+    if not qs:
+        return []
+    # a split <= the global minimum would only carve out an empty bucket
+    # (the degenerate single-key contract: one bucket)
+    lo = int(qs[0]) if integral else float(qs[0])
+    out: list[tuple] = []
+    for v in qs[1:]:
+        v = int(v) if integral else float(v)
+        if v > lo and (not out or v > out[-1][0]):
+            out.append((v,))
+    return out
+
+
 def range_bucket_column(
     df: DataFrame,
     order_cols: list[str],
@@ -68,22 +107,42 @@ def range_bucket_column(
     key_schema = df.select(*order_cols).schema
     col_types = {f.name: f.dataType for f in key_schema.fields}
 
+    if len(order_cols) == 1 and num_buckets > 1:
+        fast = _numeric_fast_splits(
+            df, order_cols[0], col_types[order_cols[0]], num_buckets
+        )
+        if fast is not None:
+            return _splits_to_expr(fast, order_cols, col_types)
+
     cap = max(rows_per_split, 8)
 
     def sampler(batches):
         import pandas as pd
 
-        kept: list[tuple] = []
-        stride, i = 1, 0
+        # vectorized stride sampling: every stride-th row by GLOBAL
+        # offset (iloc slices, never per-row Python), halving the kept
+        # set and doubling the stride whenever it exceeds 2*cap — the
+        # Arrow batches stream through numpy, so the pass stays cheap
+        # even when this generic path sees a corpus-sized frame
+        kept: list[pd.DataFrame] = []
+        n_kept, stride, i = 0, 1, 0
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if i % stride == 0:
-                    kept.append(tuple(row))
-                    if len(kept) >= 2 * cap:
-                        kept = kept[::2]
-                        stride *= 2
-                i += 1
-        yield pd.DataFrame(kept, columns=list(order_cols))
+            first = (-i) % stride
+            take = pdf.iloc[first::stride]
+            i += len(pdf)
+            if len(take):
+                kept.append(take)
+                n_kept += len(take)
+            while n_kept >= 2 * cap:
+                merged = pd.concat(kept, ignore_index=True).iloc[::2]
+                kept, n_kept = [merged], len(merged)
+                stride *= 2
+        out = (
+            pd.concat(kept, ignore_index=True)
+            if kept
+            else pd.DataFrame({c: [] for c in order_cols})
+        )
+        yield out
 
     sampled = df.select(*order_cols).mapInPandas(sampler, key_schema).collect()
     keys = sorted(
@@ -102,6 +161,12 @@ def range_bucket_column(
             if cand > (splits[-1] if splits else keys[0]):
                 splits.append(cand)
 
+    return _splits_to_expr(splits, order_cols, col_types)
+
+
+def _splits_to_expr(
+    splits: list[tuple], order_cols: list[str], col_types: dict
+) -> tuple[Column, int]:
     key_struct = F.struct(*[F.col(c) for c in order_cols])
     expr = F.lit(0)
     for s in splits:
