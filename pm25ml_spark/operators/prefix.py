@@ -59,7 +59,11 @@ def ordered_prefix_sum(
     offsets, acc = [], (0 if integral else Decimal(0))
     for r in sorted(totals, key=lambda r: r["__bucket"]):
         offsets.append((int(r["__bucket"]), acc))
-        acc += int(r["t"]) if integral else (r["t"] or Decimal(0))
+        # t is NULL when every value_col row in the bucket is NULL —
+        # contribute 0, matching SUM-ignores-NULL window semantics.
+        acc += (int(r["t"]) if r["t"] is not None else 0) if integral else (
+            r["t"] or Decimal(0)
+        )
     # float offsets stay DECIMAL end-to-end: offset + local sum combine
     # exactly, with ONE final deterministic cast to double
     odf = spark.createDataFrame(

@@ -249,7 +249,10 @@ def global_topk(
     a well-defined result. ``lane_col`` is any column; the lane hash only
     affects balance, never the result.
     """
-    lane = F.xxhash64(F.col(lane_col)) % salts
+    # pmod, not %: xxhash64 is signed, and raw % would yield 2*salts-1
+    # distinct lanes on mixed-sign hashes — correct but double the
+    # documented k*salts survivor bound the final window relies on
+    lane = F.pmod(F.xxhash64(F.col(lane_col)), F.lit(salts))
     lw = Window.partitionBy("__lane").orderBy(*order)
     pruned = (
         df.withColumn("__lane", lane)

@@ -884,8 +884,14 @@ def ivfpq_topk(
                 }
             )
 
-    assigned = candidates.select(c_id, c_vec).mapInPandas(
-        assign, f"{c_id} long, cen long, resid array<double>"
+    # Persisted: the coarse-assign kernel is the full-corpus Python pass,
+    # and four downstream consumers re-evaluate it otherwise (rsubs
+    # collect, pq_encode's scan, the codes branch, the cen join). Cache
+    # is LRU-evictable; one materialization instead of four.
+    assigned = (
+        candidates.select(c_id, c_vec)
+        .mapInPandas(assign, f"{c_id} long, cen long, resid array<double>")
+        .persist()
     )
     # residual PQ codebook: residuals of the strided candidate ids
     rsubs = _subspaces(

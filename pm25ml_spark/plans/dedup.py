@@ -1272,8 +1272,13 @@ def _kcore_oracle() -> str:
 @query("gr03_kcore_members", _kcore_oracle())
 def gr03_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
-        "doc_a", "doc_b"
+    # persisted: the union below references pairs twice, and Spark does
+    # no cross-branch CSE — without this the dominant jaccard-pair
+    # build runs 2x even for a single materialization of edges
+    pairs = (
+        D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1506,8 +1511,11 @@ def gr04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pm25ml_spark.operators.sampling import global_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
-        "doc_a", "doc_b"
+    # persisted: referenced by both union branches (no cross-branch CSE)
+    pairs = (
+        D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+        .select("doc_a", "doc_b")
+        .persist()
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -986,18 +986,15 @@ def t14_chunk_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t16_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.dedup import word_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
+    # word_ngrams gates sequence() on size >= n: docs with < 3 tokens
+    # yield an EMPTY gram array (a bare sequence(1, n-2) would DESCEND
+    # for short docs and emit null-padded spurious grams the oracle's
+    # range(1, len-1) never produces).
     grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-                    " i -> concat_ws(' ', split(text, ' ')[i-1],"
-                    " split(text, ' ')[i], split(text, ' ')[i+1]))"
-                )
-            ).alias("g"),
-        )
+        docs.select("doc_id", F.explode(word_ngrams("text", 3)).alias("g"))
         .distinct()
     )
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))

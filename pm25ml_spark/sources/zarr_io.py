@@ -265,7 +265,12 @@ def consolidate_metadata(path: str) -> dict:
     how many arrays/attributes it holds. Returns the document written.
     """
     metadata: dict[str, dict] = {}
-    for dirpath, _dirnames, filenames in os.walk(path):
+    for dirpath, dirnames, filenames in os.walk(path):
+        # Dot-prefixed dirs are swap debris (.old-<hex> left by a crash
+        # between write_zarr_distributed's two go-live renames, .stage-*
+        # from an aborted write) — inlining their metadata would
+        # advertise phantom arrays to consolidated readers.
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
         rel = os.path.relpath(dirpath, path)
         for name in filenames:
             if name not in (".zgroup", ".zarray", ".zattrs"):

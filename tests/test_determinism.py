@@ -228,3 +228,29 @@ def test_ordered_prefix_sum_double_is_decimal_exact(spark):
     out = ordered_prefix_sum(df, ["id"], "v", "c", num_partitions=BUCKETS)
     got = {r.id: r.c for r in out.collect()}
     assert got == want
+
+
+def test_ordered_prefix_sum_all_null_bucket(spark):
+    """A range bucket whose value rows are ALL NULL sums to NULL on the
+    driver — it must contribute 0 to downstream offsets (window-SUM
+    semantics), not crash the integral path with int(None)."""
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    # ids 0..199; v is NULL for the low half — with enough buckets the
+    # low-range buckets are entirely NULL
+    df = spark.range(200).select(
+        "id",
+        F.when(F.col("id") >= 100, F.col("id") % 7 + 1)
+        .cast("long")
+        .alias("v"),
+    )
+    out = ordered_prefix_sum(df, ["id"], "v", "c", num_partitions=8)
+    got = {r.id: r.c for r in out.collect()}
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.c
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -5,6 +5,7 @@ strings with hashlib/collections, no SQL engine involved."""
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import Counter
 
 from pm25ml_spark.catalog import load_table
@@ -138,3 +139,40 @@ def test_repetition_signals_keep_degenerate_short_docs(spark):
     assert out[4].passes_repetition == 0
     assert out[5].passes_repetition == 1
     assert out[5].dup_word_frac == 0.0
+
+
+def test_t16_short_docs_emit_no_grams(spark, tmp_path):
+    """Docs with < 3 tokens must be ABSENT from t16 (the oracle's
+    range(1, len-1) emits nothing for them; an ungated Spark
+    sequence(1, n-2) would descend and emit null-padded grams)."""
+    import shutil
+
+    from pm25ml_spark.catalog import TABLE_NAMES
+    from pm25ml_spark.plans.registry import ORACLES, QUERIES
+    from tests.oracle_compare import assert_match, run_oracle
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for name in TABLE_NAMES:
+        if name != "documents":
+            shutil.copy(
+                f"/root/testdata/sf0.001/{name}.parquet",
+                f"{sf}/{name}.parquet",
+            )
+    rows = [
+        (1, "alpha beta gamma delta", "en", "web", 22),
+        (2, "alpha beta", "en", "web", 10),      # 2 tokens: no grams
+        (3, "solo", "en", "web", 4),             # 1 token: no grams
+        (4, "alpha beta gamma", "en", "web", 16),
+    ]
+    import pandas as pd
+
+    # single-file parquet (pyarrow), matching the driver layout — a
+    # Spark write would produce a directory DuckDB's pattern misses
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{sf}/documents.parquet", index=False)
+    out = QUERIES["t16_ngram_novelty"](spark, sf)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 4}
+    assert_match(out, run_oracle(ORACLES["t16_ngram_novelty"], sf), "t16")

@@ -301,3 +301,21 @@ def test_consolidated_metadata_matches_store(spark, tmp_path):
     assert json.load(
         open(os.path.join(dist, "pm25", ".zarray"))
     ) == doc2["metadata"]["pm25/.zarray"]
+
+
+def test_consolidate_skips_swap_debris(tmp_path):
+    """Leftover .old-<hex>/.stage-* dirs (crash between the sink's two
+    go-live renames) must NOT surface as phantom arrays in .zmetadata."""
+    from pm25ml_spark.sources.zarr_io import consolidate_metadata
+
+    cube, dates, ys, xs = _cube_fixture()
+    store = str(tmp_path / "debris")
+    write_zarr_cube(store, cube, dates, ys, xs, chunks=(2, 3, 4))
+    for junk in (".old-deadbeef", ".stage-cafe"):
+        jdir = os.path.join(store, junk)
+        os.makedirs(jdir)
+        with open(os.path.join(jdir, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+    doc = consolidate_metadata(store)
+    assert not any(".old-" in k or ".stage-" in k for k in doc["metadata"])
+    assert "pm25/.zarray" in doc["metadata"]
