@@ -88,3 +88,93 @@ def exact_quantiles(
         .groupBy("__bucket")
         .applyInPandas(pick, out_schema)
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact order statistics — ``(group_cols..., p double,
+    value <col type>)`` with the same ``max(1, ceil(p*n))`` rank
+    convention as :func:`exact_quantiles`, computed WITHOUT a per-group
+    window sort.
+
+    Why not ``row_number() OVER (PARTITION BY group)``: with few large
+    groups (the common profiling shape — a handful of event types over
+    the whole corpus) each window partition is corpus/|groups| rows
+    through ONE task. Here the range buckets are keyed on
+    ``(group_cols..., value)``, so a group spans many buckets and every
+    bucket sorts locally; the driver only holds the per-(bucket, group)
+    counts (≈ num_buckets + |groups| rows — group runs are contiguous in
+    bucket order). Scales in the bucket count, not the group count or
+    group size. NULL group keys form their own group (SQL GROUP BY
+    semantics); NULL values are excluded (aggregate semantics).
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    vals = df.select(*group_cols, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    bucket_expr, _ = range_bucket_column(
+        vals, [*group_cols, value_col], nparts
+    )
+    tagged = vals.withColumn("__bucket", bucket_expr)
+    counts = (
+        tagged.groupBy("__bucket", *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in group_cols]
+        + ["p double", f"value {dtypes[value_col]}"]
+    )
+    if not counts:
+        return spark.createDataFrame([], out_schema)
+
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, []).append((int(r["__bucket"]), int(r["n"])))
+    # bucket -> [(group_key, p, local_rank)]
+    targets: dict[int, list[tuple[tuple, float, int]]] = {}
+    for g, lst in per_group.items():
+        lst.sort()
+        n = sum(c for _, c in lst)
+        for p in ps:
+            k = min(max(1, math.ceil(p * n)), n)
+            acc = 0
+            for b, c in lst:
+                if k <= acc + c:
+                    targets.setdefault(b, []).append((g, float(p), k - acc))
+                    break
+                acc += c
+    btargets = spark.sparkContext.broadcast(targets)
+    needed = sorted(targets)
+
+    def pick(key, pdf):
+        want = btargets.value.get(int(key[0]), [])
+        cols = list(group_cols) + ["p", "value"]
+        if not want:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for g, p, lr in want:
+            sub = pdf
+            for c, gv in zip(group_cols, g):
+                sub = sub[sub[c].isna()] if gv is None else sub[sub[c] == gv]
+            v = sub[value_col].sort_values(kind="mergesort").to_numpy()
+            rows.append((*g, p, v[lr - 1]))
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        tagged.filter(F.col("__bucket").isin(needed))
+        .groupBy("__bucket")
+        .applyInPandas(pick, out_schema)
+    )

@@ -834,3 +834,63 @@ def m06_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pos").over(cum).cast("double") / F.col("tot_pos"), 6
         ).alias("cum_gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# m07 — categorical target encoding, the feature-engineering staple for
+# tree/GBM pipelines (M3's input prep): leave-one-out mean of the target
+# per category (each row excluded from its own statistic — the standard
+# leakage guard) plus an m=20 smoothed encoding that shrinks rare
+# categories toward the global prior. One |categories|-row aggregate
+# (map-side combinable) broadcast back over the fact table — zero
+# shuffle of the event frame at any scale. Decimal sums keep the group
+# statistics split-invariant, so the doubles divide bit-identically to
+# the oracle.
+_M07_M = 20
+
+
+@query(
+    "m07_target_encoding",
+    f"""
+    WITH v AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, COUNT(*) AS n, {dsum_expr('value')} AS s
+        FROM v GROUP BY 1
+    ),
+    p AS (SELECT {davg_expr('value')} AS prior FROM v)
+    SELECT v.event_id, v.event_type,
+           CASE WHEN g.n > 1 THEN (g.s - v.value) / (g.n - 1)
+                ELSE NULL END AS loo_enc,
+           (g.s + {_M07_M} * p.prior) / (g.n + {_M07_M}) AS smooth_enc
+    FROM v JOIN g USING (event_type) CROSS JOIN p
+    """,
+)
+def m07_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("s")
+    )
+    p = ev.agg(davg("value").alias("prior"))
+    loo = F.when(
+        F.col("n") > 1, (F.col("s") - F.col("value")) / (F.col("n") - 1)
+    )
+    smooth = (F.col("s") + F.lit(_M07_M) * F.col("prior")) / (
+        F.col("n") + F.lit(_M07_M)
+    )
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .crossJoin(F.broadcast(p))
+        .select(
+            "event_id",
+            "event_type",
+            loo.alias("loo_enc"),
+            smooth.alias("smooth_enc"),
+        )
+    )

@@ -1010,3 +1010,143 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# a09 — robust outlier profile per group (median / MAD / 3-MAD count):
+# the outlier sweep a data-quality pipeline runs per segment, using
+# rank-exact order statistics so the result is engine-portable (no
+# quantile interpolation — the ``max(1, ceil(p*n))`` convention a06
+# pins). Both medians come from operators.quantiles.grouped_exact_
+# quantiles: range buckets keyed on (group, value), so a handful of
+# corpus-sized groups NEVER funnel through one window task — the plan
+# scales in bucket count, not group size. The deviation frame is
+# persisted: it feeds the MAD quantile pass and the final aggregate.
+@query(
+    "a09_mad_outliers",
+    """
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    n_t AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+    r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        FROM v
+    ),
+    med AS (
+        SELECT r.event_type, r.value AS med
+        FROM r JOIN n_t USING (event_type)
+        WHERE rn = LEAST(GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)), n)
+    ),
+    a AS (
+        SELECT v.event_type, ABS(v.value - med.med) AS adev, med.med AS med
+        FROM v JOIN med USING (event_type)
+    ),
+    ra AS (
+        SELECT event_type, adev,
+               row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn
+        FROM a
+    ),
+    mad AS (
+        SELECT ra.event_type, ra.adev AS mad
+        FROM ra JOIN n_t USING (event_type)
+        WHERE rn = LEAST(GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)), n)
+    )
+    SELECT a.event_type, n_t.n, a.med, mad.mad,
+           CAST(SUM(CASE WHEN a.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM a JOIN mad USING (event_type) JOIN n_t USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def a09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.quantiles import grouped_exact_quantiles
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = grouped_exact_quantiles(ev, ["event_type"], "value", [0.5]).select(
+        "event_type", F.col("value").alias("med")
+    )
+    # med/mad are |group|-row frames — broadcast joins, zero shuffle of ev
+    a = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .persist()
+    )
+    mad = grouped_exact_quantiles(a, ["event_type"], "adev", [0.5]).select(
+        "event_type", F.col("value").alias("mad")
+    )
+    return (
+        a.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# d09 — column profile (the data-quality sweep run before any training
+# job: per-column row/null/distinct counts and min/max). Spark-first
+# shape: ONE scan unpivots the audited columns to (column, value) long
+# form via stack — no per-column scan fan-out — then a single hash
+# aggregate keyed by column name; |columns| result rows at any scale.
+# Values are profiled through their STRING rendering (min/max are
+# lexicographic — a profile, not arithmetic; integer renderings are
+# engine-identical so the oracle matches bit-for-bit), and the audited
+# set is integer/string columns by design: float/timestamp formatting
+# is engine-specific.
+_D09_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def _d09_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN(CAST({c} AS VARCHAR)) AS min_value,
+           MAX(CAST({c} AS VARCHAR)) AS max_value
+    FROM lineitem
+    """
+        for c in _D09_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("d09_column_profile", _d09_oracle())
+def d09_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_D09_COLS)
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _D09_COLS
+    )
+    long = li.select(
+        F.expr(
+            f"stack({len(_D09_COLS)}, {stack_args}) AS (column_name, value)"
+        )
+    )
+    return long.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.countDistinct("value").cast("bigint").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -1144,3 +1144,54 @@ def t18_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("norm_entropy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t19 — blocklist redaction audit (the PII-scrub shape: dictionary +
+# regex term removal with per-source accounting — swap the word list
+# for email/phone/SSN patterns and the plan is unchanged). One
+# projection pass computes per-doc hit count and post-redaction length
+# JVM-side (regexp_count / regexp_replace — no Python in the hot path),
+# then a per-source hash aggregate; integers end-to-end so the audit is
+# bit-exact. Pattern kept to portable regex (\b + alternation) so the
+# same spelling runs on Java regex and RE2.
+_T19_PAT = r"\b(customer|key|error|stream)\b"
+
+
+@query(
+    "t19_blocklist_redaction",
+    f"""
+    WITH d AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_T19_PAT}')) AS hits,
+               length(text) AS chars,
+               length(regexp_replace(text, '{_T19_PAT}', '[X]', 'g')) AS red
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_hits,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(red) AS BIGINT) AS redacted_chars
+    FROM d GROUP BY source
+    """,
+)
+def t19_blocklist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(_T19_PAT)).alias("hits"),
+        F.length("text").alias("chars"),
+        F.length(F.regexp_replace("text", _T19_PAT, "[X]")).alias("red"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_hits"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum("red").cast("bigint").alias("redacted_chars"),
+    )

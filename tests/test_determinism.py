@@ -254,3 +254,37 @@ def test_ordered_prefix_sum_all_null_bucket(spark):
         for r in df.withColumn("c", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_grouped_exact_quantiles_matches_window(spark):
+    """Per-group rank-exact quantiles == the window-sort reference,
+    including NULL group keys (own group) and duplicate values."""
+    import math
+
+    from pm25ml_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = (
+        spark.range(3000)
+        .select(
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 3).cast("string")))
+            .alias("g"),
+            ((F.col("id") * 37) % 101).cast("double").alias("v"),
+        )
+    )
+    ps = [0.0, 0.25, 0.5, 1.0]
+    got = {
+        (r.g, r.p): r.value
+        for r in grouped_exact_quantiles(df, ["g"], "v", ps, 8).collect()
+    }
+    rows = df.collect()
+    byg: dict = {}
+    for r in rows:
+        byg.setdefault(r.g, []).append(r.v)
+    want = {}
+    for g, vs in byg.items():
+        vs.sort()
+        for p in ps:
+            k = min(max(1, math.ceil(p * len(vs))), len(vs))
+            want[(g, p)] = vs[k - 1]
+    assert got == want
