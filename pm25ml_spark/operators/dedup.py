@@ -529,3 +529,75 @@ def contamination_hits(
             F.countDistinct("gram").alias("n_spans"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, t_num: int = 4, t_den: int = 5
+) -> DataFrame:
+    """Exact DIRECTED containment pairs: C(A→B) = |A∩B| / |A| ≥ t for
+    ordered (doc_a, doc_b), doc_a ≠ doc_b — the asymmetric near-dup
+    relation resemblance (Jaccard) misses: a short doc fully embedded in
+    a long one scores high containment but low Jaccard.
+
+    Prefix filtering applies to the CONTAINED side only: shared ≥
+    ceil(t·na) forces A's rarest-first prefix of length
+    na − ceil(t·na) + 1 to intersect B's FULL shingle set (B cannot
+    prune — the overlap bound references |A| alone). The candidate join
+    is A-prefix × B-all on the shingle hash; prefix shingles are
+    globally rare by construction (rarest-first df order), so fan-out is
+    bounded by prefix-shingle document frequencies, never the corpus
+    pair count. Candidates are exact-verified with one JVM
+    ``array_intersect`` per pair; the threshold test is integer
+    (shared·den ≥ num·na — no float boundary).
+
+    Output: (doc_a, doc_b, shared, na, containment) — doc_a is the
+    contained side.
+    """
+    sh_arr = shingle_arrays(docs, n=n)
+    sh = sh_arr.select("doc_id", "n_sh", F.explode("h_arr").alias("s"))
+    df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_freq, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    # floor-in-double is safe: ulp error can only lengthen the prefix
+    min_overlap = (
+        F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)
+    ) / F.lit(t_den)
+    prefix_len = F.col("n_sh") - min_overlap.cast("long") + 1
+    pa = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"), "s"
+    )
+    pb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_arr").alias("arr_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = sh_arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("h_arr").alias("arr_b")
+    )
+    shared = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .withColumn("shared", shared.cast("long"))
+        .filter(
+            F.col("shared") * F.lit(t_den) >= F.lit(t_num) * F.col("na")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "na",
+            (F.col("shared") / F.col("na")).alias("containment"),
+        )
+    )

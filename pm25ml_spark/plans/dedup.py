@@ -1552,3 +1552,33 @@ def gr04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
         )
     return dist
+
+
+# --------------------------------------------------------------------------
+# dd12 — directed containment pairs (C(A→B) = |A∩B|/|A| ≥ 0.8): the
+# asymmetric near-dup relation resemblance misses — a short doc embedded
+# in a longer one scores high containment but low Jaccard (quote
+# farms, boilerplate wrappers, partial mirrors). Prefix filter on the
+# CONTAINED side only (the probe side cannot prune); exact verification
+# with integer threshold arithmetic. Oracle: brute-force shingle
+# self-join.
+@query(
+    "dd12_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ca.n_sh AS na, COUNT(*) AS shared
+        FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b, shared, na,
+           CAST(shared AS DOUBLE) / na AS containment
+    FROM pairs WHERE shared * 5 >= 4 * na
+    """,
+)
+def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, n=3, t_num=4, t_den=5)

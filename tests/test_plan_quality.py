@@ -511,3 +511,14 @@ def test_m04_auc_has_no_unpartitioned_window(spark, sf_dir):
     assert specs, "expected the per-bucket local prefix-sum window"
     for spec in specs:
         assert "__bucket" in spec, f"unpartitioned window in m04 plan: {spec}"
+
+
+def test_dd12_no_cartesian_product(spark, sf_dir):
+    """Containment candidates must equi-join contained-side prefixes
+    against the full shingle index on the shingle key — never a
+    cartesian pair explosion (the probe side cannot prefix-prune, so
+    the ONLY thing keeping this sub-quadratic is the keyed join)."""
+    df = QUERIES["dd12_containment_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
