@@ -187,6 +187,37 @@ def _verify_pairs(
     )
 
 
+
+def _ranked_prefix(sh_arr: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """(doc_id, s, rn, n_sh) — each doc's shingle hashes in rarest-first
+    global order, filtered to the prefix-filter length
+    ``n_sh − ceil(t·n_sh) + 1``: any doc sharing ≥ ceil(t·n_sh) shingles
+    with this doc MUST collide inside this prefix. Shared by the Jaccard
+    (both sides prefixed) and containment (contained side only) joins.
+
+    Runs on the 60-bit shingle hashes (h_arr), not the shingle strings:
+    every shuffle/join keys on a bigint instead of a ~20-byte string.
+    Any global order satisfies the prefix guarantee; (df, hash) keeps
+    rarest-first. Hash collisions are the same 3e-8 event the
+    verification path already accepts. floor-in-double for the overlap
+    is safe: ulp error can only LENGTHEN the prefix."""
+    sh = sh_arr.select("doc_id", "n_sh", F.explode("h_arr").alias("s"))
+    df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_freq, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    min_overlap = (
+        F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)
+    ) / F.lit(t_den)
+    prefix_len = F.col("n_sh") - min_overlap.cast("long") + 1
+    return ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "s", "rn", "n_sh"
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame, n: int = 3, t_num: int = 3, t_den: int = 5
 ) -> DataFrame:
@@ -209,27 +240,8 @@ def jaccard_pairs(
     Output: (doc_a, doc_b, shared, jaccard) with doc_a < doc_b.
     """
     sh_arr = shingle_arrays(docs, n=n)
-    # rank/prefix machinery runs on the 60-bit shingle hashes (h_arr), not
-    # the shingle strings: every shuffle/join below keys on a bigint
-    # instead of a ~20-byte string. Any global order satisfies the prefix
-    # guarantee; (df, hash) keeps rarest-first. Hash collisions are the
-    # same 3e-8 event the verification path already accepts.
-    sh = sh_arr.select("doc_id", "n_sh", F.explode("h_arr").alias("s"))
-    df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_freq, "s").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "s")
-        ),
-    )
-    # floor-in-double is safe here: ulp error can only lengthen the prefix
-    min_overlap = (F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)) / F.lit(t_den)
-    prefix_len = F.col("n_sh") - min_overlap.cast("long") + 1
-    prefix = (
-        ranked.filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "s", "rn", "n_sh")
-        .persist()
-    )
+    # persisted: pa and pb below are two consumers of the same subtree
+    prefix = _ranked_prefix(sh_arr, t_num, t_den).persist()
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "s",
@@ -532,7 +544,11 @@ def contamination_hits(
 
 
 def containment_pairs(
-    docs: DataFrame, n: int = 3, t_num: int = 4, t_den: int = 5
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+    broadcast_arrays: bool = True,
 ) -> DataFrame:
     """Exact DIRECTED containment pairs: C(A→B) = |A∩B| / |A| ≥ t for
     ordered (doc_a, doc_b), doc_a ≠ doc_b — the asymmetric near-dup
@@ -551,26 +567,18 @@ def containment_pairs(
     (shared·den ≥ num·na — no float boundary).
 
     Output: (doc_a, doc_b, shared, na, containment) — doc_a is the
-    contained side.
+    contained side. ``broadcast_arrays`` mirrors ``_verify_pairs``: the
+    per-doc array table is corpus-cardinality × ~1 KB, so past ~10^6
+    docs flip it to False and let AQE plan the verify joins as shuffles
+    (a 10^9-doc broadcast would blow Spark's 8 GB broadcast limit).
     """
     sh_arr = shingle_arrays(docs, n=n)
-    sh = sh_arr.select("doc_id", "n_sh", F.explode("h_arr").alias("s"))
-    df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_freq, "s").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "s")
-        ),
-    )
-    # floor-in-double is safe: ulp error can only lengthen the prefix
-    min_overlap = (
-        F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)
-    ) / F.lit(t_den)
-    prefix_len = F.col("n_sh") - min_overlap.cast("long") + 1
-    pa = ranked.filter(F.col("rn") <= prefix_len).select(
+    pa = _ranked_prefix(sh_arr, t_num, t_den).select(
         F.col("doc_id").alias("doc_a"), "s"
     )
-    pb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    pb = sh_arr.select(
+        F.col("doc_id").alias("doc_b"), F.explode("h_arr").alias("s")
+    )
     cand = (
         pa.join(pb, "s")
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -585,10 +593,12 @@ def containment_pairs(
     b = sh_arr.select(
         F.col("doc_id").alias("doc_b"), F.col("h_arr").alias("arr_b")
     )
+    if broadcast_arrays:
+        a, b = F.broadcast(a), F.broadcast(b)
     shared = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
-        cand.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("shared", shared.cast("long"))
         .filter(
             F.col("shared") * F.lit(t_den) >= F.lit(t_num) * F.col("na")

@@ -110,8 +110,16 @@ def grouped_exact_quantiles(
     bucket sorts locally; the driver only holds the per-(bucket, group)
     counts (≈ num_buckets + |groups| rows — group runs are contiguous in
     bucket order). Scales in the bucket count, not the group count or
-    group size. NULL group keys form their own group (SQL GROUP BY
-    semantics); NULL values are excluded (aggregate semantics).
+    group size. NULL and NaN group keys each form their own single
+    group (SQL GROUP BY / Spark NaN-normalization semantics); NULL
+    values are excluded (aggregate semantics).
+
+    Caveat: rows with a NULL LEADING group key all land in bucket 0
+    (range comparison against the split literals is NULL → the bucket
+    sum contributes 0), so a corpus-sized NULL-key group funnels
+    through one task — filter or impute NULL keys first when they are
+    a large fraction of the data; non-null skewed groups are what the
+    bucketing actually spreads.
     """
     import math
 
@@ -139,12 +147,27 @@ def grouped_exact_quantiles(
     if not counts:
         return spark.createDataFrame([], out_schema)
 
+    # Canonicalize NaN keys: nan != nan would fragment one logical group
+    # (Spark groupBy normalizes NaN) into many dict keys with partial
+    # counts — and then pick()'s equality match would find no rows.
+    def _canon(x):
+        return "\0nan" if isinstance(x, float) and math.isnan(x) else x
+
     per_group: dict[tuple, list[tuple[int, int]]] = {}
+    raw_key: dict[tuple, tuple] = {}
     for r in counts:
-        g = tuple(r[c] for c in group_cols)
+        g_raw = tuple(r[c] for c in group_cols)
+        g = tuple(_canon(x) for x in g_raw)
+        raw_key.setdefault(g, g_raw)
         per_group.setdefault(g, []).append((int(r["__bucket"]), int(r["n"])))
-    # bucket -> [(group_key, p, local_rank)]
-    targets: dict[int, list[tuple[tuple, float, int]]] = {}
+    # Group keys round-trip through a DRIVER-built gid table, not the
+    # pandas output: pandas→Arrow treats float NaN as missing, so a NaN
+    # group key emitted from pick() would silently become NULL (and
+    # collide with a genuine NULL-key group). pick() returns (gid, p,
+    # value); the |groups|-row gid frame re-attaches the keys exactly.
+    gids = {g: i for i, g in enumerate(per_group)}
+    # bucket -> [(gid, group_key, p, local_rank)]
+    targets: dict[int, list[tuple[int, tuple, float, int]]] = {}
     for g, lst in per_group.items():
         lst.sort()
         n = sum(c for _, c in lst)
@@ -153,7 +176,9 @@ def grouped_exact_quantiles(
             acc = 0
             for b, c in lst:
                 if k <= acc + c:
-                    targets.setdefault(b, []).append((g, float(p), k - acc))
+                    targets.setdefault(b, []).append(
+                        (gids[g], raw_key[g], float(p), k - acc)
+                    )
                     break
                 acc += c
     btargets = spark.sparkContext.broadcast(targets)
@@ -161,20 +186,29 @@ def grouped_exact_quantiles(
 
     def pick(key, pdf):
         want = btargets.value.get(int(key[0]), [])
-        cols = list(group_cols) + ["p", "value"]
+        cols = ["__gid", "p", "value"]
         if not want:
             return pd.DataFrame(columns=cols)
         rows = []
-        for g, p, lr in want:
+        for gid, g, p, lr in want:
             sub = pdf
             for c, gv in zip(group_cols, g):
-                sub = sub[sub[c].isna()] if gv is None else sub[sub[c] == gv]
+                # pd.isna covers both None and NaN keys (NaN == NaN is
+                # False elementwise — equality would match nothing)
+                sub = sub[sub[c].isna()] if pd.isna(gv) else sub[sub[c] == gv]
             v = sub[value_col].sort_values(kind="mergesort").to_numpy()
-            rows.append((*g, p, v[lr - 1]))
+            rows.append((gid, p, v[lr - 1]))
         return pd.DataFrame(rows, columns=cols)
 
-    return (
+    picked = (
         tagged.filter(F.col("__bucket").isin(needed))
         .groupBy("__bucket")
-        .applyInPandas(pick, out_schema)
+        .applyInPandas(pick, f"__gid int, p double, value {dtypes[value_col]}")
+    )
+    gdf = spark.createDataFrame(
+        [(i, *raw_key[g]) for g, i in gids.items()],
+        ", ".join(["__gid int"] + [f"`{c}` {dtypes[c]}" for c in group_cols]),
+    )
+    return picked.join(F.broadcast(gdf), "__gid").select(
+        *group_cols, "p", "value"
     )

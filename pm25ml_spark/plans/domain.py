@@ -869,10 +869,13 @@ _M07_M = 20
     """,
 )
 def m07_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted: g, p, and the final join are three independent
+    # consumers (no cross-branch CSE) — one scan instead of three
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_id", "event_type", "value")
+        .persist()
     )
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("s")

@@ -159,17 +159,12 @@ def k03_idw_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diverge (observed at sf0.01: 54.5894765 → .589476 vs .589477). Integer
 # algebra is exact to ±9.2e18 µ-units per cell (≈2e10 rows/cell at
 # value≈500); beyond that widen the sums to DECIMAL(38,0) — same algebra.
-def _fdiv(a: str, b: str) -> str:
-    """SQL floor-division text for divisor > 0: Spark ``div`` truncates
-    toward zero where the DuckDB oracle's ``//`` floors — they differ by
-    1 on negative non-exact quotients (the truncate-vs-floor class the
-    interval-join buckets already correct)."""
-    return (
-        f"(({a}) div ({b}) - (CASE WHEN ({a}) % ({b}) != 0"
-        f" AND ({a}) < 0 THEN 1 ELSE 0 END))"
-    )
-
-
+# Integer-division parity, verified on both engines: DuckDB's bigint
+# ``//`` TRUNCATES toward zero (-7 // 2 = -3), exactly like Spark's
+# ``div`` — so the plain div spelling below matches the oracle on
+# negative sums too (half-up rounding then means "toward zero + 5"
+# half-up for non-negative numerators, truncation-symmetric for
+# negative ones, identically in both engines).
 @query(
     "k04_grid_smooth",
     """
@@ -208,14 +203,8 @@ def k04_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("user_id div 20") % 20).cast("bigint").alias("gy"),
     ).agg(
         F.expr(
-            _fdiv(
-                _fdiv(
-                    "sum(cast(round(value * 1000000) as bigint)) * 10",
-                    "count(value)",
-                )
-                + " + 5",
-                "10",
-            )
+            "(sum(cast(round(value * 1000000) as bigint)) * 10"
+            " div count(value) + 5) div 10"
         ).alias("vm")
     )
     offs = F.array(
@@ -234,9 +223,7 @@ def k04_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sm = contrib.groupBy("tx", "ty").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_contrib"),
-        F.expr(
-            _fdiv(_fdiv("sum(vm) * 10", "count(1)") + " + 5", "10")
-        ).alias("smm"),
+        F.expr("(sum(vm) * 10 div count(1) + 5) div 10").alias("smm"),
     )
     return cells.join(
         sm,

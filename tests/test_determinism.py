@@ -288,3 +288,30 @@ def test_grouped_exact_quantiles_matches_window(spark):
             k = min(max(1, math.ceil(p * len(vs))), len(vs))
             want[(g, p)] = vs[k - 1]
     assert got == want
+
+
+def test_grouped_exact_quantiles_nan_group_key(spark):
+    """NaN group keys must form ONE group (Spark normalizes NaN in
+    groupBy; a naive nan != nan dict would fragment counts and then
+    IndexError in the picker)."""
+    from pm25ml_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.range(400).select(
+        F.when(F.col("id") % 3 == 0, float("nan"))
+        .otherwise((F.col("id") % 2).cast("double"))
+        .alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = grouped_exact_quantiles(df, ["g"], "v", [0.5, 1.0], 8).collect()
+    import math as _m
+
+    by = {}
+    for r in out:
+        k = "nan" if r.g is not None and _m.isnan(r.g) else r.g
+        by.setdefault(k, {})[r.p] = r.value
+    # one NaN group with both quantiles, plus groups 0.0 and 1.0
+    assert set(by) == {"nan", 0.0, 1.0}
+    # NaN rows are ids 0,3,6,...,399 -> max 399; median = 198th of 134
+    vs = sorted(float(i) for i in range(0, 400, 3))
+    assert by["nan"][1.0] == vs[-1]
+    assert by["nan"][0.5] == vs[max(1, -(-len(vs) * 1 // 2)) - 1]

@@ -748,3 +748,39 @@ def test_asof_forward_without_tolerance_matches_next(spark):
     )
     out = asof_join_forward(left, right, "k", "ts", "ts", ["v"]).collect()
     assert out[0].asof_ts == 40 and out[0].asof_v == 2.0
+
+
+def test_k04_negative_sum_division_parity(spark, tmp_path):
+    """Integer-division parity on NEGATIVE cell sums: DuckDB bigint //
+    truncates toward zero exactly like Spark div (-7 // 2 = -3), so the
+    plain div spelling must hash-match the oracle even when a cell's
+    mean is negative (current testdata is all-positive, which is how a
+    well-meaning 'floor-div fix' once regressed this latently)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from pm25ml_spark.catalog import TABLE_NAMES
+    from tests.conftest import SF_DIR
+    from pm25ml_spark.plans.registry import ORACLES, QUERIES, load_all_plans
+    from tests.oracle_compare import assert_match, run_oracle
+
+    load_all_plans()
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for name in TABLE_NAMES:
+        if name != "events":
+            shutil.copy(f"{SF_DIR}/{name}.parquet", f"{sf}/{name}.parquet")
+    # negative values with non-exact quotients; several cells negative-mean
+    rows = [
+        (i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+         i % 45, "anomaly", ((-1) ** i) * (7.000001 + 3.14 * (i % 11)) - 9.5,
+         "{}")
+        for i in range(400)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(f"{sf}/events.parquet", index=False)
+    out = QUERIES["k04_grid_smooth"](spark, sf)
+    assert_match(out, run_oracle(ORACLES["k04_grid_smooth"], sf), "k04-neg")

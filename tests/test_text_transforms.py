@@ -149,16 +149,14 @@ def test_t16_short_docs_emit_no_grams(spark, tmp_path):
 
     from pm25ml_spark.catalog import TABLE_NAMES
     from pm25ml_spark.plans.registry import ORACLES, QUERIES
+    from tests.conftest import SF_DIR
     from tests.oracle_compare import assert_match, run_oracle
 
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
     for name in TABLE_NAMES:
         if name != "documents":
-            shutil.copy(
-                f"/root/testdata/sf0.001/{name}.parquet",
-                f"{sf}/{name}.parquet",
-            )
+            shutil.copy(f"{SF_DIR}/{name}.parquet", f"{sf}/{name}.parquet")
     rows = [
         (1, "alpha beta gamma delta", "en", "web", 22),
         (2, "alpha beta", "en", "web", 10),      # 2 tokens: no grams
