@@ -1143,10 +1143,34 @@ def d09_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_D09_COLS)}, {stack_args}) AS (column_name, value)"
         )
     )
-    return long.groupBy("column_name").agg(
+    # Aggregate shape matters here: ONE agg mixing countDistinct with
+    # string min/max plans as a (column, value)-keyed SortAggregate
+    # whose within-partition sort of |rows|x|columns| strings runs
+    # serially per input split (measured 30 s vs ~4 s at sf0.1). And
+    # min/max over STRINGS can never use a hash agg (immutable buffer),
+    # so they are computed over the post-distinct set — identical
+    # result (distinct preserves extrema; both ignore NULLs), but the
+    # only sort touches |distinct values| rows AFTER a hash-distinct
+    # pre-aggregated, key-partitioned exchange. The full stacked frame
+    # meets hash aggregates only (plan-pinned).
+    stats = long.groupBy("column_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
-        F.countDistinct("value").cast("bigint").alias("n_distinct"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    )
+    dist = (
+        long.distinct()
+        .groupBy("column_name")
+        .agg(
+            F.count("value").cast("bigint").alias("n_distinct"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return stats.join(dist, "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
     )

@@ -522,3 +522,43 @@ def test_dd12_no_cartesian_product(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d09_stack_feeds_hash_aggregates(spark, sf_dir):
+    """The full stacked frame (|rows| x |columns|) must meet HASH
+    aggregates only: a combined countDistinct + string min/max agg
+    degenerates into a (column, value)-keyed SortAggregate sorting the
+    whole stacked frame serially per input split (measured 30 s vs
+    ~4 s at sf0.1). String min/max (immutable agg buffer — never
+    hash-able) is allowed only downstream of the hash-distinct, where
+    the sort touches |distinct| rows. Structural check: every
+    Generate(stack) node's direct consumer is a HashAggregate."""
+    import re
+
+    df = QUERIES["d09_column_profile"](spark, sf_dir)
+    lines = physical_plan(df).splitlines()
+
+    def indent(ln):
+        return len(ln) - len(ln.lstrip(" +-:*"))
+
+    gen_rows = [i for i, ln in enumerate(lines) if "Generate stack" in ln]
+    assert gen_rows, "stack/Generate node not found"
+    for i in gen_rows:
+        # walk up the ancestor chain (strictly decreasing indentation)
+        # past row-narrow pass-throughs to the first aggregate node
+        cur = indent(lines[i])
+        agg = None
+        for ln in reversed(lines[:i]):
+            if indent(ln) >= cur:
+                continue
+            cur = indent(ln)
+            node = re.sub(r"^[\s+\-:*]*", "", ln)
+            if "Aggregate" in node:
+                agg = node
+                break
+            assert node.startswith(("Filter", "Project", "ColumnarToRow")), (
+                f"unexpected node between stack and its aggregate: {node!r}"
+            )
+        assert agg is not None and agg.startswith("HashAggregate"), (
+            f"stacked frame meets {agg!r}, not a HashAggregate"
+        )
