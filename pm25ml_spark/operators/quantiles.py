@@ -212,3 +212,140 @@ def grouped_exact_quantiles(
     return picked.join(F.broadcast(gdf), "__gid").select(
         *group_cols, "p", "value"
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group WEIGHTED median — the smallest value ``v`` whose
+    inclusive cumulative weight reaches half the group total
+    (``2·cumw(v) >= totw``), computed without a per-group window sort.
+
+    The length-weighted median document, the quantity-weighted median
+    price: the weighted generalization every mixture audit needs, with
+    the same scale shape as :func:`grouped_exact_quantiles` — range
+    buckets keyed on ``(group, value)``, so one corpus-sized group
+    spans many buckets and no task ever sorts more than a bucket.
+
+    Exactness: weights are rounded to 6 dp and summed as DECIMAL(38,6)
+    (order-independent), then compared as scaled int64 micro-units in
+    the per-bucket kernel — every comparison is integer-exact, so the
+    crossing value is engine-portable bit-for-bit. Rows with
+    non-positive or NULL weight carry no mass and are excluded up
+    front (a negative weight would make cumulative weight non-monotone
+    and the median ill-defined). Returns
+    ``(group_cols..., wmedian <value type>, n bigint, w_total double)``.
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    vals = df.select(*group_cols, value_col, weight_col).filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    w6 = F.round(F.col(weight_col), 6).cast("decimal(38,6)")
+    bucket_expr, _ = range_bucket_column(
+        vals, [*group_cols, value_col], nparts
+    )
+    tagged = vals.withColumn("__bucket", bucket_expr).withColumn("__w6", w6)
+    counts = (
+        tagged.groupBy("__bucket", *group_cols)
+        .agg(F.sum("__w6").alias("w"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dtypes = dict(df.dtypes)
+    out_cols = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in group_cols]
+        + [f"wmedian {dtypes[value_col]}", "n bigint", "w_total double"]
+    )
+    if not counts:
+        return spark.createDataFrame([], out_cols)
+
+    def _canon(x):
+        return "\0nan" if isinstance(x, float) and math.isnan(x) else x
+
+    def _micro(dec) -> int:
+        # DECIMAL(38,6) -> exact integer micro-units (scale 6, so
+        # dec * 10^6 is integral by construction)
+        return int((dec * 1_000_000).to_integral_value())
+
+    per_group: dict[tuple, list[tuple[int, int, int]]] = {}
+    raw_key: dict[tuple, tuple] = {}
+    dec_total: dict[tuple, object] = {}
+    for r in counts:
+        g_raw = tuple(r[c] for c in group_cols)
+        g = tuple(_canon(x) for x in g_raw)
+        raw_key.setdefault(g, g_raw)
+        per_group.setdefault(g, []).append(
+            (int(r["__bucket"]), _micro(r["w"]), int(r["n"]))
+        )
+        dec_total[g] = r["w"] if g not in dec_total else dec_total[g] + r["w"]
+    gids = {g: i for i, g in enumerate(per_group)}
+    # bucket -> [(gid, group_key, offset_micro, total_micro, n_rows)]
+    targets: dict[int, list[tuple[int, tuple, int, int, int]]] = {}
+    stats: dict[int, tuple[int, int]] = {}
+    for g, lst in per_group.items():
+        lst.sort()
+        tot = sum(w for _, w, _ in lst)
+        n_rows = sum(n for _, _, n in lst)
+        stats[gids[g]] = (n_rows, tot)
+        acc = 0
+        for b, w, _ in lst:
+            if 2 * (acc + w) >= tot:
+                targets.setdefault(b, []).append(
+                    (gids[g], raw_key[g], acc, tot, n_rows)
+                )
+                break
+            acc += w
+    btargets = spark.sparkContext.broadcast(targets)
+    needed = sorted(targets)
+
+    def pick(key, pdf):
+        want = btargets.value.get(int(key[0]), [])
+        cols = ["__gid", "wmedian"]
+        if not want:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for gid, g, offset, tot, _ in want:
+            sub = pdf
+            for c, gv in zip(group_cols, g):
+                sub = sub[sub[c].isna()] if pd.isna(gv) else sub[sub[c] == gv]
+            sub = sub.sort_values(value_col, kind="mergesort")
+            # exact micro-unit weights: values are already 6 dp decimals
+            wi = (
+                (sub[weight_col].astype(float).round(6) * 1_000_000)
+                .round()
+                .astype("int64")
+            )
+            cum = offset + wi.cumsum()
+            hit = sub[value_col].to_numpy()[(2 * cum >= tot).to_numpy()]
+            rows.append((gid, hit[0]))
+        return pd.DataFrame(rows, columns=cols)
+
+    picked = (
+        tagged.filter(F.col("__bucket").isin(needed))
+        .groupBy("__bucket")
+        .applyInPandas(pick, f"__gid int, wmedian {dtypes[value_col]}")
+    )
+    # w_total: one correctly-rounded Decimal->double conversion — the
+    # same rounding DuckDB's CAST(SUM(...) AS DOUBLE) performs
+    gdf = spark.createDataFrame(
+        [
+            (i, *raw_key[g], stats[i][0], float(dec_total[g]))
+            for g, i in gids.items()
+        ],
+        ", ".join(
+            ["__gid int"]
+            + [f"`{c}` {dtypes[c]}" for c in group_cols]
+            + ["n bigint", "w_total double"]
+        ),
+    )
+    return picked.join(F.broadcast(gdf), "__gid").select(
+        *group_cols, "wmedian", "n", "w_total"
+    )

@@ -1582,3 +1582,117 @@ def gr04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, n=3, t_num=4, t_den=5)
+
+
+# --------------------------------------------------------------------------
+# gr05 — degree assortativity of the near-duplicate graph (Newman 2002:
+# the Pearson correlation of endpoint degrees over directed edges).
+# Positive assortativity means boilerplate hubs link to other hubs
+# (template families); negative means hub-and-spoke mirror clusters —
+# a one-number diagnostic of the dup graph's shape that decides whether
+# component-based or centrality-based canonicalization will work.
+# Plan shape: the qualified Jaccard pairs (same edge set as gr01-gr04)
+# doubled into directed edges, degree attached via TWO node-keyed
+# equi-joins (deg is node-sized — NEVER broadcast, the gr01 lesson),
+# then ONE map-side-combinable aggregate of integer sufficient stats
+# (degrees are exact BIGINTs, so every sum is exact; the final Pearson
+# formula is a fixed chain of IEEE ops over those integers, identical
+# in both engines, rounded 6 dp). At 10^9 nodes: two shuffles keyed by
+# node id + one scalar aggregate — no corpus-sized anything on the
+# driver. Sums need decimal widening around 10^9 edges x 10^6 max-degree;
+# documented, not hit at any bench sf.
+def _gr05_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qual
+        UNION ALL SELECT doc_b, doc_a FROM qual
+    ),
+    deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src),
+    e AS (
+        SELECT ds.deg AS dx, dd.deg AS dy
+        FROM edges
+        JOIN deg ds ON ds.doc_id = edges.src
+        JOIN deg dd ON dd.doc_id = edges.dst
+    ),
+    s AS (
+        SELECT COUNT(*) AS m,
+               SUM(dx) AS sx, SUM(dy) AS sy,
+               SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+               SUM(dx * dy) AS sxy
+        FROM e
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           CAST(m // 2 AS BIGINT) AS n_edges,
+           (SELECT MAX(deg) FROM deg) AS max_deg,
+           ROUND(CAST(m AS DOUBLE) / (SELECT COUNT(*) FROM deg), 6)
+             AS mean_deg,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+    """
+
+
+@query("gr05_degree_assortativity", _gr05_oracle())
+def gr05_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).persist()
+    e = (
+        edges.join(
+            deg.select(F.col("doc_id").alias("src"), F.col("deg").alias("dx")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("doc_id").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("deg").alias("max_deg"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.crossJoin(F.broadcast(summary)).select(
+        "n_nodes",
+        (m / 2).cast("bigint").alias("n_edges"),
+        "max_deg",
+        F.round(m.cast("double") / F.col("n_nodes"), 6).alias("mean_deg"),
+        F.round(
+            (m * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((m * sxx - sx * sx).cast("double"))
+                * F.sqrt((m * syy - sy * sy).cast("double"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -897,3 +897,129 @@ def m07_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             smooth.alias("smooth_enc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m08 — classifier threshold sweep (the PR-curve / operating-point table
+# every model gate needs before picking a deployment threshold;
+# generalizes the reference's single-threshold metric gate,
+# validators/metric.py). Score = frac(value) in [0,1) — a pure
+# arithmetic feature, identical in both engines; label = purchase
+# events. Shape: ONE corpus scan cross-joined with a broadcast 10-row
+# threshold frame (constant fan-out), then a map-side-combinable
+# aggregate keyed by threshold — 10 result rows at any scale, never a
+# per-threshold re-scan. Precision/recall/F1 are single IEEE divisions
+# over exact integer counts (deterministic in both engines), rounded
+# 6 dp.
+@query(
+    "m08_threshold_sweep",
+    """
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+               value - FLOOR(value) AS score
+        FROM events WHERE value IS NOT NULL
+    ),
+    t AS (SELECT i / 10.0 AS thr FROM UNNEST(range(0, 10)) AS u(i)),
+    c AS (
+        SELECT t.thr,
+               CAST(SUM(CASE WHEN s.score >= t.thr AND s.label = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.score >= t.thr AND s.label = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN s.score < t.thr AND s.label = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM s CROSS JOIN t GROUP BY t.thr
+    )
+    SELECT thr, tp, fp, fn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6)
+             AS f1
+    FROM c
+    """,
+)
+def m08_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+        (F.col("value") - F.floor(F.col("value"))).alias("score"),
+    )
+    thr = spark.range(0, 10).select((F.col("id") / 10.0).alias("thr"))
+    hit = F.col("score") >= F.col("thr")
+    c = (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit & (F.col("label") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(hit & (F.col("label") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(~hit & (F.col("label") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return c.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias(
+            "precision"
+        ),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d10 — hot-key join through the salting transform (operators/skew.py).
+# event_type has 5 values over the whole corpus — the textbook logical
+# hot key where a plain shuffled equi-join lands 20% of the fact table
+# on ONE reducer and AQE can only split the probe side. salted_join
+# fans each hot key over 8 (key, salt) sub-keys with the dimension side
+# replicated 8-fold; the ORACLE is the plain join, so the driver hash
+# proves the transform is semantics-preserving on real data, not just
+# in unit tests. Dimension = per-type pure-arithmetic weights (derived,
+# deterministic, no extra table needed).
+@query(
+    "d10_salted_hot_join",
+    f"""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               LENGTH(event_type) AS type_wt
+        FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           {dsum_expr('e.value * d.type_wt')} AS weighted_sum
+    FROM events e JOIN dim d USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def d10_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    dim = ev.select(
+        "event_type", F.length("event_type").alias("type_wt")
+    ).distinct()
+    joined = salted_join(ev, dim, on="event_type", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value") * F.col("type_wt")).alias("weighted_sum"),
+    )

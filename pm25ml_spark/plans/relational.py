@@ -1174,3 +1174,56 @@ def d09_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# --------------------------------------------------------------------------
+# a10 — per-group WEIGHTED median (quantity-weighted median unit price):
+# the weighted generalization of a06/a09's exact order statistics, via
+# operators.quantiles.grouped_weighted_median — range buckets keyed on
+# (group, value), per-(bucket, group) DECIMAL weight sums to the driver,
+# and a single-bucket pandas kernel picking the crossing value with
+# integer micro-unit arithmetic. No per-group window sort anywhere: one
+# corpus-sized group spans many buckets (scales in bucket count, not
+# group size). The oracle spells the textbook cumulative-weight window —
+# same crossing rule 2*cumw >= totw on the identical DECIMAL(38,6)
+# weights, so the value hash matches bit-for-bit.
+@query(
+    "a10_weighted_median_price",
+    """
+    WITH v AS (
+        SELECT l_returnflag,
+               l_extendedprice AS val,
+               CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6)) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+    ),
+    t AS (
+        SELECT l_returnflag, SUM(w) AS tot,
+               COUNT(*) AS n, CAST(SUM(w) AS DOUBLE) AS w_total
+        FROM v GROUP BY 1
+    ),
+    c AS (
+        SELECT l_returnflag, val, SUM(w) AS wv
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, val,
+               SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY val) AS cw
+        FROM c
+    )
+    SELECT cum.l_returnflag,
+           MIN(cum.val) AS wmedian,
+           MIN(t.n) AS n,
+           MIN(t.w_total) AS w_total
+    FROM cum JOIN t USING (l_returnflag)
+    WHERE 2 * cum.cw >= t.tot
+    GROUP BY 1
+    """,
+)
+def a10_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.quantiles import grouped_weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )

@@ -1195,3 +1195,111 @@ def t19_blocklist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chars").cast("bigint").alias("total_chars"),
         F.sum("red").cast("bigint").alias("redacted_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# t20 — winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+# SIGMOD 2003 — the MOSS algorithm): hash every token 3-gram, slide a
+# w=4 window over the hash sequence, and select the RIGHTMOST MINIMAL
+# hash of each window. Guarantees: any shared substring of length
+# >= w+k-1 tokens yields at least one shared fingerprint, and selection
+# density is ~2/(w+1) — the standard position-robust alternative to
+# MinHash when match LOCALITY matters (plagiarism spans, license
+# boilerplate) rather than whole-doc similarity.
+#
+# The rightmost-min argmax is ONE window min over an order-embedding
+# key: key = h*2^21 + (2^21-1 - pos) packs (hash asc, pos desc) into a
+# single BIGINT (h is the first 40 md5 bits, pos < 2^21 — both bounds
+# documented, integer-exact in every engine; MOSS itself uses 32-bit
+# hashes). min(key) over [CURRENT, w-1 FOLLOWING] per doc is then the
+# selected (hash, pos) of the window starting at each position — a
+# BOUNDED 4-row frame partitioned by doc_id, never a corpus window.
+# Trailing starts beyond n-w+1 are dropped (they'd re-select suffix
+# windows); when a doc has fewer than w k-grams the single short window
+# keeps winnowing's >= 1-fingerprint guarantee.
+_WIN_W = 4  # window size in k-grams
+_WIN_PB = 2_097_152  # 2^21 — position packing base
+
+
+@query(
+    "t20_winnowing_fingerprints",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    kg AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+                               1, 10))::BIGINT AS h,
+               len(ts) - 2 AS n_kg
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    keyed AS (
+        SELECT doc_id, i, n_kg,
+               h * {_WIN_PB} + ({_WIN_PB - 1} - i) AS key
+        FROM kg
+    ),
+    wmin AS (
+        SELECT doc_id, i, n_kg,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WIN_W - 1} FOLLOWING) AS kmin
+        FROM keyed
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, n_kg,
+               {_WIN_PB - 1} - (kmin % {_WIN_PB}) AS sel_pos,
+               kmin // {_WIN_PB} AS sel_h
+        FROM wmin
+        WHERE i <= GREATEST(1, n_kg - {_WIN_W - 1})
+    )
+    SELECT doc_id,
+           MAX(n_kg) AS n_kgrams,
+           COUNT(*) AS n_selected,
+           COUNT(DISTINCT sel_h) AS n_distinct_fp,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_kg), 6) AS density
+    FROM sel GROUP BY doc_id
+    """,
+)
+def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    kgs = docs.select(
+        "doc_id",
+        (F.size(_tokens()) - 2).cast("bigint").alias("n_kg"),
+        F.posexplode(word_ngrams("text", 3)).alias("pos0", "kg"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("kg")), 1, 10), 16, 10).cast("bigint")
+    keyed = kgs.select(
+        "doc_id",
+        "n_kg",
+        (F.col("pos0") + 1).alias("i"),
+        (h * _WIN_PB + (F.lit(_WIN_PB - 1) - (F.col("pos0") + 1))).alias(
+            "key"
+        ),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = (
+        keyed.withColumn("kmin", F.min("key").over(w))
+        .filter(
+            F.col("i") <= F.greatest(F.lit(1), F.col("n_kg") - (_WIN_W - 1))
+        )
+        .select(
+            "doc_id",
+            "n_kg",
+            (F.lit(_WIN_PB - 1) - F.col("kmin") % _WIN_PB).alias("sel_pos"),
+            F.expr(f"kmin div {_WIN_PB}").alias("sel_h"),
+        )
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_kg").alias("n_kgrams"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.countDistinct("sel_h").alias("n_distinct_fp"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.max("n_kg"), 6
+        ).alias("density"),
+    )

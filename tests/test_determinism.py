@@ -315,3 +315,58 @@ def test_grouped_exact_quantiles_nan_group_key(spark):
     vs = sorted(float(i) for i in range(0, 400, 3))
     assert by["nan"][1.0] == vs[-1]
     assert by["nan"][0.5] == vs[max(1, -(-len(vs) * 1 // 2)) - 1]
+
+
+def test_grouped_weighted_median_matches_reference(spark):
+    """Bucketed weighted median == the brute-force cumulative-weight
+    reference (smallest v with 2*cumw >= totw), including duplicate
+    values, NULL group keys, and excluded non-positive/NULL weights."""
+    from pm25ml_spark.operators.quantiles import grouped_weighted_median
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 4).cast("string")))
+        .alias("g"),
+        ((F.col("id") * 37) % 97).cast("double").alias("v"),
+        # weights cycle through negatives, zero, NULL, and positives
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(((F.col("id") % 9) - 2).cast("double"))
+        .alias("w"),
+    )
+    got = {
+        r.g: (r.wmedian, r.n, r.w_total)
+        for r in grouped_weighted_median(df, ["g"], "v", "w", 8).collect()
+    }
+    byg: dict = {}
+    for r in df.collect():
+        if r.w is None or r.w <= 0:
+            continue
+        byg.setdefault(r.g, []).append((r.v, r.w))
+    want = {}
+    for g, vw in byg.items():
+        vw.sort()
+        tot = sum(int(round(w * 1e6)) for _, w in vw)
+        acc = 0
+        for v, w in vw:
+            acc += int(round(w * 1e6))
+            if 2 * acc >= tot:
+                want[g] = (v, len(vw), tot / 1e6)
+                break
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0], (g, got[g], want[g])
+        assert got[g][1] == want[g][1]
+        assert abs(got[g][2] - want[g][2]) < 1e-9
+
+
+def test_grouped_weighted_median_single_heavy_row(spark):
+    """One row holding more than half the total mass IS the median,
+    wherever it sorts."""
+    from pm25ml_spark.operators.quantiles import grouped_weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 10.0)],
+        "g string, v double, w double",
+    )
+    out = grouped_weighted_median(df, ["g"], "v", "w", 4).collect()
+    assert len(out) == 1 and out[0].wmedian == 100.0

@@ -562,3 +562,33 @@ def test_d09_stack_feeds_hash_aggregates(spark, sf_dir):
         assert agg is not None and agg.startswith("HashAggregate"), (
             f"stacked frame meets {agg!r}, not a HashAggregate"
         )
+
+
+def test_gr05_assortativity_equi_joins_only(spark, sf_dir):
+    """Degree attachment must be node-keyed equi-joins (deg is
+    node-sized — broadcasting it is the gr01 round-6 wart); the
+    sufficient-stats aggregate is one scalar row."""
+    df = QUERIES["gr05_degree_assortativity"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is legal: the 1-row sufficient-stats
+    # frame crossed with the 1-row (n_nodes, max_deg) summary — both
+    # scalar by construction. The deg-attach joins must stay keyed.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_a10_weighted_median_is_window_free(spark, sf_dir):
+    """The whole point of the bucketed weighted median: NO window sort
+    anywhere — the oracle's cumulative-weight window is replaced by
+    range buckets + a single-bucket kernel."""
+    df = QUERIES["a10_weighted_median_price"](spark, sf_dir)
+    assert "WindowExec" not in physical_plan(df)
+
+
+def test_d10_join_runs_on_salted_key(spark, sf_dir):
+    """The hot-key join must actually execute on the composite
+    (event_type, __salt) key — if the salt column were dropped before
+    the join the query would still be CORRECT (the oracle is the plain
+    join) while silently losing the skew spread."""
+    df = QUERIES["d10_salted_hot_join"](spark, sf_dir)
+    assert "__salt" in physical_plan(df)
