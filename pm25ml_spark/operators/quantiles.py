@@ -105,21 +105,22 @@ def grouped_exact_quantiles(
     Why not ``row_number() OVER (PARTITION BY group)``: with few large
     groups (the common profiling shape — a handful of event types over
     the whole corpus) each window partition is corpus/|groups| rows
-    through ONE task. Here the range buckets are keyed on
-    ``(group_cols..., value)``, so a group spans many buckets and every
-    bucket sorts locally; the driver only holds the per-(bucket, group)
-    counts (≈ num_buckets + |groups| rows — group runs are contiguous in
-    bucket order). Scales in the bucket count, not the group count or
-    group size. NULL and NaN group keys each form their own single
-    group (SQL GROUP BY / Spark NaN-normalization semantics); NULL
-    values are excluded (aggregate semantics).
-
-    Caveat: rows with a NULL LEADING group key all land in bucket 0
-    (range comparison against the split literals is NULL → the bucket
-    sum contributes 0), so a corpus-sized NULL-key group funnels
-    through one task — filter or impute NULL keys first when they are
-    a large fraction of the data; non-null skewed groups are what the
-    bucketing actually spreads.
+    through ONE task. Here the range buckets are keyed on the VALUE
+    column alone: the algorithm only needs bucket ids monotone in value
+    WITHIN each group (per-bucket tallies are keyed ``(bucket,
+    group_cols...)`` and the pick kernel filters by group inside the
+    bucket), so group columns never enter the bucket key. That keeps
+    every group spread across many buckets, removes any NULL-group-key
+    hot bucket, and — for numeric values — routes split sampling
+    through the JVM ``approxQuantile`` fast path instead of the generic
+    Arrow sampler (measured 3.6 s → sub-second on the sf0.1 lineitem
+    key). The driver holds the per-(bucket, group) tallies (≤
+    num_buckets × |groups| rows — the one driver-size term that grows
+    with group count; at 10^5+ groups prefer a windowed formulation
+    per group-shard). Scales in the bucket count, not the group size.
+    NULL and NaN group keys each form their own single group (SQL
+    GROUP BY / Spark NaN-normalization semantics); NULL values are
+    excluded (aggregate semantics).
     """
     import math
 
@@ -130,9 +131,7 @@ def grouped_exact_quantiles(
     vals = df.select(*group_cols, value_col).filter(
         F.col(value_col).isNotNull()
     )
-    bucket_expr, _ = range_bucket_column(
-        vals, [*group_cols, value_col], nparts
-    )
+    bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
     tagged = vals.withColumn("__bucket", bucket_expr)
     counts = (
         tagged.groupBy("__bucket", *group_cols)
@@ -228,8 +227,11 @@ def grouped_weighted_median(
     The length-weighted median document, the quantity-weighted median
     price: the weighted generalization every mixture audit needs, with
     the same scale shape as :func:`grouped_exact_quantiles` — range
-    buckets keyed on ``(group, value)``, so one corpus-sized group
-    spans many buckets and no task ever sorts more than a bucket.
+    buckets keyed on the VALUE alone (monotone-in-value within every
+    group is all the walk needs; tallies are keyed (bucket, group)),
+    so one corpus-sized group spans many buckets, no task ever sorts
+    more than a bucket, and numeric values take the JVM
+    ``approxQuantile`` split fast path.
 
     Exactness: weights are rounded to 6 dp and summed as DECIMAL(38,6)
     (order-independent), then compared as scaled int64 micro-units in
@@ -250,9 +252,7 @@ def grouped_weighted_median(
         F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
     )
     w6 = F.round(F.col(weight_col), 6).cast("decimal(38,6)")
-    bucket_expr, _ = range_bucket_column(
-        vals, [*group_cols, value_col], nparts
-    )
+    bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
     tagged = vals.withColumn("__bucket", bucket_expr).withColumn("__w6", w6)
     counts = (
         tagged.groupBy("__bucket", *group_cols)
