@@ -1227,3 +1227,28 @@ def a10_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_weighted_median(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity"
     )
+
+
+# --------------------------------------------------------------------------
+# q23 — SQL set operators (INTERSECT / EXCEPT, both DISTINCT-semantics):
+# users who both clicked and purchased but never errored. Spark's
+# intersect()/subtract() compile to the Catalyst LeftSemi/LeftAnti +
+# Aggregate shapes — each one shuffle keyed by user_id, no row
+# explosion; the oracle is the literal set-op SQL. Rounds out the U
+# family (q08 covers UNION ALL) with the remaining two ANSI set ops.
+@query(
+    "q23_user_set_ops",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q23_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(buys).subtract(errs)

@@ -657,3 +657,101 @@ def ss10_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_stride=_PQ_STRIDE,
         pq_offset=_PQ_OFFSET,
     )
+
+
+# --------------------------------------------------------------------------
+# ss11 — maximum inner product search (MIPS) by norm augmentation
+# (Bachrach et al., RecSys 2014 / Shrivastava-Li asymmetric LSH): extend
+# every candidate with sqrt(M^2 - ||c||^2) (M = max candidate norm) and
+# every query with 0 — inner-product order then equals COSINE order on
+# the augmented vectors (cos = q.c / (||q||.M), denominator constant per
+# query), so the engine's entire cosine stack (brute top-k here; the
+# LSH/IVF/PQ paths identically) solves the un-normalized retrieval
+# problem recommender scoring actually needs. The augmentation is one
+# narrow JVM projection; M is a single scalar aggregate. The augmented
+# coordinate is rounded to 6 dp in BOTH engines so a last-ulp
+# difference in M never reaches the score.
+def _ss11_oracle() -> str:
+    return """
+    WITH m AS (
+        SELECT MAX(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS mx
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid,
+               list_append(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 -- GREATEST(.., 0): for the max-norm candidate the
+                 -- subtraction can land one ulp NEGATIVE -> sqrt = NaN
+                 ROUND(sqrt(GREATEST(mx * mx
+                        - list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        0.0)), 6))
+                 AS ce
+        FROM embeddings, m
+    ),
+    q AS (
+        SELECT vec_id AS qid,
+               list_append(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE)), 0.0) AS qe
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> qe[i] * ce[i])) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> x * x))) AS qn,
+               sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn
+        FROM c, q
+        WHERE qid <> cid
+    ),
+    ranked AS (
+        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC,
+                                           cid) AS rk
+        FROM pairs
+    )
+    SELECT qid, cid, score, rk FROM ranked WHERE rk <= 3
+    """
+
+
+@query("ss11_mips_top3", _ss11_oracle())
+def ss11_mips_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def norm2(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    mx = emb.agg(
+        F.max(F.sqrt(norm2(F.col("embedding")))).alias("mx")
+    ).first()["mx"]
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.concat(
+            dvec,
+            F.array(
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(mx) * F.lit(mx)
+                            - norm2(F.col("embedding")),
+                            F.lit(0.0),
+                        )
+                    ),
+                    6,
+                )
+            ),
+        ).alias("ce"),
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.concat(dvec, F.array(F.lit(0.0))).alias("qe"),
+    )
+    return S.cosine_topk(q, c, k=3)

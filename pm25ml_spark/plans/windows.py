@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pm25ml_spark.catalog import load_table
-from pm25ml_spark.functions.exact import DEC, davg, dsum
+from pm25ml_spark.functions.exact import DEC, davg, dsum, dsum_expr
 from pm25ml_spark.plans.registry import query
 
 _WIN = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -894,4 +894,74 @@ def w17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.round(num.cast("double") / mass, 6).alias("ewma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# w19 — OHLC bars (open/high/low/close per event_type x day): the
+# first/last-in-order aggregate family (time-series downsampling,
+# TimescaleDB first()/last(), candlestick rollups). Open/close are
+# picked values, not arithmetic — exact in any engine; the tie-break is
+# (ts, event_id), a total order. Shape: ONE shuffle onto the bounded
+# (type, day) key; the rank window partitions on that same key
+# (dimension-bounded frames), and high/low/volume ride the identical
+# grouping — no second shuffle. At 100 TB the window's per-bar frame is
+# bar-sized, never corpus-sized; with billions of rows per bar the
+# first/last pick would move to a min_by/max_by aggregate instead.
+@query(
+    "w19_ohlc_bars",
+    f"""
+    WITH v AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               ts, event_id, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, day, value,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM v
+    )
+    SELECT event_type, day,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n,
+           {dsum_expr('value')} AS volume
+    FROM r GROUP BY 1, 2
+    """,
+)
+def w19_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("volume"),
     )

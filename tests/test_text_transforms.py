@@ -174,3 +174,66 @@ def test_t16_short_docs_emit_no_grams(spark, tmp_path):
     ids = {r.doc_id for r in out.collect()}
     assert ids == {1, 4}
     assert_match(out, run_oracle(ORACLES["t16_ngram_novelty"], sf), "t16")
+
+
+def test_winnowing_shared_span_guarantee(spark):
+    """Schleimer et al.'s core guarantee: two docs sharing a token run of
+    length >= w + k - 1 (= 4 + 3 - 1 = 6 here) must share at least one
+    selected fingerprint; and selection density stays near 2/(w+1)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"one two three {shared} four five six", "en", "s", 1),
+        (2, f"seven eight {shared} nine ten eleven twelve", "en", "s", 1),
+        (3, "totally different words with no overlap at all here", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        # drive the same selection pipeline the catalog query uses, but
+        # keep the per-doc fingerprint SETS to check the intersection
+        from pyspark.sql import Window
+        from pm25ml_spark.operators.dedup import word_ngrams
+        from pm25ml_spark.plans.text import _WIN_PB, _WIN_W, _tokens
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        kgs = docs.select(
+            "doc_id",
+            (F.size(_tokens()) - 2).cast("bigint").alias("n_kg"),
+            F.posexplode(word_ngrams("text", 3)).alias("pos0", "kg"),
+        )
+        h = F.conv(F.substring(F.md5(F.col("kg")), 1, 10), 16, 10).cast(
+            "bigint"
+        )
+        keyed = kgs.select(
+            "doc_id",
+            "n_kg",
+            (F.col("pos0") + 1).alias("i"),
+            (h * _WIN_PB + (F.lit(_WIN_PB - 1) - (F.col("pos0") + 1))).alias(
+                "key"
+            ),
+        )
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.currentRow, _WIN_W - 1)
+        )
+        sel = (
+            keyed.withColumn("kmin", F.min("key").over(w))
+            .filter(
+                F.col("i")
+                <= F.greatest(F.lit(1), F.col("n_kg") - (_WIN_W - 1))
+            )
+            .select("doc_id", F.expr(f"kmin div {_WIN_PB}").alias("sel_h"))
+            .distinct()
+            .collect()
+        )
+    fps: dict[int, set] = {}
+    for r in sel:
+        fps.setdefault(r.doc_id, set()).add(r.sel_h)
+    assert fps[1] & fps[2], "shared 6-token span must share a fingerprint"
+    assert not (fps[1] & fps[3] or fps[2] & fps[3])
