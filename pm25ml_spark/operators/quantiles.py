@@ -90,6 +90,37 @@ def exact_quantiles(
     )
 
 
+def _canon_key(x):
+    """Canonicalize NaN group keys: nan != nan would fragment one logical
+    group (Spark groupBy normalizes NaN) into many dict keys with partial
+    tallies."""
+    import math
+
+    return "\0nan" if isinstance(x, float) and math.isnan(x) else x
+
+
+def _gid_expr(group_cols, raw_key, gids, dtypes):
+    """Row-pure ``__gid`` CASE expression over null-safe group equality.
+
+    The pick kernels must NOT match group values inside pandas: Arrow
+    renders SQL NULL as NaN for float columns, so a NULL-key and a
+    NaN-key group become indistinguishable there and can steal each
+    other's rows. Spark-side ``<=>`` distinguishes them exactly
+    (NULL <=> NULL true, NaN = NaN true per Spark semantics,
+    NULL <=> NaN false), so every row carries its driver-assigned gid
+    into the kernel as a plain int. |groups| branches — bounded by the
+    same driver-tally contract as everything else here.
+    """
+    expr = None
+    for g, gid in gids.items():
+        cond = None
+        for c, gv in zip(group_cols, raw_key[g]):
+            e = F.col(c).eqNullSafe(F.lit(gv).cast(dtypes[c]))
+            cond = e if cond is None else cond & e
+        expr = F.when(cond, gid) if expr is None else expr.when(cond, gid)
+    return expr.cast("int")
+
+
 def grouped_exact_quantiles(
     df: DataFrame,
     group_cols: list[str],
@@ -146,27 +177,22 @@ def grouped_exact_quantiles(
     if not counts:
         return spark.createDataFrame([], out_schema)
 
-    # Canonicalize NaN keys: nan != nan would fragment one logical group
-    # (Spark groupBy normalizes NaN) into many dict keys with partial
-    # counts — and then pick()'s equality match would find no rows.
-    def _canon(x):
-        return "\0nan" if isinstance(x, float) and math.isnan(x) else x
-
     per_group: dict[tuple, list[tuple[int, int]]] = {}
     raw_key: dict[tuple, tuple] = {}
     for r in counts:
         g_raw = tuple(r[c] for c in group_cols)
-        g = tuple(_canon(x) for x in g_raw)
+        g = tuple(_canon_key(x) for x in g_raw)
         raw_key.setdefault(g, g_raw)
         per_group.setdefault(g, []).append((int(r["__bucket"]), int(r["n"])))
     # Group keys round-trip through a DRIVER-built gid table, not the
     # pandas output: pandas→Arrow treats float NaN as missing, so a NaN
     # group key emitted from pick() would silently become NULL (and
-    # collide with a genuine NULL-key group). pick() returns (gid, p,
-    # value); the |groups|-row gid frame re-attaches the keys exactly.
+    # collide with a genuine NULL-key group). Rows carry the gid as a
+    # Spark-computed int (_gid_expr); the |groups|-row gid frame
+    # re-attaches the keys exactly on the way out.
     gids = {g: i for i, g in enumerate(per_group)}
-    # bucket -> [(gid, group_key, p, local_rank)]
-    targets: dict[int, list[tuple[int, tuple, float, int]]] = {}
+    # bucket -> [(gid, p, local_rank)]
+    targets: dict[int, list[tuple[int, float, int]]] = {}
     for g, lst in per_group.items():
         lst.sort()
         n = sum(c for _, c in lst)
@@ -176,7 +202,7 @@ def grouped_exact_quantiles(
             for b, c in lst:
                 if k <= acc + c:
                     targets.setdefault(b, []).append(
-                        (gids[g], raw_key[g], float(p), k - acc)
+                        (gids[g], float(p), k - acc)
                     )
                     break
                 acc += c
@@ -189,18 +215,18 @@ def grouped_exact_quantiles(
         if not want:
             return pd.DataFrame(columns=cols)
         rows = []
-        for gid, g, p, lr in want:
-            sub = pdf
-            for c, gv in zip(group_cols, g):
-                # pd.isna covers both None and NaN keys (NaN == NaN is
-                # False elementwise — equality would match nothing)
-                sub = sub[sub[c].isna()] if pd.isna(gv) else sub[sub[c] == gv]
-            v = sub[value_col].sort_values(kind="mergesort").to_numpy()
+        for gid, p, lr in want:
+            v = (
+                pdf.loc[pdf["__gid"] == gid, value_col]
+                .sort_values(kind="mergesort")
+                .to_numpy()
+            )
             rows.append((gid, p, v[lr - 1]))
         return pd.DataFrame(rows, columns=cols)
 
     picked = (
         tagged.filter(F.col("__bucket").isin(needed))
+        .withColumn("__gid", _gid_expr(group_cols, raw_key, gids, dtypes))
         .groupBy("__bucket")
         .applyInPandas(pick, f"__gid int, p double, value {dtypes[value_col]}")
     )
@@ -248,8 +274,12 @@ def grouped_weighted_median(
 
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
+    # NaN weights sort above 0 in Spark comparisons, so `> 0` alone
+    # would let them through to poison the decimal sums — exclude them
+    # with the NULLs and non-positives
+    wd = F.col(weight_col).cast("double")
     vals = df.select(*group_cols, value_col, weight_col).filter(
-        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        F.col(value_col).isNotNull() & (wd > 0) & ~F.isnan(wd)
     )
     w6 = F.round(F.col(weight_col), 6).cast("decimal(38,6)")
     bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
@@ -267,9 +297,6 @@ def grouped_weighted_median(
     if not counts:
         return spark.createDataFrame([], out_cols)
 
-    def _canon(x):
-        return "\0nan" if isinstance(x, float) and math.isnan(x) else x
-
     def _micro(dec) -> int:
         # DECIMAL(38,6) -> exact integer micro-units (scale 6, so
         # dec * 10^6 is integral by construction)
@@ -280,15 +307,15 @@ def grouped_weighted_median(
     dec_total: dict[tuple, object] = {}
     for r in counts:
         g_raw = tuple(r[c] for c in group_cols)
-        g = tuple(_canon(x) for x in g_raw)
+        g = tuple(_canon_key(x) for x in g_raw)
         raw_key.setdefault(g, g_raw)
         per_group.setdefault(g, []).append(
             (int(r["__bucket"]), _micro(r["w"]), int(r["n"]))
         )
         dec_total[g] = r["w"] if g not in dec_total else dec_total[g] + r["w"]
     gids = {g: i for i, g in enumerate(per_group)}
-    # bucket -> [(gid, group_key, offset_micro, total_micro, n_rows)]
-    targets: dict[int, list[tuple[int, tuple, int, int, int]]] = {}
+    # bucket -> [(gid, offset_micro, total_micro)]
+    targets: dict[int, list[tuple[int, int, int]]] = {}
     stats: dict[int, tuple[int, int]] = {}
     for g, lst in per_group.items():
         lst.sort()
@@ -298,38 +325,41 @@ def grouped_weighted_median(
         acc = 0
         for b, w, _ in lst:
             if 2 * (acc + w) >= tot:
-                targets.setdefault(b, []).append(
-                    (gids[g], raw_key[g], acc, tot, n_rows)
-                )
+                targets.setdefault(b, []).append((gids[g], acc, tot))
                 break
             acc += w
     btargets = spark.sparkContext.broadcast(targets)
     needed = sorted(targets)
 
     def pick(key, pdf):
+        import numpy as np
+
         want = btargets.value.get(int(key[0]), [])
         cols = ["__gid", "wmedian"]
         if not want:
             return pd.DataFrame(columns=cols)
         rows = []
-        for gid, g, offset, tot, _ in want:
-            sub = pdf
-            for c, gv in zip(group_cols, g):
-                sub = sub[sub[c].isna()] if pd.isna(gv) else sub[sub[c] == gv]
-            sub = sub.sort_values(value_col, kind="mergesort")
-            # exact micro-unit weights: values are already 6 dp decimals
-            wi = (
-                (sub[weight_col].astype(float).round(6) * 1_000_000)
-                .round()
-                .astype("int64")
+        for gid, offset, tot in want:
+            sub = pdf[pdf["__gid"] == gid].sort_values(
+                value_col, kind="mergesort"
             )
-            cum = offset + wi.cumsum()
-            hit = sub[value_col].to_numpy()[(2 * cum >= tot).to_numpy()]
+            # micro-units from the SAME __w6 decimals the driver summed
+            # — re-rounding the raw float here would use numpy's
+            # half-even rule against Spark's HALF_UP and the crossing
+            # row could miss the driver-computed threshold entirely
+            wi = np.fromiter(
+                (_micro(d) for d in sub["__w6"]),
+                dtype=np.int64,
+                count=len(sub),
+            )
+            cum = offset + np.cumsum(wi)
+            hit = sub[value_col].to_numpy()[2 * cum >= tot]
             rows.append((gid, hit[0]))
         return pd.DataFrame(rows, columns=cols)
 
     picked = (
         tagged.filter(F.col("__bucket").isin(needed))
+        .withColumn("__gid", _gid_expr(group_cols, raw_key, gids, dtypes))
         .groupBy("__bucket")
         .applyInPandas(pick, f"__gid int, wmedian {dtypes[value_col]}")
     )

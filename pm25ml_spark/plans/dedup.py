@@ -1682,17 +1682,23 @@ def gr05_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # nullif guards: a regular graph (every qualified pair isolated —
+    # all degrees equal) has zero degree variance, and an empty edge
+    # set has n_nodes = 0. DuckDB yields NULL for 0/0 double division;
+    # Spark 4 runs ANSI mode and would THROW — nullif makes both NULL.
+    den = F.sqrt((m * sxx - sx * sx).cast("double")) * F.sqrt(
+        (m * syy - sy * sy).cast("double")
+    )
     return s.crossJoin(F.broadcast(summary)).select(
         "n_nodes",
         (m / 2).cast("bigint").alias("n_edges"),
         "max_deg",
-        F.round(m.cast("double") / F.col("n_nodes"), 6).alias("mean_deg"),
+        F.round(
+            m.cast("double") / F.nullif(F.col("n_nodes"), F.lit(0)), 6
+        ).alias("mean_deg"),
         F.round(
             (m * sxy - sx * sy).cast("double")
-            / (
-                F.sqrt((m * sxx - sx * sx).cast("double"))
-                * F.sqrt((m * syy - sy * sy).cast("double"))
-            ),
+            / F.nullif(den, F.lit(0.0)),
             6,
         ).alias("assortativity"),
     )

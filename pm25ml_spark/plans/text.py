@@ -1269,13 +1269,26 @@ def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(word_ngrams("text", 3)).alias("pos0", "kg"),
     )
     h = F.conv(F.substring(F.md5(F.col("kg")), 1, 10), 16, 10).cast("bigint")
+    # enforce the documented packing bound: a position >= 2^21 would
+    # borrow from the hash bits and silently corrupt the window min
+    # (both engines identically, so the oracle could not catch it) —
+    # fail loudly instead
+    pos_ok = F.col("pos0") + 1 < _WIN_PB
+    key = h * _WIN_PB + (F.lit(_WIN_PB - 1) - (F.col("pos0") + 1))
     keyed = kgs.select(
         "doc_id",
         "n_kg",
         (F.col("pos0") + 1).alias("i"),
-        (h * _WIN_PB + (F.lit(_WIN_PB - 1) - (F.col("pos0") + 1))).alias(
-            "key"
-        ),
+        F.when(pos_ok, key)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "t20 winnowing: document exceeds 2^21-1 k-grams — "
+                    "split it or widen the position packing base"
+                )
+            ).cast("bigint")
+        )
+        .alias("key"),
     )
     w = (
         Window.partitionBy("doc_id")

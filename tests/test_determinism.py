@@ -370,3 +370,62 @@ def test_grouped_weighted_median_single_heavy_row(spark):
     )
     out = grouped_weighted_median(df, ["g"], "v", "w", 4).collect()
     assert len(out) == 1 and out[0].wmedian == 100.0
+
+
+def test_grouped_weighted_median_fractional_weights(spark):
+    """Sub-6dp fractional weights: the kernel must consume the SAME
+    DECIMAL(38,6) micro-units the driver summed (numpy re-rounding uses
+    half-even vs Spark's HALF_UP and can miss the crossing bucket
+    entirely). Ten equal weights 2.5e-6 over values 0..9 -> median 4.0."""
+    from pm25ml_spark.operators.quantiles import grouped_weighted_median
+
+    df = spark.createDataFrame(
+        [("a", float(i), 2.5e-6) for i in range(10)],
+        "g string, v double, w double",
+    )
+    out = grouped_weighted_median(df, ["g"], "v", "w", 4).collect()
+    assert len(out) == 1 and out[0].wmedian == 4.0, out
+
+
+def test_grouped_weighted_median_nan_weight_excluded(spark):
+    """NaN weights sort above 0 in Spark comparisons — they must be
+    excluded like NULLs and non-positives, not crash the kernel's int
+    cast or silently count as mass."""
+    from pm25ml_spark.operators.quantiles import grouped_weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 1.5, float("nan")), ("a", 2.0, 1.0)],
+        "g string, v double, w double",
+    )
+    out = grouped_weighted_median(df, ["g"], "v", "w", 4).collect()
+    assert len(out) == 1
+    assert out[0].wmedian == 1.0 and out[0].n == 2
+    assert abs(out[0].w_total - 2.0) < 1e-12
+
+
+def test_grouped_quantiles_null_and_nan_groups_coexist(spark):
+    """A NULL-key and a NaN-key group on a float group column must not
+    steal each other's rows: Arrow renders SQL NULL as NaN in pandas,
+    so the kernel must match on the Spark-computed gid, not on pandas
+    values. NULL group holds 0..9, NaN group holds 0.5..9.5."""
+    from pm25ml_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+        grouped_weighted_median,
+    )
+
+    rows = [(None, float(i)) for i in range(10)] + [
+        (float("nan"), i + 0.5) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g double, v double")
+    got = {}
+    for r in grouped_exact_quantiles(df, ["g"], "v", [0.5], 4).collect():
+        key = "nan" if r.g is not None else "null"
+        got[key] = r.value
+    assert got == {"null": 4.0, "nan": 4.5}, got
+
+    wdf = df.select("g", "v", F.lit(1.0).alias("w"))
+    wm = {}
+    for r in grouped_weighted_median(wdf, ["g"], "v", "w", 4).collect():
+        key = "nan" if r.g is not None else "null"
+        wm[key] = r.wmedian
+    assert wm == {"null": 4.0, "nan": 4.5}, wm
