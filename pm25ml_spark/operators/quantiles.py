@@ -94,31 +94,31 @@ def _canon_key(x):
     """Canonicalize NaN group keys: nan != nan would fragment one logical
     group (Spark groupBy normalizes NaN) into many dict keys with partial
     tallies."""
-    import math
-
     return "\0nan" if isinstance(x, float) and math.isnan(x) else x
 
 
-def _gid_expr(group_cols, raw_key, gids, dtypes):
-    """Row-pure ``__gid`` CASE expression over null-safe group equality.
+def _attach_gid(df, gkey: DataFrame, group_cols) -> DataFrame:
+    """Attach the driver-assigned ``__gid`` via a broadcast null-safe
+    equi-join on the group columns.
 
     The pick kernels must NOT match group values inside pandas: Arrow
     renders SQL NULL as NaN for float columns, so a NULL-key and a
     NaN-key group become indistinguishable there and can steal each
     other's rows. Spark-side ``<=>`` distinguishes them exactly
     (NULL <=> NULL true, NaN = NaN true per Spark semantics,
-    NULL <=> NaN false), so every row carries its driver-assigned gid
-    into the kernel as a plain int. |groups| branches — bounded by the
-    same driver-tally contract as everything else here.
+    NULL <=> NaN false). A broadcast hash join on the |groups|-row gid
+    frame costs O(1) per row regardless of group count — a CASE chain
+    over the groups would be O(|groups|) per row and blow up codegen
+    at the documented ~10^5-group bound.
     """
-    expr = None
-    for g, gid in gids.items():
-        cond = None
-        for c, gv in zip(group_cols, raw_key[g]):
-            e = F.col(c).eqNullSafe(F.lit(gv).cast(dtypes[c]))
-            cond = e if cond is None else cond & e
-        expr = F.when(cond, gid) if expr is None else expr.when(cond, gid)
-    return expr.cast("int")
+    cond = None
+    for c in group_cols:
+        e = df[c].eqNullSafe(gkey[c])
+        cond = e if cond is None else cond & e
+    out = df.join(F.broadcast(gkey), cond)
+    for c in group_cols:
+        out = out.drop(gkey[c])
+    return out
 
 
 def grouped_exact_quantiles(
@@ -224,15 +224,14 @@ def grouped_exact_quantiles(
             rows.append((gid, p, v[lr - 1]))
         return pd.DataFrame(rows, columns=cols)
 
-    picked = (
-        tagged.filter(F.col("__bucket").isin(needed))
-        .withColumn("__gid", _gid_expr(group_cols, raw_key, gids, dtypes))
-        .groupBy("__bucket")
-        .applyInPandas(pick, f"__gid int, p double, value {dtypes[value_col]}")
-    )
     gdf = spark.createDataFrame(
         [(i, *raw_key[g]) for g, i in gids.items()],
         ", ".join(["__gid int"] + [f"`{c}` {dtypes[c]}" for c in group_cols]),
+    )
+    picked = (
+        _attach_gid(tagged.filter(F.col("__bucket").isin(needed)), gdf, group_cols)
+        .groupBy("__bucket")
+        .applyInPandas(pick, f"__gid int, p double, value {dtypes[value_col]}")
     )
     return picked.join(F.broadcast(gdf), "__gid").select(
         *group_cols, "p", "value"
@@ -357,12 +356,6 @@ def grouped_weighted_median(
             rows.append((gid, hit[0]))
         return pd.DataFrame(rows, columns=cols)
 
-    picked = (
-        tagged.filter(F.col("__bucket").isin(needed))
-        .withColumn("__gid", _gid_expr(group_cols, raw_key, gids, dtypes))
-        .groupBy("__bucket")
-        .applyInPandas(pick, f"__gid int, wmedian {dtypes[value_col]}")
-    )
     # w_total: one correctly-rounded Decimal->double conversion — the
     # same rounding DuckDB's CAST(SUM(...) AS DOUBLE) performs
     gdf = spark.createDataFrame(
@@ -375,6 +368,15 @@ def grouped_weighted_median(
             + [f"`{c}` {dtypes[c]}" for c in group_cols]
             + ["n bigint", "w_total double"]
         ),
+    )
+    picked = (
+        _attach_gid(
+            tagged.filter(F.col("__bucket").isin(needed)),
+            gdf.select("__gid", *group_cols),
+            group_cols,
+        )
+        .groupBy("__bucket")
+        .applyInPandas(pick, f"__gid int, wmedian {dtypes[value_col]}")
     )
     return picked.join(F.broadcast(gdf), "__gid").select(
         *group_cols, "wmedian", "n", "w_total"
