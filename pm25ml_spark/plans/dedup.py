@@ -1702,3 +1702,70 @@ def gr05_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# dd13 — winnowing-fingerprint near-dup pairs: docs sharing >= 2
+# selected MOSS fingerprints (plans/text.winnow_selection). This is the
+# LOCALIZED complement to MinHash whole-doc similarity — a shared
+# fingerprint certifies a shared token run, so two docs that merely
+# reuse a license header or boilerplate paragraph pair up here while
+# staying far apart on Jaccard. Scale shape: fingerprints with document
+# frequency > _DD13_DF_CAP are dropped FIRST (MOSS's own noise rule —
+# ubiquitous boilerplate certifies nothing), which caps per-fingerprint
+# join fan-out at df_cap^2/2 pairs; the pair build is then a pure
+# sel_h-keyed equi-join (no cartesian, pinned), linear in corpus size
+# times a bounded constant.
+_DD13_DF_CAP = 50
+_DD13_MIN_SHARED = 2
+
+
+def _dd13_oracle() -> str:
+    from pm25ml_spark.plans.text import WINNOW_SEL_CTE
+
+    return f"""
+    WITH {WINNOW_SEL_CTE},
+    fp AS (SELECT DISTINCT doc_id, sel_h FROM sel),
+    df AS (SELECT sel_h, COUNT(*) AS df FROM fp GROUP BY sel_h),
+    rare AS (
+        SELECT fp.doc_id, fp.sel_h
+        FROM fp JOIN df USING (sel_h)
+        WHERE df.df <= {_DD13_DF_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS shared_fp
+        FROM rare a
+        JOIN rare b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_fp
+    FROM pairs WHERE shared_fp >= {_DD13_MIN_SHARED}
+    """
+
+
+@query("dd13_winnowing_pairs", _dd13_oracle())
+def dd13_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.text import winnow_selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_selection(docs).select("doc_id", "sel_h").distinct()
+    df_counts = fp.groupBy("sel_h").agg(F.count(F.lit(1)).alias("df"))
+    rare = fp.join(
+        df_counts.filter(F.col("df") <= _DD13_DF_CAP).select("sel_h"),
+        "sel_h",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.sel_h") == F.col("b.sel_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return pairs.filter(F.col("shared_fp") >= _DD13_MIN_SHARED)

@@ -1221,48 +1221,14 @@ _WIN_W = 4  # window size in k-grams
 _WIN_PB = 2_097_152  # 2^21 — position packing base
 
 
-@query(
-    "t20_winnowing_fingerprints",
-    f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-    kg AS (
-        SELECT doc_id, i,
-               ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
-                               1, 10))::BIGINT AS h,
-               len(ts) - 2 AS n_kg
-        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
-    ),
-    keyed AS (
-        SELECT doc_id, i, n_kg,
-               h * {_WIN_PB} + ({_WIN_PB - 1} - i) AS key
-        FROM kg
-    ),
-    wmin AS (
-        SELECT doc_id, i, n_kg,
-               MIN(key) OVER (PARTITION BY doc_id ORDER BY i
-                              ROWS BETWEEN CURRENT ROW
-                              AND {_WIN_W - 1} FOLLOWING) AS kmin
-        FROM keyed
-    ),
-    sel AS (
-        SELECT DISTINCT doc_id, n_kg,
-               {_WIN_PB - 1} - (kmin % {_WIN_PB}) AS sel_pos,
-               kmin // {_WIN_PB} AS sel_h
-        FROM wmin
-        WHERE i <= GREATEST(1, n_kg - {_WIN_W - 1})
-    )
-    SELECT doc_id,
-           MAX(n_kg) AS n_kgrams,
-           COUNT(*) AS n_selected,
-           COUNT(DISTINCT sel_h) AS n_distinct_fp,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_kg), 6) AS density
-    FROM sel GROUP BY doc_id
-    """,
-)
-def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_selection(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection: ``(doc_id, n_kg, sel_pos,
+    sel_h)`` — the distinct rightmost-min (hash, position) picks of
+    every w-window over the doc's 3-gram hash sequence (algorithm and
+    packing-key argument in the comment above). Shared by t20 (per-doc
+    profile) and dd13 (fingerprint-join near-dup)."""
     from pm25ml_spark.operators.dedup import word_ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
     kgs = docs.select(
         "doc_id",
         (F.size(_tokens()) - 2).cast("bigint").alias("n_kg"),
@@ -1295,7 +1261,7 @@ def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.currentRow, _WIN_W - 1)
     )
-    sel = (
+    return (
         keyed.withColumn("kmin", F.min("key").over(w))
         .filter(
             F.col("i") <= F.greatest(F.lit(1), F.col("n_kg") - (_WIN_W - 1))
@@ -1308,6 +1274,56 @@ def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# Shared oracle fragment: the winnowing selection CTE chain (DuckDB
+# spelling of winnow_selection) — used by t20 here and dd13 in
+# plans/dedup.py.
+WINNOW_SEL_CTE = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    kg AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+                               1, 10))::BIGINT AS h,
+               len(ts) - 2 AS n_kg
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+    ),
+    keyed AS (
+        SELECT doc_id, i, n_kg,
+               h * {_WIN_PB} + ({_WIN_PB - 1} - i) AS key
+        FROM kg
+    ),
+    wmin AS (
+        SELECT doc_id, i, n_kg,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {_WIN_W - 1} FOLLOWING) AS kmin
+        FROM keyed
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, n_kg,
+               {_WIN_PB - 1} - (kmin % {_WIN_PB}) AS sel_pos,
+               kmin // {_WIN_PB} AS sel_h
+        FROM wmin
+        WHERE i <= GREATEST(1, n_kg - {_WIN_W - 1})
+    )
+"""
+
+
+@query(
+    "t20_winnowing_fingerprints",
+    f"""
+    WITH {WINNOW_SEL_CTE}
+    SELECT doc_id,
+           MAX(n_kg) AS n_kgrams,
+           COUNT(*) AS n_selected,
+           COUNT(DISTINCT sel_h) AS n_distinct_fp,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_kg), 6) AS density
+    FROM sel GROUP BY doc_id
+    """,
+)
+def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = winnow_selection(load_table(spark, sf_dir, "documents"))
     return sel.groupBy("doc_id").agg(
         F.max("n_kg").alias("n_kgrams"),
         F.count(F.lit(1)).alias("n_selected"),

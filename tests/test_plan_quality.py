@@ -592,3 +592,12 @@ def test_d10_join_runs_on_salted_key(spark, sf_dir):
     join) while silently losing the skew spread."""
     df = QUERIES["d10_salted_hot_join"](spark, sf_dir)
     assert "__salt" in physical_plan(df)
+
+
+def test_dd13_no_cartesian_product(spark, sf_dir):
+    """Winnowing-pair candidates must equi-join on the fingerprint key
+    after the df-cap prune — never a cartesian pair explosion."""
+    df = QUERIES["dd13_winnowing_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
