@@ -153,8 +153,6 @@ def grouped_exact_quantiles(
     GROUP BY / Spark NaN-normalization semantics); NULL values are
     excluded (aggregate semantics).
     """
-    import math
-
     import pandas as pd
 
     spark = df.sparkSession
@@ -188,7 +186,7 @@ def grouped_exact_quantiles(
     # pandas output: pandas→Arrow treats float NaN as missing, so a NaN
     # group key emitted from pick() would silently become NULL (and
     # collide with a genuine NULL-key group). Rows carry the gid as a
-    # Spark-computed int (_gid_expr); the |groups|-row gid frame
+    # Spark-computed int attached by _attach_gid; the |groups|-row gid frame
     # re-attaches the keys exactly on the way out.
     gids = {g: i for i, g in enumerate(per_group)}
     # bucket -> [(gid, p, local_rank)]
@@ -267,8 +265,6 @@ def grouped_weighted_median(
     and the median ill-defined). Returns
     ``(group_cols..., wmedian <value type>, n bigint, w_total double)``.
     """
-    import math
-
     import pandas as pd
 
     spark = df.sparkSession
