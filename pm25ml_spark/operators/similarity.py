@@ -45,6 +45,8 @@ def cosine_topk(
     c_id: str = "cid",
     q_vec: str = "qe",
     c_vec: str = "ce",
+    q_grp: str | None = None,
+    c_grp: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each query vector.
 
@@ -56,16 +58,35 @@ def cosine_topk(
     top-k window then runs over ~k·n_batches rows per query instead of the
     full candidate set — the classic distributed top-k combine; never a
     single-partition sort, no O(n_q·n_c) row materialization.
+
+    ``q_grp``/``c_grp`` (set together or not at all) name integer group
+    columns; pairs whose groups are EQUAL are masked out of the ranking —
+    the hard-negative-mining shape (top-k most-similar items NOT sharing
+    the query's label). NULL groups never match anything (distinct
+    sentinels per side), mirroring SQL NULL-equality semantics.
     """
     import numpy as np
     import pandas as pd
 
+    if (q_grp is None) != (c_grp is None):
+        raise ValueError("q_grp and c_grp must be set together")
+
+    _Q_NULL, _C_NULL = -(2**62), -(2**62) + 1  # never equal to each other
     sc = candidates.sparkSession.sparkContext
-    qrows = queries.select(q_id, q_vec).collect()  # probe batch: small by contract
+    qcols = [q_id, q_vec] + ([q_grp] if q_grp else [])
+    qrows = queries.select(*qcols).collect()  # probe batch: small by contract
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))
-    bq = sc.broadcast((qids, Q, qn))
+    qgrps = (
+        np.array(
+            [(_Q_NULL if r[2] is None else int(r[2])) for r in qrows],
+            dtype=np.int64,
+        )
+        if q_grp
+        else None
+    )
+    bq = sc.broadcast((qids, Q, qn, qgrps))
 
     def partial_topk(batches):
         # Per-batch partial top-k: one BLAS matmul scores the whole
@@ -74,7 +95,7 @@ def cosine_topk(
         # 6-dp rounding step exactly (round moves a score by ≤ 5e-7),
         # so no row that could win the global rounded-score/cid ranking
         # is dropped; the global window below finishes the top-k.
-        q_ids, q_mat, q_norms = bq.value
+        q_ids, q_mat, q_norms, q_groups = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -82,6 +103,18 @@ def cosine_topk(
             C = np.array(pdf[c_vec].tolist(), dtype=np.float64)
             S = (q_mat @ C.T) / np.outer(q_norms, np.sqrt((C * C).sum(axis=1)))
             S[q_ids[:, None] == cids[None, :]] = -np.inf  # self-pairs
+            if q_groups is not None:
+                cgrps = (
+                    pdf[c_grp]
+                    .to_numpy(dtype=object)  # keep None before the fill
+                )
+                cgrps = np.array(
+                    # Arrow renders int NULL as None or NaN depending on
+                    # the batch's null mask — treat both as the sentinel
+                    [(_C_NULL if g is None or g != g else int(g)) for g in cgrps],
+                    dtype=np.int64,
+                )
+                S[q_groups[:, None] == cgrps[None, :]] = -np.inf
             kth = (
                 -np.partition(-S, k - 1, axis=1)[:, k - 1]
                 if S.shape[1] > k
@@ -92,7 +125,8 @@ def cosine_topk(
                 {q_id: q_ids[ii], c_id: cids[jj], "raw": S[ii, jj]}
             )
 
-    partial = candidates.select(c_id, c_vec).mapInPandas(
+    ccols = [c_id, c_vec] + ([c_grp] if c_grp else [])
+    partial = candidates.select(*ccols).mapInPandas(
         partial_topk, f"{q_id} long, {c_id} long, raw double"
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))

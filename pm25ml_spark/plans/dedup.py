@@ -1769,3 +1769,77 @@ def dd13_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fp"))
     )
     return pairs.filter(F.col("shared_fp") >= _DD13_MIN_SHARED)
+
+
+# --------------------------------------------------------------------------
+# dd14 — sorted-neighborhood blocking (Hernandez-Stolfo merge/purge):
+# sort the corpus by a normalized key and emit every pair within a
+# w-row neighborhood of the sorted order. The classic record-linkage
+# blocking dual to hash blocking (dd09) and banding (dd04/dd07): docs
+# with near-identical PREFIXES pair up even when no hash bucket or
+# band agrees, and total candidates are bounded by w·n BY CONSTRUCTION
+# (never a quadratic blow-up, skew-immune — a million identical keys
+# still emit exactly w pairs each). Spark-first shape: the global sort
+# position comes from operators.prefix.ordered_prefix_sum (row-pure
+# range buckets + broadcast offsets — no corpus-wide window, no global
+# sort), and the neighborhood is an EQUI-join on rank+j for j in 1..w,
+# so the whole operator is two narrow jobs plus one rank-keyed join.
+_DD14_W = 3
+
+
+@query(
+    "dd14_sorted_neighborhood",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 32) AS sort_key
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, sort_key,
+               row_number() OVER (ORDER BY sort_key, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(a.sort_key = b.sort_key AS BOOLEAN) AS key_match
+    FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {_DD14_W}
+    """,
+)
+def dd14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 32
+        ).alias("sort_key"),
+    )
+    ranked = ordered_prefix_sum(
+        docs.withColumn("__one", F.lit(1)),
+        ["sort_key", "doc_id"],
+        "__one",
+        "rn",
+    ).select("doc_id", "sort_key", "rn")
+    # persisted: both join sides read the same two-job ranking
+    ranked = ranked.persist()
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sort_key").alias("key_a"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(j) for j in range(1, _DD14_W + 1)])
+        ).alias("rn_b"),
+        (F.col("rn")).alias("rn_a"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sort_key").alias("key_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return left.join(right, "rn_b").select(
+        "doc_a",
+        "doc_b",
+        (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("gap"),
+        (F.col("key_a") == F.col("key_b")).alias("key_match"),
+    )

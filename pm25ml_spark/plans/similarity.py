@@ -755,3 +755,58 @@ def ss11_mips_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(dvec, F.array(F.lit(0.0))).alias("qe"),
     )
     return S.cosine_topk(q, c, k=3)
+
+
+# --------------------------------------------------------------------------
+# ss12 — hard-negative mining: for every query vector, the top-3 most
+# cosine-similar vectors with a DIFFERENT label. The contrastive /
+# metric-learning training staple (triplet loss, InfoNCE): positives
+# come from the query's own class, and the informative negatives are
+# the nearest wrong-class items — exactly this operator's output. The
+# plan is ss01's broadcast-probe + per-batch partial top-k with the
+# same-label pairs masked INSIDE the scoring kernel, so the global
+# combine still ranks only ~k·n_batches survivors per query and no
+# same-label row is ever shuffled. NULL-label rows match nothing on
+# either side (they are neither positive nor negative evidence).
+@query(
+    "ss12_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS ql
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce, label AS cl FROM embeddings
+    ),
+    pairs AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+        FROM c, q
+        WHERE qid <> cid
+          AND (ql IS NULL OR cl IS NULL OR ql <> cl)
+    ),
+    ranked AS (
+        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rk
+        FROM pairs
+    )
+    SELECT qid, cid, score, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def ss12_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cl"),
+    )
+    return S.cosine_topk(q, c, k=3, q_grp="ql", c_grp="cl")

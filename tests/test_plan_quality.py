@@ -601,3 +601,14 @@ def test_dd13_no_cartesian_product(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dd14_rank_join_is_equi_and_window_free(spark, sf_dir):
+    """Sorted-neighborhood pairs come from an EQUI-join on the global
+    rank (rank+j explode), never a cartesian or range self-join; the
+    rank itself comes from ordered_prefix_sum (bucket-partitioned
+    windows only — the catalog-wide audit enforces the rest)."""
+    df = QUERIES["dd14_sorted_neighborhood"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

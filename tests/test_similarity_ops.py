@@ -393,3 +393,36 @@ def test_ivfpq_residual_beats_reusing_one_lut(spark):
     assert all(cid < 50 for cid in by_q[0])
     assert all(cid >= 50 for cid in by_q[50])
     assert len(by_q[0]) == 5 and len(by_q[50]) == 5
+
+
+def test_cosine_topk_group_mask_null_semantics(spark):
+    """q_grp/c_grp masking: equal non-null groups are excluded; NULL
+    groups on either side match nothing (row stays rankable)."""
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], None)],
+        "qid long, qe array<float>, ql int",
+    )
+    c = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 7),     # same group as q1 -> masked for q1
+            (11, [0.9, 0.1], 8),     # different group -> kept
+            (12, [0.8, 0.2], None),  # NULL group -> kept for both
+            (13, [0.0, 1.0], 9),
+        ],
+        "cid long, ce array<float>, cl int",
+    )
+    out = cosine_topk(q, c, k=4, q_grp="ql", c_grp="cl").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r.cid)
+    # q1 (group 7): cid 10 masked, everything else survives
+    assert 10 not in by_q[1] and {11, 12, 13} <= set(by_q[1])
+    # q2 (NULL group): nothing masked, all four candidates survive
+    assert set(by_q[2]) == {10, 11, 12, 13}
+
+
+def test_cosine_topk_grp_args_must_pair(spark):
+    q = _vec_df(spark, "qid", "qe", [(1, [1.0, 0.0])])
+    c = _vec_df(spark, "cid", "ce", [(2, [1.0, 0.0])])
+    with pytest.raises(ValueError):
+        cosine_topk(q, c, q_grp="ql")
