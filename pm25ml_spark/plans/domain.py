@@ -1023,3 +1023,84 @@ def d10_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value") * F.col("type_wt")).alias("weighted_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# d11 — snapshot diff (CDC between two time-travel cutoffs): per-user
+# latest STATE (the event_type of the most recent event) as of T1 vs
+# as of T2, full-outer joined and classified added / removed /
+# changed / same — the audit a pipeline runs after a backfill ("what
+# did the new data actually change?") and the batch dual of txlog time
+# travel. Scale shape: each snapshot is one user-keyed partitioned
+# window (rn = 1 pick, no global frame), the diff is one user-keyed
+# full-outer equi-join, and the result collapses to ≤ 4 classification
+# rows with integer-exact summary columns (states are PICKED strings,
+# never aggregated, so equality is engine-portable). 'removed' cannot
+# occur here
+# (T1 ⊂ T2 ⇒ snapshot-1 users are a subset) but the branch is kept —
+# the operator is written for real CDC inputs where keys do disappear.
+_D11_T1 = "2024-01-15 00:00:00"
+_D11_T2 = "2024-01-31 00:00:00"
+
+
+@query(
+    "d11_snapshot_diff",
+    f"""
+    WITH r1 AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '{_D11_T1}'
+    ),
+    s1 AS (SELECT user_id, event_type AS v1 FROM r1 WHERE rn = 1),
+    r2 AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '{_D11_T2}'
+    ),
+    s2 AS (SELECT user_id, event_type AS v2 FROM r2 WHERE rn = 1),
+    diff AS (
+        SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+               CASE WHEN s1.user_id IS NULL THEN 'added'
+                    WHEN s2.user_id IS NULL THEN 'removed'
+                    WHEN s1.v1 = s2.v2 THEN 'same'
+                    ELSE 'changed' END AS change_type
+        FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    )
+    SELECT change_type, COUNT(*) AS n_users,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user
+    FROM diff GROUP BY change_type
+    """,
+)
+def d11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def snapshot(cutoff: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc(F.unix_micros("ts")), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(out))
+        )
+
+    s1 = snapshot(_D11_T1, "v1").withColumnRenamed("user_id", "u1")
+    s2 = snapshot(_D11_T2, "v2").withColumnRenamed("user_id", "u2")
+    diff = s1.join(s2, s1.u1 == s2.u2, "full_outer").select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("v1") == F.col("v2"), "same")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
