@@ -62,8 +62,9 @@ def cosine_topk(
     ``q_grp``/``c_grp`` (set together or not at all) name integer group
     columns; pairs whose groups are EQUAL are masked out of the ranking —
     the hard-negative-mining shape (top-k most-similar items NOT sharing
-    the query's label). NULL groups never match anything (distinct
-    sentinels per side), mirroring SQL NULL-equality semantics.
+    the query's label). NULL groups never match anything (an explicit
+    null-flag mask, not an in-band sentinel, so EVERY int64 group value
+    is valid), mirroring SQL NULL-equality semantics.
     """
     import numpy as np
     import pandas as pd
@@ -71,21 +72,18 @@ def cosine_topk(
     if (q_grp is None) != (c_grp is None):
         raise ValueError("q_grp and c_grp must be set together")
 
-    _Q_NULL, _C_NULL = -(2**62), -(2**62) + 1  # never equal to each other
     sc = candidates.sparkSession.sparkContext
     qcols = [q_id, q_vec] + ([q_grp] if q_grp else [])
     qrows = queries.select(*qcols).collect()  # probe batch: small by contract
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))
-    qgrps = (
-        np.array(
-            [(_Q_NULL if r[2] is None else int(r[2])) for r in qrows],
-            dtype=np.int64,
+    qgrps = None
+    if q_grp:
+        qgrps = (
+            np.array([0 if r[2] is None else int(r[2]) for r in qrows], np.int64),
+            np.array([r[2] is not None for r in qrows], bool),  # non-null flag
         )
-        if q_grp
-        else None
-    )
     bq = sc.broadcast((qids, Q, qn, qgrps))
 
     def partial_topk(batches):
@@ -104,17 +102,22 @@ def cosine_topk(
             S = (q_mat @ C.T) / np.outer(q_norms, np.sqrt((C * C).sum(axis=1)))
             S[q_ids[:, None] == cids[None, :]] = -np.inf  # self-pairs
             if q_groups is not None:
-                cgrps = (
-                    pdf[c_grp]
-                    .to_numpy(dtype=object)  # keep None before the fill
+                qg, q_ok = q_groups
+                raw = pdf[c_grp].to_numpy(dtype=object)
+                # Arrow renders int NULL as None or NaN depending on the
+                # batch's null mask — track nullity in a separate flag
+                # array so every int64 group VALUE stays valid
+                c_ok = np.array(
+                    [g is not None and g == g for g in raw], dtype=bool
                 )
-                cgrps = np.array(
-                    # Arrow renders int NULL as None or NaN depending on
-                    # the batch's null mask — treat both as the sentinel
-                    [(_C_NULL if g is None or g != g else int(g)) for g in cgrps],
+                cg = np.array(
+                    [int(g) if ok else 0 for g, ok in zip(raw, c_ok)],
                     dtype=np.int64,
                 )
-                S[q_groups[:, None] == cgrps[None, :]] = -np.inf
+                S[
+                    (qg[:, None] == cg[None, :])
+                    & (q_ok[:, None] & c_ok[None, :])
+                ] = -np.inf
             kth = (
                 -np.partition(-S, k - 1, axis=1)[:, k - 1]
                 if S.shape[1] > k

@@ -1792,7 +1792,8 @@ _DD14_W = 3
     f"""
     WITH keyed AS (
         SELECT doc_id,
-               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               substr(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9 ]', '', 'g'),
                       1, 32) AS sort_key
         FROM documents
     ),
@@ -1810,10 +1811,18 @@ _DD14_W = 3
 def dd14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pm25ml_spark.operators.prefix import ordered_prefix_sum
 
+    # coalesce: NULL text must key identically in both engines (Spark
+    # buckets NULLs first, DuckDB's default ORDER BY puts them last)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 32
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                "[^a-z0-9 ]",
+                "",
+            ),
+            1,
+            32,
         ).alias("sort_key"),
     )
     ranked = ordered_prefix_sum(

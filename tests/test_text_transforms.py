@@ -237,3 +237,49 @@ def test_winnowing_shared_span_guarantee(spark):
         fps.setdefault(r.doc_id, set()).add(r.sel_h)
     assert fps[1] & fps[2], "shared 6-token span must share a fingerprint"
     assert not (fps[1] & fps[3] or fps[2] & fps[3])
+
+
+def test_dd14_null_text_keys_identically_in_both_engines(spark, tmp_path):
+    """NULL text must land in the SAME sort position in Spark and the
+    DuckDB oracle (Spark buckets NULL keys first, DuckDB's default
+    ORDER BY puts them last) — the coalesce-to-'' guard makes the key
+    engine-portable. Regression for a latent divergence the shipped
+    testdata never exercises (it has no NULL text)."""
+    import duckdb
+    import pandas as pd
+
+    from pm25ml_spark.plans.registry import ORACLES, QUERIES
+
+    rows = [
+        (0, "zulu zulu zulu", "en", "web", 14),
+        (1, None, "en", "web", 0),          # NULL text
+        (2, "alpha beta gamma", "en", "web", 16),
+        (3, "alpha beta delta", "en", "web", 16),
+        (4, "mike november oscar", "en", "web", 19),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path)
+    # every table the loader might touch just needs documents here
+    pdf.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    got = (
+        QUERIES["dd14_sorted_neighborhood"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(ORACLES["dd14_sorted_neighborhood"])
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # the NULL-text doc must appear, in the same rank slot, on both sides
+    assert 1 in set(got.doc_a) | set(got.doc_b)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
