@@ -254,6 +254,86 @@ class TxTable:
         """The commit log, oldest first — op, files, rows, timestamps."""
         return [self._entry(v) for v in self.versions()]
 
+    def compact(
+        self, target_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5
+    ) -> int | None:
+        """Rewrite the snapshot's SMALL files into ~target-size files as
+        one atomic commit — the small-files remedy every object-store
+        table needs (a streaming sink or frequent small appends
+        otherwise accrete thousands of tiny parquet files whose
+        per-file open/footer cost dominates scans at scale).
+
+        Files ≥ target_file_bytes/2 are already fine and are left
+        untouched; the rest are read in ONE Spark job and rewritten as
+        ``ceil(total_small_bytes / target)`` balanced files. The commit
+        removes the small files and adds the merged ones — data
+        identity is preserved by construction (same rows, new file
+        boundaries), old versions still resolve to the original files
+        (time travel unaffected; ``vacuum`` reclaims them when retired).
+
+        Concurrency: the commit is PINNED to the snapshot the plan was
+        made against. Any interleaved commit fails the pin; if every
+        planned-removed file is still live the claim is simply retried
+        at the advanced version, otherwise (an overwrite/compact won the
+        race) the whole plan is rebuilt. Returns the new version, or
+        None when there is nothing to compact (fewer than two small
+        files)."""
+        import math as _math
+
+        for _ in range(max_retries):
+            sv, live = self.snapshot()
+            sized = [
+                (f, os.path.getsize(os.path.join(self.path, f))) for f in live
+            ]
+            small = [
+                (f, b) for f, b in sized if b < target_file_bytes // 2
+            ]
+            if len(small) < 2:
+                return None
+            total = sum(b for _, b in small)
+            n_out = max(1, _math.ceil(total / target_file_bytes))
+            paths = [os.path.join(self.path, f) for f, _ in small]
+            merged = self.spark.read.parquet(*paths).repartition(n_out)
+            files, n = self._write_files(merged)
+            removed = sorted(f for f, _ in small)
+            pin = sv
+            try:
+                for _claim in range(max_retries):
+                    try:
+                        v = self._commit(
+                            {
+                                "op": "compact",
+                                "added": files,
+                                "removed": removed,
+                                "n_rows": n,
+                            },
+                            at_version=pin + 1,
+                        )
+                        self._maybe_checkpoint(v)
+                        files = []  # committed: nothing to clean up
+                        return v
+                    except CommitConflict:
+                        pin, live_now = self.snapshot()
+                        if set(removed) <= set(live_now):
+                            # an append slid in: the plan is still valid,
+                            # only the version number moved — retry claim
+                            continue
+                        # an overwrite/compact retired a planned file:
+                        # the plan is stale, rebuild it from scratch
+                        break
+            finally:
+                # any path that did not commit leaves the rewrite
+                # unreferenced by every log entry — vacuum never sees
+                # such files, so drop the whole private part- dir here
+                if files:
+                    import shutil
+
+                    sub = os.path.join(
+                        self.path, os.path.dirname(files[0])
+                    )
+                    shutil.rmtree(sub, ignore_errors=True)
+        raise CommitConflict(f"compact lost {max_retries} races")
+
     def vacuum(self) -> list[str]:
         """Delete data files no live snapshot references... in THIS
         minimal implementation, files unreferenced by the LATEST

@@ -262,3 +262,81 @@ def test_randomized_interleavings_never_lose_updates(spark, tmp_path):
             assert got == live_tags, (step, op, got, live_tags)
     vs = t1.versions()
     assert vs == list(range(len(vs)))  # dense, gapless log
+
+
+def test_compact_merges_small_files_preserving_rows(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(_df(spark, i * 10, i * 10 + 10, "a"))
+    pre_version, pre_live = t.snapshot()
+    before = {
+        tuple(r) for r in t.read().select("id", "tag").collect()
+    }
+    v = t.compact(target_file_bytes=1 << 30)  # everything is "small"
+    assert v == pre_version + 1
+    _, live = t.snapshot()
+    assert len(live) < len(pre_live)  # fewer files
+    after = {tuple(r) for r in t.read().select("id", "tag").collect()}
+    assert after == before  # same rows, new boundaries
+    # time travel still resolves to the ORIGINAL files
+    assert t.read(version=pre_version).count() == 60
+    assert t.snapshot(pre_version)[1] == pre_live
+    assert t.history()[-1]["op"] == "compact"
+
+
+def test_compact_noop_when_nothing_small(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))
+    sv, live = t.snapshot()
+    # target so small every existing file counts as already-big
+    assert t.compact(target_file_bytes=2) is None
+    assert t.snapshot() == (sv, live)  # no commit happened
+
+
+def test_compact_retries_claim_when_append_slides_in(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_df(spark, i * 10, i * 10 + 10, "a"))
+    # interleave a foreign append between compact's plan and its claim
+    other = TxTable(spark, str(tmp_path / "t"))
+    orig_commit = t._commit
+    state = {"fired": False}
+
+    def racing_commit(entry, at_version=None):
+        if entry.get("op") == "compact" and not state["fired"]:
+            state["fired"] = True
+            other.append(_df(spark, 100, 105, "z"))  # steals the version
+        return orig_commit(entry, at_version=at_version)
+
+    t._commit = racing_commit
+    v = t.compact(target_file_bytes=1 << 30)
+    assert state["fired"] and v is not None
+    # both the compaction AND the interleaved append survived
+    assert t.read().count() == 35
+    ops = [e["op"] for e in t.history()]
+    assert ops.count("compact") == 1 and ops.count("append") == 4
+
+
+def test_compact_replans_after_interleaved_overwrite(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_df(spark, i * 10, i * 10 + 10, "a"))
+    other = TxTable(spark, str(tmp_path / "t"))
+    orig_commit = t._commit
+    state = {"fired": False}
+
+    def racing_commit(entry, at_version=None):
+        if entry.get("op") == "compact" and not state["fired"]:
+            state["fired"] = True
+            other.overwrite(_df(spark, 0, 7, "w"))  # retires planned files
+        return orig_commit(entry, at_version=at_version)
+
+    t._commit = racing_commit
+    v = t.compact(target_file_bytes=1 << 30)
+    # the stale plan was rebuilt against the overwritten table (or found
+    # nothing left to compact) — either way data equals the overwrite
+    assert {tuple(r) for r in t.read().select("id", "tag").collect()} == {
+        (i, "w") for i in range(7)
+    }
+    if v is not None:
+        assert t.history()[-1]["op"] in ("compact", "checkpoint")
