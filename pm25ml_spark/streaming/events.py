@@ -415,3 +415,53 @@ def kmv_sketch_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the attribution shape: each purchase
+    matches every view by the same user in the preceding ``horizon``.
+
+    Both inputs are event streams (typically two filtered branches of
+    one source). Both sides carry watermarks and the join condition
+    bounds purchase_ts to [view_ts, view_ts + horizon], which is what
+    lets Spark BOUND the buffered state: a view is evicted once the
+    purchase watermark passes view_ts + horizon, a purchase once the
+    view watermark passes purchase_ts — state is O(rate × horizon) per
+    side at any corpus size, never the whole history. At 100 TB/day the
+    join is shuffled by user_id on both sides (co-partitioned state
+    store), the standard production attribution topology.
+
+    Output: one row per (view, purchase) match with the view→purchase
+    lag in microseconds.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event",
+        "purchase_event",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("lag_us"),
+    )

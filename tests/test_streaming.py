@@ -386,3 +386,81 @@ def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
     th_batch = {r.source: (r.n_k, r.theta, r.est_distinct)
                 for r in kmv_theta(want, "source", k).collect()}
     assert th_stream == th_batch
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-stream watermarked interval join == the static join, with
+    the events deliberately split across 3 micro-batches (time-ordered
+    files, generous watermark) so cross-batch state buffering is
+    actually exercised: a view in batch 1 must still match a purchase
+    arriving in batch 3."""
+    from pm25ml_spark.streaming.events import (
+        read_events_stream,
+        view_purchase_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # three time-ordered FLAT files (path order == arrival order): write
+    # each slice to a scratch dir, then move its single part file into
+    # the source dir under an ordered name
+    import glob as _glob
+    import os
+    import shutil
+
+    cuts = ["2024-01-11", "2024-01-21"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    slices = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        scratch = str(tmp_path / f"scratch{i}")
+        sl.coalesce(1).write.parquet(scratch)
+        (part,) = _glob.glob(f"{scratch}/part-*.parquet")
+        shutil.move(part, f"{src}/{i:02d}.parquet")
+
+    stream = read_events_stream(spark, src, glob="*.parquet")
+    out = view_purchase_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        watermark="31 days",  # exact-equality drain: never drop state
+    )
+    run_available_now(out, "attribution", str(tmp_path), output_mode="append")
+    got = {
+        tuple(r)
+        for r in spark.table("attribution")
+        .select("user_id", "view_event", "purchase_event", "lag_us")
+        .collect()
+    }
+
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event"),
+    )
+    want = {
+        tuple(r)
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_event",
+            "purchase_event",
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+        )
+        .collect()
+    }
+    assert len(want) > 0  # the fixture data must actually produce matches
+    assert got == want
