@@ -31,10 +31,12 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -254,6 +256,142 @@ class TxTable:
         """The commit log, oldest first — op, files, rows, timestamps."""
         return [self._entry(v) for v in self.versions()]
 
+    def _write_files_bucketed(self, df: DataFrame) -> tuple[list[str], int]:
+        """Like :meth:`_write_files` but lays files out under
+        ``__b=<bucket>/`` subdirs (one partitionBy job). The bucket is
+        LAYOUT metadata carried in the path, not a data column — reads
+        of individual leaf files never see it."""
+        sub = f"part-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, sub)
+        df.write.mode("errorifexists").partitionBy("__b").parquet(out_dir)
+        files = []
+        for root, _dirs, names in os.walk(out_dir):
+            for f in names:
+                if f.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+        n = self.spark.read.parquet(out_dir).count()
+        return sorted(files), n
+
+    @staticmethod
+    def _file_bucket(rel_path: str) -> int | None:
+        """Bucket id encoded in a data file's path, or None for files
+        written by the unbucketed writers (append/overwrite/compact)."""
+        m = re.search(r"__b=(\d+)/", rel_path)
+        return int(m.group(1)) if m else None
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_col: str,
+        n_buckets: int = 16,
+        max_retries: int = 5,
+        _stamp: tuple | None = None,
+    ) -> int:
+        """Keyed MERGE (the Delta/Hudi/Iceberg upsert core): rows in
+        ``df`` REPLACE live rows with the same key; new keys insert.
+
+        Scale shape: table files are laid out hash(key)-bucketed
+        (``__b=<k>/`` path metadata), so a batch touching B of the
+        ``n_buckets`` buckets reads and rewrites ONLY those buckets'
+        files — cost is O(batch ∪ touched-bucket rows), never a full
+        table rewrite. A table with unbucketed live files (from
+        append/overwrite) is bootstrapped by one full rewrite into the
+        bucketed layout; a different ``n_buckets`` than the table's
+        recorded layout raises rather than silently mixing bucket
+        meanings. Duplicate keys within one batch raise (which row wins
+        would be shuffle-order-dependent).
+
+        Commits are pinned like overwrite/compact: an interleaved
+        commit forces a full re-plan, and non-committed rewrites are
+        deleted immediately (vacuum never sees unreferenced files).
+        ``_stamp`` is the streaming sink's (query, epoch) idempotence
+        mark — on a conflict the stamp is re-checked so a replayed
+        epoch that lost the race returns instead of double-applying."""
+        n_rows = df.count()
+        n_keys = df.select(key_col).distinct().count()
+        if n_keys != n_rows:
+            raise ValueError(
+                f"upsert batch has {n_rows - n_keys} duplicate '{key_col}' keys"
+            )
+        batch = df.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"),
+        )
+        touched = sorted(
+            r[0] for r in batch.select("__b").distinct().collect()
+        )
+
+        for _ in range(max_retries):
+            sv, live = self.snapshot()
+            recorded = None
+            for e in reversed(self.history()):
+                if e.get("upsert_buckets"):
+                    recorded = int(e["upsert_buckets"])
+                    break
+            if recorded is not None and recorded != n_buckets:
+                raise ValueError(
+                    f"table is laid out with {recorded} buckets; "
+                    f"got n_buckets={n_buckets}"
+                )
+            legacy = [f for f in live if self._file_bucket(f) is None]
+            if legacy:
+                # bootstrap: fold the WHOLE unbucketed table into the
+                # bucketed layout in this one commit
+                removed = list(live)
+            else:
+                removed = [
+                    f for f in live if self._file_bucket(f) in set(touched)
+                ]
+            if removed:
+                old = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in removed]
+                ).withColumn(
+                    "__b",
+                    F.pmod(
+                        F.xxhash64(F.col(key_col)), F.lit(n_buckets)
+                    ).cast("int"),
+                )
+                keep = old.join(
+                    batch.select(key_col).distinct(), key_col, "left_anti"
+                )
+                merged = keep.unionByName(batch)
+            else:
+                merged = batch
+            files, n = self._write_files_bucketed(merged)
+            entry = {
+                "op": "upsert",
+                "added": files,
+                "removed": sorted(removed),
+                "n_rows": n,
+                "upsert_buckets": n_buckets,
+            }
+            if _stamp is not None:
+                entry["stream_batch"] = list(_stamp)
+            try:
+                try:
+                    v = self._commit(entry, at_version=sv + 1)
+                    self._maybe_checkpoint(v)
+                    files = []
+                    return v
+                except CommitConflict:
+                    if _stamp is not None:
+                        for ev in self.versions():
+                            sb = self._entry(ev).get("stream_batch")
+                            if sb and tuple(sb) == _stamp:
+                                return ev  # a replay of this epoch won
+                    continue  # re-plan against the advanced log
+            finally:
+                if files:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.path, os.path.dirname(files[0]).split(os.sep)[0]),
+                        ignore_errors=True,
+                    )
+        raise CommitConflict(f"upsert lost {max_retries} races")
+
     def compact(
         self, target_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5
     ) -> int | None:
@@ -418,6 +556,66 @@ def sink_stream_exactly_once(
                 refresh()
                 if stamp in state["stamps"]:  # the racer was our replay
                     return
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sink_stream_upsert(
+    stream_df: DataFrame,
+    table: TxTable,
+    key_col: str,
+    order_col: str,
+    query_name: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Exactly-once streaming MERGE into a TxTable — the CDC-apply
+    topology: each micro-batch upserts by key (latest row per key wins
+    within a batch, batch rows replace table rows), with the same
+    (query, epoch) stamp idempotence as :func:`sink_stream_exactly_once`
+    so a replayed epoch is skipped, and the stamp is re-checked inside
+    :meth:`TxTable.upsert`'s conflict path so an interleaved replay of
+    the SAME epoch can never double-apply. Per-batch cost is bounded by
+    the touched buckets, not the table (see upsert's docstring)."""
+
+    state = {"scanned": -1, "stamps": set()}
+
+    def refresh() -> None:
+        for v in table.versions():
+            if v > state["scanned"]:
+                sb = table._entry(v).get("stream_batch")
+                if sb:
+                    state["stamps"].add(tuple(sb))
+                state["scanned"] = v
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stamp = (query_name, int(batch_id))
+        refresh()
+        if stamp in state["stamps"]:
+            return
+        # a CDC stream can carry several updates for one key in a batch;
+        # keep the last by ``order_col`` (must be unique per key, e.g.
+        # an event id or change sequence number) so the upsert's
+        # unique-key contract holds deterministically
+        w_last = batch_df.groupBy(key_col).agg(
+            F.max_by(
+                F.struct([c for c in batch_df.columns if c != key_col]),
+                F.col(order_col),
+            ).alias("__rest")
+        )
+        deduped = w_last.select(key_col, "__rest.*")
+        table.upsert(
+            deduped, key_col, n_buckets=n_buckets, _stamp=stamp
+        )
+        state["stamps"].add(stamp)
 
     writer = (
         stream_df.writeStream.foreachBatch(commit_batch)

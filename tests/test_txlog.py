@@ -340,3 +340,116 @@ def test_compact_replans_after_interleaved_overwrite(spark, tmp_path):
     }
     if v is not None:
         assert t.history()[-1]["op"] in ("compact", "checkpoint")
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string, seq long")
+
+
+def test_upsert_insert_and_replace_by_key(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), "k")
+    t.upsert(_kv(spark, [(2, "B", 2), (4, "d", 2)]), "k")
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    assert t.history()[-1]["op"] == "upsert"
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(40)]), "k", n_buckets=8)
+    _, live_before = t.snapshot()
+    t.upsert(_kv(spark, [(1, "X", 2)]), "k", n_buckets=8)
+    _, live_after = t.snapshot()
+    survivors = set(live_before) & set(live_after)
+    retired = set(live_before) - survivors
+    # the single-key batch touches ONE bucket: every retired file
+    # belongs to that bucket, every other bucket's files survive
+    assert retired and {t._file_bucket(f) for f in retired} == {
+        t._file_bucket(f) for f in retired
+    } and len({t._file_bucket(f) for f in retired}) == 1
+    untouched = {t._file_bucket(f) for f in live_before} - {
+        t._file_bucket(f) for f in retired
+    }
+    for f in live_before:
+        if t._file_bucket(f) in untouched:
+            assert f in survivors
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert (1, "X") in got and len(got) == 40
+
+
+def test_upsert_bootstraps_unbucketed_table(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(1, "a", 1), (2, "b", 1)]))
+    v = t.upsert(_kv(spark, [(2, "B", 2)]), "k")
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B")}
+    # bootstrap retired every legacy file: all live files now bucketed
+    _, live = t.snapshot()
+    assert all(t._file_bucket(f) is not None for f in live)
+    assert v == t.latest_version() or t.history()[-1]["op"] == "checkpoint"
+
+
+def test_upsert_duplicate_keys_in_batch_raise(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.upsert(_kv(spark, [(1, "a", 1), (1, "b", 2)]), "k")
+
+
+def test_upsert_bucket_count_mismatch_raises(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(1, "a", 1)]), "k", n_buckets=8)
+    with pytest.raises(ValueError, match="buckets"):
+        t.upsert(_kv(spark, [(2, "b", 1)]), "k", n_buckets=16)
+
+
+def test_stream_upsert_cdc_apply_matches_latest_state(spark, tmp_path):
+    """Drive a CDC stream (3 micro-batches of keyed updates) through
+    sink_stream_upsert; the table must equal 'latest row per key', and
+    a full REPLAY of the drained stream (fresh checkpoint dir, same
+    epochs) must be a no-op thanks to the epoch stamps."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pm25ml_spark.sources.txlog import sink_stream_upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "a", 1), (2, "b", 2)],
+        [(1, "A", 3), (3, "c", 4)],
+        [(2, "B", 5), (1, "A2", 6)],
+    ]
+    for i, rows in enumerate(batches):
+        scratch = str(tmp_path / f"s{i}")
+        _kv(spark, rows).coalesce(1).write.parquet(scratch)
+        (part,) = _glob.glob(f"{scratch}/part-*.parquet")
+        shutil.move(part, f"{src}/{i:02d}.parquet")
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    stream = (
+        spark.readStream.schema("k long, val string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sink_stream_upsert(
+        stream, t, "k", "seq", "cdc", str(tmp_path / "chk1"), n_buckets=4
+    )
+    assert q.awaitTermination(120)
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(1, "A2"), (2, "B"), (3, "c")}
+    v_after = t.latest_version()
+
+    # replay everything from scratch (new checkpoint): stamps skip it all
+    stream2 = (
+        spark.readStream.schema("k long, val string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = sink_stream_upsert(
+        stream2, t, "k", "seq", "cdc", str(tmp_path / "chk2"), n_buckets=4
+    )
+    assert q2.awaitTermination(120)
+    assert t.latest_version() == v_after  # nothing re-applied
+    assert {(r.k, r.val) for r in t.read().collect()} == got
