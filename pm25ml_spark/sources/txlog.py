@@ -185,19 +185,116 @@ class TxTable:
             except CommitConflict:
                 pass
 
-    def append(self, df: DataFrame, max_retries: int = 5) -> int:
-        """Atomic append: new files become visible all-or-nothing."""
+    @staticmethod
+    def _check_stats_cols(dtypes: dict[str, str], stats_cols: list[str]) -> None:
+        ok = ("tinyint", "smallint", "int", "bigint", "float", "double", "string")
+        for c in stats_cols:
+            if dtypes.get(c) not in ok:
+                raise ValueError(
+                    f"stats_cols supports numeric/string columns; "
+                    f"'{c}' is {dtypes.get(c)}"
+                )
+
+    def _file_stats(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max of ``stats_cols`` for the just-written
+        files — ONE Spark job over the new files only (never the
+        table). Numeric and string columns only: their min/max
+        round-trip JSON exactly; anything else raises rather than
+        storing lossy stats a prune would then trust."""
+        paths = [os.path.join(self.path, f) for f in files]
+        df = self.spark.read.parquet(*paths)
+        self._check_stats_cols(dict(df.dtypes), stats_cols)
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        rows = (
+            df.withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            from urllib.parse import unquote, urlparse
+
+            uri = r["__f"]
+            local = unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
+            rel = os.path.relpath(local, self.path)
+            out[rel] = {
+                c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stats_cols
+            }
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Atomic append: new files become visible all-or-nothing.
+        ``stats_cols`` records per-file min/max in the commit entry so
+        :meth:`read_pruned` can skip files at resolution time."""
+        if stats_cols:
+            self._check_stats_cols(dict(df.dtypes), stats_cols)
         files, n = self._write_files(df)
+        entry: dict = {"op": "append", "added": files, "n_rows": n}
+        if stats_cols:
+            entry["stats"] = self._file_stats(files, stats_cols)
         for _ in range(max_retries):
             try:
-                v = self._commit(
-                    {"op": "append", "added": files, "n_rows": n}
-                )
+                v = self._commit(entry)
                 self._maybe_checkpoint(v)
                 return v
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {max_retries} races")
+
+    def file_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Stats for the snapshot's LIVE files (files committed without
+        stats are absent — a prune must treat them as unknowable)."""
+        v, live = self.snapshot(version)
+        live_set = set(live)
+        out: dict[str, dict] = {}
+        for ver in self.versions():
+            if ver > v:
+                break
+            for f, st in self._entry(ver).get("stats", {}).items():
+                if f in live_set:
+                    out[f] = st
+        return out
+
+    def read_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with DATA SKIPPING: live files whose recorded
+        [min, max] of ``col`` cannot intersect [lo, hi] are never
+        opened — the Delta-style stats prune that turns a 100 TB scan
+        into the handful of files a selective predicate actually
+        needs. Files without stats (or with a NULL-only min/max) are
+        read unconditionally; the exact row filter is applied on top,
+        so the result equals ``read().filter(lo <= col <= hi)``
+        regardless of how much pruning was possible."""
+        v, live = self.snapshot(version)
+        if not live:
+            raise ValueError(f"table {self.path} is empty at version {v}")
+        stats = self.file_stats(version)
+        kept = []
+        for f in live:
+            st = stats.get(f, {}).get(col)
+            if st is None or st[0] is None or st[1] is None:
+                kept.append(f)  # unknowable: must read
+            elif not (st[1] < lo or st[0] > hi):
+                kept.append(f)
+        if not kept:
+            # every file provably excluded: empty frame, right schema
+            full = self.read(version)
+            return full.filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in kept]
+        )
+        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def overwrite(self, df: DataFrame, max_retries: int = 5) -> int:
         """Atomic replace: readers see the old snapshot until the single

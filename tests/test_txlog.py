@@ -453,3 +453,61 @@ def test_stream_upsert_cdc_apply_matches_latest_state(spark, tmp_path):
     assert q2.awaitTermination(120)
     assert t.latest_version() == v_after  # nothing re-applied
     assert {(r.k, r.val) for r in t.read().collect()} == got
+
+
+def test_read_pruned_skips_files_and_matches_full_filter(spark, tmp_path):
+    """Data skipping: three appends with disjoint id ranges + stats; a
+    range read must (a) open only the files whose [min,max] intersect
+    and (b) return exactly the rows a full-scan filter returns."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(
+            _df(spark, lo, lo + 50, f"r{lo}").coalesce(1),
+            stats_cols=["id"],
+        )
+    pruned = t.read_pruned("id", 110, 140)
+    want = {
+        tuple(r)
+        for r in t.read()
+        .filter((F.col("id") >= 110) & (F.col("id") <= 140))
+        .collect()
+    }
+    assert {tuple(r) for r in pruned.collect()} == want and len(want) == 31
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files == 1  # the other two ranges were never opened
+    # fully-excluded range: zero files, empty result, stable schema
+    none = t.read_pruned("id", 1000, 2000)
+    assert none.count() == 0 and none.columns == t.read().columns
+
+
+def test_read_pruned_reads_statless_files_unconditionally(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50, "a").coalesce(1), stats_cols=["id"])
+    t.append(_df(spark, 100, 150, "b").coalesce(1))  # no stats
+    got = {r.id for r in t.read_pruned("id", 120, 130).collect()}
+    assert got == set(range(120, 131))  # statless file still consulted
+
+
+def test_file_stats_follow_live_set(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a").coalesce(1), stats_cols=["id", "tag"])
+    stats = t.file_stats()
+    (st,) = stats.values()
+    assert st["id"] == [0, 9] and st["tag"] == ["a", "a"]
+    t.overwrite(_df(spark, 50, 60, "b"))
+    assert t.file_stats() == {}  # retired files drop out
+
+
+def test_append_stats_reject_unsupported_types(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = _df(spark, 0, 5, "a").withColumn("arr", F.array(F.lit(1)))
+    with pytest.raises(ValueError, match="numeric/string"):
+        t.append(df, stats_cols=["arr"])
+    # validation happens BEFORE any file is written: nothing to vacuum,
+    # no orphan part dirs under the table root
+    import os
+
+    debris = [
+        d for d in os.listdir(t.path) if d.startswith("part-")
+    ]
+    assert debris == []
