@@ -499,12 +499,21 @@ class TxTable:
         per-file open/footer cost dominates scans at scale).
 
         Files ≥ target_file_bytes/2 are already fine and are left
-        untouched; the rest are read in ONE Spark job and rewritten as
-        ``ceil(total_small_bytes / target)`` balanced files. The commit
+        untouched; the rest are read and rewritten as
+        ``ceil(small_bytes / target)`` balanced files. The commit
         removes the small files and adds the merged ones — data
         identity is preserved by construction (same rows, new file
         boundaries), old versions still resolve to the original files
         (time travel unaffected; ``vacuum`` reclaims them when retired).
+
+        BUCKET-AWARE: files carrying upsert bucket metadata
+        (``__b=<k>/`` paths) are compacted within their bucket and the
+        merged files keep the bucket path, so compaction never degrades
+        an upserted table back to the full-rewrite bootstrap path —
+        upserts after a compact stay touched-buckets-only. Unbucketed
+        and bucketed small files may coexist (e.g. appends into an
+        upsert table); each group compacts independently in the same
+        single commit.
 
         Concurrency: the commit is PINNED to the snapshot the plan was
         made against. Any interleaved commit fails the pin; if every
@@ -525,11 +534,34 @@ class TxTable:
             ]
             if len(small) < 2:
                 return None
-            total = sum(b for _, b in small)
-            n_out = max(1, _math.ceil(total / target_file_bytes))
-            paths = [os.path.join(self.path, f) for f, _ in small]
-            merged = self.spark.read.parquet(*paths).repartition(n_out)
-            files, n = self._write_files(merged)
+            # group by bucket (None = unbucketed) and rewrite each group
+            # under the SAME bucket path so upsert locality survives
+            groups: dict[int | None, list[tuple[str, int]]] = {}
+            for f, b in small:
+                groups.setdefault(self._file_bucket(f), []).append((f, b))
+            sub = f"part-{uuid.uuid4().hex}"
+            files, n = [], 0
+            for bucket, grp in sorted(
+                groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+            ):
+                total = sum(b for _, b in grp)
+                n_out = max(1, _math.ceil(total / target_file_bytes))
+                paths = [os.path.join(self.path, f) for f, _ in grp]
+                out_dir = os.path.join(
+                    self.path,
+                    sub if bucket is None else os.path.join(sub, f"__b={bucket}"),
+                )
+                merged = self.spark.read.parquet(*paths).repartition(n_out)
+                merged.write.mode("errorifexists").parquet(out_dir)
+                for name in os.listdir(out_dir):
+                    if name.endswith(".parquet"):
+                        files.append(
+                            os.path.relpath(
+                                os.path.join(out_dir, name), self.path
+                            )
+                        )
+                n += self.spark.read.parquet(out_dir).count()
+            files = sorted(files)
             removed = sorted(f for f, _ in small)
             pin = sv
             try:

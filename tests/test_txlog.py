@@ -511,3 +511,30 @@ def test_append_stats_reject_unsupported_types(spark, tmp_path):
         d for d in os.listdir(t.path) if d.startswith("part-")
     ]
     assert debris == []
+
+
+def test_compact_preserves_upsert_bucket_layout(spark, tmp_path):
+    """Compacting an upserted table must keep files bucket-tagged so
+    the NEXT upsert is still touched-buckets-only (not the full
+    bootstrap rewrite a layout loss would force)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for s in range(3):  # several epochs -> several small files per bucket
+        t.upsert(
+            _kv(spark, [(i, f"v{i}s{s}", s) for i in range(s, 30 + s)]),
+            "k",
+            n_buckets=4,
+        )
+    before = {(r.k, r.val) for r in t.read().collect()}
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v is not None
+    _, live = t.snapshot()
+    assert all(t._file_bucket(f) is not None for f in live)
+    assert {(r.k, r.val) for r in t.read().collect()} == before
+    # follow-up single-key upsert stays bucket-local
+    _, live_before = t.snapshot()
+    t.upsert(_kv(spark, [(1, "X", 99)]), "k", n_buckets=4)
+    _, live_after = t.snapshot()
+    retired = set(live_before) - set(live_after)
+    assert len({t._file_bucket(f) for f in retired}) == 1
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert (1, "X") in got and len(got) == len(before)
