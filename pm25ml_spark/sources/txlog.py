@@ -279,7 +279,10 @@ class TxTable:
         v, live = self.snapshot(version)
         if not live:
             raise ValueError(f"table {self.path} is empty at version {v}")
-        stats = self.file_stats(version)
+        # pass the RESOLVED version: re-resolving with the caller's
+        # (often None) would race a concurrent commit and mismatch the
+        # stats set against the file list being pruned
+        stats = self.file_stats(v)
         kept = []
         for f in live:
             st = stats.get(f, {}).get(col)
@@ -330,11 +333,15 @@ class TxTable:
         erased from every later snapshot by a stale checkpoint."""
         for _ in range(max_retries):
             sv, live = self.snapshot()
+            entry = {"op": "checkpoint", "checkpoint": True, "live": live}
+            # propagate the upsert layout so _recorded_buckets stays
+            # O(tail): without this a checkpoint would hide the last
+            # upsert entry from the backward walk
+            nb = self._recorded_buckets(sv)
+            if nb is not None:
+                entry["upsert_buckets"] = nb
             try:
-                return self._commit(
-                    {"op": "checkpoint", "checkpoint": True, "live": live},
-                    at_version=sv + 1,
-                )
+                return self._commit(entry, at_version=sv + 1)
             except CommitConflict:
                 continue
         raise CommitConflict(f"checkpoint lost {max_retries} races")
@@ -385,6 +392,7 @@ class TxTable:
         n_buckets: int = 16,
         max_retries: int = 5,
         _stamp: tuple | None = None,
+        _stamp_floor: int = -1,
     ) -> int:
         """Keyed MERGE (the Delta/Hudi/Iceberg upsert core): rows in
         ``df`` REPLACE live rows with the same key; new keys insert.
@@ -395,17 +403,25 @@ class TxTable:
         files — cost is O(batch ∪ touched-bucket rows), never a full
         table rewrite. A table with unbucketed live files (from
         append/overwrite) is bootstrapped by one full rewrite into the
-        bucketed layout; a different ``n_buckets`` than the table's
-        recorded layout raises rather than silently mixing bucket
-        meanings. Duplicate keys within one batch raise (which row wins
-        would be shuffle-order-dependent).
+        bucketed layout; a different ``n_buckets`` than the LIVE
+        bucketed layout raises rather than silently mixing bucket
+        meanings (a fully-overwritten table has no bucketed live files
+        and accepts any n_buckets — the bootstrap rewrites everything).
+        Duplicate keys within one batch raise (which row wins would be
+        shuffle-order-dependent). An EMPTY batch never rewrites files:
+        it is a pure no-op, except that a stamped empty epoch still
+        commits a zero-file entry so replays skip it.
 
         Commits are pinned like overwrite/compact: an interleaved
         commit forces a full re-plan, and non-committed rewrites are
         deleted immediately (vacuum never sees unreferenced files).
         ``_stamp`` is the streaming sink's (query, epoch) idempotence
-        mark — on a conflict the stamp is re-checked so a replayed
-        epoch that lost the race returns instead of double-applying."""
+        mark; the stamp check is ATOMIC with the commit because it is
+        performed against the same snapshot version the commit is
+        pinned to — a replay that lands in between fails the pin and
+        re-checks. ``_stamp_floor`` is the version the CALLER already
+        scanned for stamps, so in-upsert scans only open entries above
+        it (O(new commits), not O(history))."""
         n_rows = df.count()
         n_keys = df.select(key_col).distinct().count()
         if n_keys != n_rows:
@@ -420,18 +436,53 @@ class TxTable:
             r[0] for r in batch.select("__b").distinct().collect()
         )
 
+        def stamp_at(upto: int) -> int | None:
+            """Version ≤ upto carrying _stamp, scanning only above the
+            caller's floor."""
+            if _stamp is None:
+                return None
+            for ev in self.versions():
+                if _stamp_floor < ev <= upto:
+                    sb = self._entry(ev).get("stream_batch")
+                    if sb and tuple(sb) == _stamp:
+                        return ev
+            return None
+
         for _ in range(max_retries):
             sv, live = self.snapshot()
-            recorded = None
-            for e in reversed(self.history()):
-                if e.get("upsert_buckets"):
-                    recorded = int(e["upsert_buckets"])
-                    break
-            if recorded is not None and recorded != n_buckets:
-                raise ValueError(
-                    f"table is laid out with {recorded} buckets; "
-                    f"got n_buckets={n_buckets}"
-                )
+            # atomic idempotence: check the stamp against the SAME
+            # version the commit below is pinned to
+            won = stamp_at(sv)
+            if won is not None:
+                return won
+            # layout check against the LIVE set: only live bucketed
+            # files constrain n_buckets, and their bucket count is the
+            # most recent upsert entry's (bucket paths only ever come
+            # from upsert, or compact preserving upsert's)
+            if any(self._file_bucket(f) is not None for f in live):
+                recorded = self._recorded_buckets(sv)
+                if recorded is not None and recorded != n_buckets:
+                    raise ValueError(
+                        f"table is laid out with {recorded} buckets; "
+                        f"got n_buckets={n_buckets}"
+                    )
+            if n_rows == 0:
+                if _stamp is None:
+                    return sv  # pure no-op
+                entry = {
+                    "op": "upsert",
+                    "added": [],
+                    "removed": [],
+                    "n_rows": 0,
+                    "upsert_buckets": n_buckets,
+                    "stream_batch": list(_stamp),
+                }
+                try:
+                    v = self._commit(entry, at_version=sv + 1)
+                    self._maybe_checkpoint(v)
+                    return v
+                except CommitConflict:
+                    continue
             legacy = [f for f in live if self._file_bucket(f) is None]
             if legacy:
                 # bootstrap: fold the WHOLE unbucketed table into the
@@ -473,21 +524,33 @@ class TxTable:
                     files = []
                     return v
                 except CommitConflict:
-                    if _stamp is not None:
-                        for ev in self.versions():
-                            sb = self._entry(ev).get("stream_batch")
-                            if sb and tuple(sb) == _stamp:
-                                return ev  # a replay of this epoch won
-                    continue  # re-plan against the advanced log
+                    continue  # re-plan (and re-check the stamp) above
             finally:
                 if files:
                     import shutil
 
                     shutil.rmtree(
-                        os.path.join(self.path, os.path.dirname(files[0]).split(os.sep)[0]),
+                        os.path.join(
+                            self.path, files[0].split(os.sep)[0]
+                        ),
                         ignore_errors=True,
                     )
         raise CommitConflict(f"upsert lost {max_retries} races")
+
+    def _recorded_buckets(self, upto: int) -> int | None:
+        """Bucket count of the table's upsert layout: the most recent
+        entry ≤ upto carrying ``upsert_buckets``. Scans BACKWARD and
+        stops at the first carrier or checkpoint (checkpoints propagate
+        the field — see :meth:`checkpoint`), so the walk is O(tail)."""
+        for v in reversed(self.versions()):
+            if v > upto:
+                continue
+            e = self._entry(v)
+            if e.get("upsert_buckets"):
+                return int(e["upsert_buckets"])
+            if e.get("checkpoint"):
+                return None
+        return None
 
     def compact(
         self, target_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5
@@ -532,13 +595,19 @@ class TxTable:
             small = [
                 (f, b) for f, b in sized if b < target_file_bytes // 2
             ]
-            if len(small) < 2:
-                return None
             # group by bucket (None = unbucketed) and rewrite each group
-            # under the SAME bucket path so upsert locality survives
+            # under the SAME bucket path so upsert locality survives.
+            # The <2 guard applies PER GROUP: a bucket already holding
+            # one merged file is converged and must not be rewritten on
+            # every maintenance call (that would commit a fresh version
+            # and churn bytes forever on the periodic-compact loop).
             groups: dict[int | None, list[tuple[str, int]]] = {}
             for f, b in small:
                 groups.setdefault(self._file_bucket(f), []).append((f, b))
+            groups = {k: g for k, g in groups.items() if len(g) >= 2}
+            small = [fb for g in groups.values() for fb in g]
+            if not groups:
+                return None
             sub = f"part-{uuid.uuid4().hex}"
             files, n = [], 0
             for bucket, grp in sorted(
@@ -591,14 +660,14 @@ class TxTable:
             finally:
                 # any path that did not commit leaves the rewrite
                 # unreferenced by every log entry — vacuum never sees
-                # such files, so drop the whole private part- dir here
+                # such files, so drop the whole private part- dir (ALL
+                # bucket subdirs, not just the first file's parent)
                 if files:
                     import shutil
 
-                    sub = os.path.join(
-                        self.path, os.path.dirname(files[0])
+                    shutil.rmtree(
+                        os.path.join(self.path, sub), ignore_errors=True
                     )
-                    shutil.rmtree(sub, ignore_errors=True)
         raise CommitConflict(f"compact lost {max_retries} races")
 
     def vacuum(self) -> list[str]:
@@ -620,6 +689,34 @@ class TxTable:
             if os.path.exists(p):
                 os.remove(p)
         return dead
+
+
+class _StampCache:
+    """Incremental (query, epoch) stamp index over a table's commit log
+    — the shared idempotence bookkeeping for the streaming sinks. Log
+    entries are opened once each across the stream's lifetime
+    (O(new commits) per epoch, never O(history))."""
+
+    def __init__(self, table: TxTable):
+        self.table = table
+        self.scanned = -1
+        self.stamps: set[tuple] = set()
+
+    def _refresh(self) -> None:
+        for v in self.table.versions():
+            if v > self.scanned:
+                sb = self.table._entry(v).get("stream_batch")
+                if sb:
+                    self.stamps.add(tuple(sb))
+                self.scanned = v
+
+    def seen(self, stamp: tuple) -> bool:
+        self._refresh()
+        return stamp in self.stamps
+
+    def record(self, stamp: tuple, version: int) -> None:
+        self.stamps.add(stamp)
+        self.scanned = max(self.scanned, version)
 
 
 def sink_stream_exactly_once(
@@ -651,20 +748,11 @@ def sink_stream_exactly_once(
     Returns the StreamingQuery (caller awaits termination).
     """
 
-    state = {"scanned": -1, "stamps": set()}
-
-    def refresh() -> None:
-        for v in table.versions():
-            if v > state["scanned"]:
-                sb = table._entry(v).get("stream_batch")
-                if sb:
-                    state["stamps"].add(tuple(sb))
-                state["scanned"] = v
+    cache = _StampCache(table)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         stamp = (query_name, int(batch_id))
-        refresh()
-        if stamp in state["stamps"]:
+        if cache.seen(stamp):
             return
         files, n = table._write_files(batch_df)
         while True:
@@ -676,14 +764,12 @@ def sink_stream_exactly_once(
                         "n_rows": n,
                         "stream_batch": list(stamp),
                     },
-                    at_version=state["scanned"] + 1,
+                    at_version=cache.scanned + 1,
                 )
-                state["scanned"] = v
-                state["stamps"].add(stamp)
+                cache.record(stamp, v)
                 return
             except CommitConflict:
-                refresh()
-                if stamp in state["stamps"]:  # the racer was our replay
+                if cache.seen(stamp):  # the racer was our replay
                     return
 
     writer = (
@@ -711,29 +797,27 @@ def sink_stream_upsert(
     within a batch, batch rows replace table rows), with the same
     (query, epoch) stamp idempotence as :func:`sink_stream_exactly_once`
     so a replayed epoch is skipped, and the stamp is re-checked inside
-    :meth:`TxTable.upsert`'s conflict path so an interleaved replay of
-    the SAME epoch can never double-apply. Per-batch cost is bounded by
-    the touched buckets, not the table (see upsert's docstring)."""
+    :meth:`TxTable.upsert` against the same snapshot its commit is
+    pinned to, so an interleaved replay of the SAME epoch can never
+    double-apply. Per-batch cost is bounded by the touched buckets, not
+    the table (see upsert's docstring)."""
 
-    state = {"scanned": -1, "stamps": set()}
-
-    def refresh() -> None:
-        for v in table.versions():
-            if v > state["scanned"]:
-                sb = table._entry(v).get("stream_batch")
-                if sb:
-                    state["stamps"].add(tuple(sb))
-                state["scanned"] = v
+    cache = _StampCache(table)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         stamp = (query_name, int(batch_id))
-        refresh()
-        if stamp in state["stamps"]:
+        if cache.seen(stamp):
             return
         # a CDC stream can carry several updates for one key in a batch;
-        # keep the last by ``order_col`` (must be unique per key, e.g.
-        # an event id or change sequence number) so the upsert's
-        # unique-key contract holds deterministically
+        # keep the last by ``order_col``, whose uniqueness per key is
+        # ENFORCED (a tie would make max_by pick shuffle-order-
+        # dependently — silent nondeterministic table state)
+        n_pairs = batch_df.select(key_col, order_col).distinct().count()
+        if batch_df.count() != n_pairs:
+            raise ValueError(
+                f"duplicate ({key_col}, {order_col}) rows in micro-batch "
+                f"{batch_id}: latest-wins would be nondeterministic"
+            )
         w_last = batch_df.groupBy(key_col).agg(
             F.max_by(
                 F.struct([c for c in batch_df.columns if c != key_col]),
@@ -741,10 +825,14 @@ def sink_stream_upsert(
             ).alias("__rest")
         )
         deduped = w_last.select(key_col, "__rest.*")
-        table.upsert(
-            deduped, key_col, n_buckets=n_buckets, _stamp=stamp
+        v = table.upsert(
+            deduped,
+            key_col,
+            n_buckets=n_buckets,
+            _stamp=stamp,
+            _stamp_floor=cache.scanned,
         )
-        state["stamps"].add(stamp)
+        cache.record(stamp, v)
 
     writer = (
         stream_df.writeStream.foreachBatch(commit_batch)

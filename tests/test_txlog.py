@@ -363,16 +363,15 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     _, live_after = t.snapshot()
     survivors = set(live_before) & set(live_after)
     retired = set(live_before) - survivors
-    # the single-key batch touches ONE bucket: every retired file
-    # belongs to that bucket, every other bucket's files survive
-    assert retired and {t._file_bucket(f) for f in retired} == {
-        t._file_bucket(f) for f in retired
-    } and len({t._file_bucket(f) for f in retired}) == 1
-    untouched = {t._file_bucket(f) for f in live_before} - {
-        t._file_bucket(f) for f in retired
-    }
+    # the single-key batch touches exactly key 1's bucket: every
+    # retired file belongs to THAT bucket (computed the same way the
+    # operator plans it), every other bucket's files survive
+    key_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(8)).cast("int")
+    ).first()[0]
+    assert retired and {t._file_bucket(f) for f in retired} == {key_bucket}
     for f in live_before:
-        if t._file_bucket(f) in untouched:
+        if t._file_bucket(f) != key_bucket:
             assert f in survivors
     got = {(r.k, r.val) for r in t.read().collect()}
     assert (1, "X") in got and len(got) == 40
@@ -538,3 +537,85 @@ def test_compact_preserves_upsert_bucket_layout(spark, tmp_path):
     assert len({t._file_bucket(f) for f in retired}) == 1
     got = {(r.k, r.val) for r in t.read().collect()}
     assert (1, "X") in got and len(got) == len(before)
+
+
+def test_upsert_stamp_check_is_atomic_with_pin(spark, tmp_path):
+    """The double-apply hole: replay B snapshots AFTER replay A's
+    stamped commit landed. B's upsert must detect A's stamp at its own
+    pinned snapshot and return A's version instead of re-applying."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(1, "a", 1)]), "k", n_buckets=4)
+    # replay A applies epoch 7
+    va = t.upsert(_kv(spark, [(1, "A", 2)]), "k", n_buckets=4, _stamp=("q", 7))
+    # replay B arrives late with the same epoch and a stale floor
+    vb = t.upsert(
+        _kv(spark, [(1, "A", 2)]), "k", n_buckets=4, _stamp=("q", 7), _stamp_floor=-1
+    )
+    assert vb == va  # returned the winner, no second stamped commit
+    stamped = [
+        e["version"] for e in t.history() if e.get("stream_batch") == ["q", 7]
+    ]
+    assert stamped == [va]
+
+
+def test_upsert_empty_batch_is_noop_unless_stamped(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    v0 = t.upsert(_kv(spark, [(1, "a", 1)]), "k", n_buckets=4)
+    empty = spark.createDataFrame([], "k long, val string, seq long")
+    assert t.upsert(empty, "k", n_buckets=4) == v0  # no commit
+    assert t.latest_version() == v0
+    v1 = t.upsert(empty, "k", n_buckets=4, _stamp=("q", 3))
+    assert v1 == v0 + 1  # stamped: zero-file entry recorded
+    e = t.history()[-1]
+    assert e["added"] == [] and e["n_rows"] == 0
+    assert {(r.k, r.val) for r in t.read().collect()} == {(1, "a")}
+
+
+def test_upsert_after_overwrite_accepts_new_bucket_count(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(1, "a", 1)]), "k", n_buckets=8)
+    t.overwrite(_kv(spark, [(2, "b", 1)]))  # retires every bucketed file
+    v = t.upsert(_kv(spark, [(3, "c", 1)]), "k", n_buckets=16)  # must not raise
+    assert v == t.latest_version() or t.history()[-1]["op"] == "checkpoint"
+    _, live = t.snapshot()
+    assert all(t._file_bucket(f) is not None for f in live)
+    assert {(r.k, r.val) for r in t.read().collect()} == {(2, "b"), (3, "c")}
+
+
+def test_compact_converges_on_bucketed_table(spark, tmp_path):
+    """Second compact of an already-merged bucketed table is a no-op —
+    the periodic maintenance loop must not churn versions forever."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for s in range(2):
+        t.upsert(_kv(spark, [(i, f"v{s}", s) for i in range(20)]), "k", n_buckets=4)
+    assert t.compact(target_file_bytes=1 << 30) is not None
+    v = t.latest_version()
+    assert t.compact(target_file_bytes=1 << 30) is None  # converged
+    assert t.latest_version() == v
+
+
+def test_sink_upsert_rejects_tied_order_col(spark, tmp_path):
+    import glob as _glob
+    import os
+    import shutil
+
+    from pm25ml_spark.sources.txlog import sink_stream_upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    scratch = str(tmp_path / "s0")
+    _kv(spark, [(1, "a", 5), (1, "b", 5)]).coalesce(1).write.parquet(scratch)
+    (part,) = _glob.glob(f"{scratch}/part-*.parquet")
+    shutil.move(part, f"{src}/00.parquet")
+    t = TxTable(spark, str(tmp_path / "t"))
+    stream = (
+        spark.readStream.schema("k long, val string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sink_stream_upsert(
+        stream, t, "k", "seq", "tied", str(tmp_path / "chk"), n_buckets=4
+    )
+    with pytest.raises(Exception, match="nondeterministic|StreamingQuery"):
+        q.awaitTermination(120)
+        raise RuntimeError("StreamingQuery should have failed")
