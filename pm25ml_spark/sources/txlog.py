@@ -616,9 +616,14 @@ class TxTable:
                 total = sum(b for _, b in grp)
                 n_out = max(1, _math.ceil(total / target_file_bytes))
                 paths = [os.path.join(self.path, f) for f, _ in grp]
+                # the unbucketed group gets its own subdir ("u" — no
+                # __b= so _file_bucket still reads None): writing to
+                # `sub` itself would PATH_ALREADY_EXISTS once a bucketed
+                # group has created it as a parent
                 out_dir = os.path.join(
                     self.path,
-                    sub if bucket is None else os.path.join(sub, f"__b={bucket}"),
+                    sub,
+                    "u" if bucket is None else f"__b={bucket}",
                 )
                 merged = self.spark.read.parquet(*paths).repartition(n_out)
                 merged.write.mode("errorifexists").parquet(out_dir)

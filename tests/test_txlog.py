@@ -619,3 +619,58 @@ def test_sink_upsert_rejects_tied_order_col(spark, tmp_path):
     with pytest.raises(Exception, match="nondeterministic|StreamingQuery"):
         q.awaitTermination(120)
         raise RuntimeError("StreamingQuery should have failed")
+
+
+def test_randomized_interleavings_with_upserts(spark, tmp_path):
+    """Fuzz the FULL writer surface (append / overwrite / upsert /
+    compact / checkpoint) across two table handles with a keyed row
+    model: after every step the table must equal the model exactly —
+    upserts replace by key, appends insert fresh keys, overwrites reset,
+    compaction/checkpoints never change data."""
+    import random
+
+    rng = random.Random(20260815)
+    t1 = TxTable(spark, str(tmp_path / "t"))
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    expected: dict[int, str] = {}
+    seq = 0
+    for step in range(16):
+        writer = t1 if rng.random() < 0.5 else t2
+        op = rng.choice(
+            ["append", "upsert", "upsert", "overwrite", "compact", "checkpoint"]
+        )
+        tag = f"s{seq}"
+        if op == "append":
+            lo = seq * 10
+            writer.append(_df(spark, lo, lo + 3, tag))
+            expected.update({i: tag for i in range(lo, lo + 3)})
+            seq += 1
+        elif op == "upsert":
+            pool = list(expected) or [0]
+            ids = sorted(
+                set(rng.sample(pool, min(3, len(pool))) + [seq * 10 + 5])
+            )
+            writer.upsert(
+                spark.createDataFrame(
+                    [(i, tag) for i in ids], "id long, tag string"
+                ),
+                "id",
+                n_buckets=4,
+            )
+            expected.update({i: tag for i in ids})
+            seq += 1
+        elif op == "overwrite":
+            lo = seq * 10
+            writer.overwrite(_df(spark, lo, lo + 2, tag))
+            expected = {i: tag for i in range(lo, lo + 2)}
+            seq += 1
+        elif op == "compact":
+            writer.compact(target_file_bytes=1 << 30)
+        else:
+            if writer.latest_version() is not None:
+                writer.checkpoint()
+        if expected:
+            got = {(r.id, r.tag) for r in t1.read().collect()}
+            assert got == set(expected.items()), (step, op, len(got))
+    vs = t1.versions()
+    assert vs == list(range(len(vs)))
