@@ -1,0 +1,193 @@
+"""Oracle-checked STREAMING and STORAGE queries (beyond-reference ops).
+
+Until round 7 the Structured-Streaming operators and the transaction-log
+storage layer were verified only by pytest (streaming-vs-batch duals,
+race fuzzes) — no tabular oracle shape reached the external correctness
+driver. These entries close that gap: each one RUNS the real streaming /
+storage machinery end-to-end and returns the materialized result as a
+batch DataFrame, with a DuckDB oracle computing the same answer
+relationally. The streaming drains use ``Trigger.AvailableNow`` into a
+memory sink (complete mode — watermark-independent, so the emitted set
+is exactly the full-data answer); the storage query commits real
+versioned upsert batches to a fresh ``TxTable`` and reads the final
+snapshot back.
+
+Determinism: session windows and hourly windows are pure functions of
+event time; float totals go through the DECIMAL exact-sum helpers; the
+upsert result is latest-batch-wins over deterministic key-range batches.
+
+Scale notes: the session/hourly aggregations carry watermarks, so on an
+unbounded stream state is O(open windows), not O(stream); the upsert's
+cost is O(touched buckets), never a full-table rewrite (SCALING.md,
+``sources/txlog.py``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+from pm25ml_spark.functions.exact import dsum
+from pm25ml_spark.plans.registry import query
+
+_GAP_US = 1_800_000_000  # 30 minutes
+_HOUR_US = 3_600_000_000
+
+
+def _drain(sess_df: DataFrame, tag: str) -> DataFrame:
+    """AvailableNow-drain a streaming frame into a uniquely-named memory
+    sink and return the materialized table. The uuid suffix keeps
+    repeated invocations in one session (bench + parity + driver) from
+    colliding on the sink name or checkpoint dir."""
+    from pm25ml_spark.streaming.events import run_available_now
+
+    name = f"{tag}_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        sess_df, name, tempfile.mkdtemp(prefix=f"{tag}_chk_")
+    )
+    return sess_df.sparkSession.table(name)
+
+
+# --------------------------------------------------------------------------
+# st01 — native session windows on the live streaming path. Same session
+# semantics as the batch w09 plan (gap-merge when the next event starts
+# within <gap> of the running session end), but computed by Spark's
+# streaming SessionWindow state operator over a file-source stream. The
+# oracle is the relational gaps-and-islands formulation; session_end is
+# last-event-time + gap (the session_window contract).
+@query(
+    "st01_stream_sessions",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        > {_GAP_US}
+                     OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.streaming.events import (
+        read_events_stream,
+        session_windows,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sess = session_windows(stream, gap="30 minutes", watermark="2 hours")
+    out = sess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+    return _drain(out, "st01")
+
+
+# --------------------------------------------------------------------------
+# st02 — watermarked tumbling-window aggregation on the live streaming
+# path (the 2.11 windowed_counts operator, oracle-checked): hourly event
+# count + exact-decimal value total per event_type. complete-mode drain,
+# so the memory table holds every window regardless of watermark cutoffs.
+@query(
+    "st02_stream_hourly_volume",
+    f"""
+    SELECT CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) * {_HOUR_US} AS hour_start_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st02_stream_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("hour_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, "st02")
+
+
+# --------------------------------------------------------------------------
+# d12 — keyed MERGE through the transaction-log table (the lakehouse
+# upsert core, oracle-checked): seed a bucketed TxTable with a base
+# snapshot of orders, commit two upsert batches (each updates some live
+# keys and inserts new ones), read the final snapshot back. Batches are
+# deterministic key-range slices, so the latest-batch-wins state is a
+# pure CASE expression in SQL. The +10000/+20000 price deltas are exact
+# in IEEE-754 double, so values survive the parquet round-trips bit-for-
+# bit. Each invocation builds its own table in a fresh temp dir (the
+# returned frame lazily reads those files — they must outlive the call).
+@query(
+    "d12_txlog_upsert_merge",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 8 IN (2, 3) THEN o_totalprice + 20000.0
+                WHEN o_orderkey % 4 IN (1, 3) THEN o_totalprice + 10000.0
+                ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 8 IN (2, 3) THEN 'b2'
+                WHEN o_orderkey % 4 IN (1, 3) THEN 'b1'
+                ELSE 'base' END AS src
+    FROM orders
+    """,
+)
+def d12_txlog_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 4 != 3).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    b1 = orders.filter((k % 4 == 1) | (k % 4 == 3)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10000.0).alias("price"),
+        F.lit("b1").alias("src"),
+    )
+    b2 = orders.filter((k % 8 == 2) | (k % 8 == 3)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 20000.0).alias("price"),
+        F.lit("b2").alias("src"),
+    )
+    table = TxTable(spark, tempfile.mkdtemp(prefix="d12_tx_"))
+    table.overwrite(base)
+    table.upsert(b1, "o_orderkey", n_buckets=16)
+    table.upsert(b2, "o_orderkey", n_buckets=16)
+    return table.read().select("o_orderkey", "price", "src")

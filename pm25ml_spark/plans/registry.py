@@ -63,3 +63,4 @@ def load_all_plans() -> None:
     import pm25ml_spark.plans.text  # noqa: F401
     import pm25ml_spark.plans.sketches  # noqa: F401
     import pm25ml_spark.plans.raster  # noqa: F401
+    import pm25ml_spark.plans.live  # noqa: F401

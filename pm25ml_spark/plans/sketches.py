@@ -319,3 +319,91 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_intersection",
         F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
     )
+
+
+# --------------------------------------------------------------------------
+# sk05 — bounded-memory quantile sketch: a bottom-k-by-hash uniform
+# sample per group (the mergeable sample under KMV — deterministic,
+# engine-portable), then order statistics read off the sample. This is
+# the quantile member of the sketch family (the role KLL/t-digest play
+# in production sketch libraries) in a form whose ESTIMATE is
+# bit-identical across engines: the sample is a pure function of md5 and
+# the quantile rule is the explicit order statistic at rank
+# ceil(q * n_sample). Memory is O(k) per group at every stage; the
+# per-group rank windows run on ≤ k rows after the salt-lane prune
+# inside stratified_cap_k, never on the corpus.
+def _sk05_oracle() -> str:
+    k = _SKQ_K
+    sel = ", ".join(
+        f"MAX(CASE WHEN vr = ({num} * n + {den} - 1) // {den} "
+        f"THEN value END) AS {name}"
+        for name, num, den in _SKQ_QUANTILES
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, event_id, value,
+               ('0x' || substr(md5('skq:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE value IS NOT NULL
+    ),
+    sample AS (
+        SELECT event_type, event_id, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY h, event_id) AS rk
+              FROM hashed)
+        WHERE rk <= {k}
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS vr,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM sample
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample, {sel}
+    FROM ranked GROUP BY event_type
+    """
+
+
+_SKQ_K = 200
+# (output column, ceil-numerator, ceil-denominator): rank = ceil(num*n/den)
+_SKQ_QUANTILES = (("est_p25", 1, 4), ("est_p50", 1, 2), ("est_p75", 3, 4))
+
+
+@query("sk05_sample_quantiles", _sk05_oracle())
+def sk05_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pm25ml_spark.operators.sampling import stratified_cap_k
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    samp = stratified_cap_k(
+        ev, "event_type", "event_id", k=_SKQ_K, seed="skq"
+    ).drop("rk")
+    # per-group value-rank windows over the ≤ k-row sample only
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = samp.withColumn("vr", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                # integer ceil(num*n/den): floor-divide AFTER the +den-1
+                # bump ('/' alone is double division and would compare a
+                # long rank against a fractional value)
+                F.col("vr")
+                == F.floor(
+                    (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
+                ).cast("long"),
+                F.col("value"),
+            )
+        ).alias(name)
+        for name, num, den in _SKQ_QUANTILES
+    ]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_sample"), *aggs
+    )
