@@ -1,8 +1,9 @@
-"""Oracle-checked STREAMING and STORAGE queries (beyond-reference ops).
+"""Oracle-checked STREAMING, STORAGE, and MULTIMODAL queries.
 
-Until round 7 the Structured-Streaming operators and the transaction-log
-storage layer were verified only by pytest (streaming-vs-batch duals,
-race fuzzes) — no tabular oracle shape reached the external correctness
+Until round 7 the Structured-Streaming operators, the transaction-log
+storage layer, and the multimodal binary-column kernels were verified
+only by pytest (streaming-vs-batch duals, race fuzzes, codec round-
+trips) — no tabular oracle shape reached the external correctness
 driver. These entries close that gap: each one RUNS the real streaming /
 storage machinery end-to-end and returns the materialized result as a
 batch DataFrame, with a DuckDB oracle computing the same answer
@@ -191,3 +192,136 @@ def d12_txlog_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.upsert(b1, "o_orderkey", n_buckets=16)
     table.upsert(b2, "o_orderkey", n_buckets=16)
     return table.read().select("o_orderkey", "price", "src")
+
+
+# --------------------------------------------------------------------------
+# st03 — streaming exact dedup ACROSS micro-batches: the events file is
+# staged twice into a fresh stream directory (two micro-batches with
+# maxFilesPerTrigger=1), so every event_id arrives again one batch
+# later; dropDuplicatesWithinWatermark must eliminate the entire second
+# batch through the state store (first-arrival rows are identical to
+# their duplicates, so which one wins cannot change values). The drained
+# rows then aggregate batch-side to per-type counts + exact-decimal
+# totals, and the oracle is simply the same aggregate over the ORIGINAL
+# table — equality proves the dedup state removed exactly the duplicate
+# batch, no more, no less. State is bounded by the 10-day watermark
+# (O(keys per watermark horizon), the only viable shape on an unbounded
+# ingest).
+@query(
+    "st03_stream_dedup_totals",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st03_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pm25ml_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st03_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events2.parquet")
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events*.parquet"
+    )
+    deduped = dedup_stream(stream, watermark="10 days", keys=("event_id",))
+    name = f"st03_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        deduped, name, tempfile.mkdtemp(prefix="st03_chk_"),
+        output_mode="append",
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# mm01 — the multimodal column pipeline, oracle-checked end-to-end:
+# render a REAL binary PGM payload per document (deterministic pixel
+# formula of doc_id), thumbnail it with the nearest-neighbour resize
+# kernel (which exercises the from-spec P5 decoder on every payload),
+# then run the feature-extraction kernel over the resized frames. All
+# three stages are Arrow-batched mapInPandas over a binary column — the
+# exact plumbing shape of a 100 TB image corpus (payloads never leave
+# the executors; only 6 small feature doubles come back). The oracle
+# re-derives every statistic relationally from the pixel formula at the
+# resized sample positions (16→8 nearest-neighbour keeps even indices:
+# yi = floor(i*16/8) = 2i). Every arithmetic step lands on dyadic
+# rationals (integer pixel sums over 64 cells, /64 divisions, squares
+# within 53 bits), so mean/std/p_low are bit-identical across numpy,
+# Spark, and DuckDB — the 6-dp round is belt-and-braces, not a fudge.
+_MM_W = 16  # rendered size; resized to _MM_W//2
+def _mm01_oracle() -> str:
+    w = _MM_W
+    return f"""
+    WITH px AS (
+        SELECT d.doc_id,
+               (d.doc_id * 31 + (2 * r.r) * 7 + (2 * c.c) * 3) % 251 AS v
+        FROM documents d,
+             UNNEST(range({w // 2})) AS r(r),
+             UNNEST(range({w // 2})) AS c(c)
+    )
+    SELECT doc_id AS media_id,
+           ROUND(AVG(v), 6) AS mean_intensity,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v) - AVG(v) * AVG(v)), 6)
+               AS std_intensity,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v < 64) AS DOUBLE) / COUNT(*), 6)
+               AS p_low,
+           1.0 AS aspect_ratio
+    FROM px GROUP BY doc_id
+    """
+
+
+@query("mm01_image_decode_stats", _mm01_oracle())
+def mm01_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+
+    from pm25ml_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_payloads,
+    )
+
+    w = _MM_W
+
+    def render(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        header = f"P5\n{w} {w}\n255\n".encode()
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                r = np.arange(w, dtype=np.int64).reshape(-1, 1)
+                c = np.arange(w, dtype=np.int64).reshape(1, -1)
+                img = ((int(did) * 31 + r * 7 + c * 3) % 251).astype(np.uint8)
+                payload = header + img.tobytes()
+                rows.append(
+                    (int(did), "image", "pgm", w, w, len(payload),
+                     bytearray(payload))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(render, schema=MEDIA_SCHEMA)
+    small = resize_payloads(media, w // 2, w // 2)
+    feats = extract_features(small)
+    return feats.select(
+        "media_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        F.round("p_low", 6).alias("p_low"),
+        F.round("aspect_ratio", 6).alias("aspect_ratio"),
+    )
