@@ -612,3 +612,24 @@ def test_dd14_rank_join_is_equi_and_window_free(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm01_payload_never_leaves_python_boundary(spark, sf_dir):
+    """The multimodal pipeline must scan ONLY doc_id from documents (the
+    payload is synthesized executor-side) — at 100 TB the text column
+    would be dead I/O on every media pass."""
+    df = QUERIES["mm01_image_decode_stats"](spark, sf_dir)
+    plan = physical_plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_sk05_windows_all_partitioned(spark, sf_dir):
+    """The quantile sketch's rank windows run per (group, lane) and per
+    group over ≤ k sampled rows — never an unpartitioned corpus frame."""
+    df = QUERIES["sk05_sample_quantiles"](spark, sf_dir)
+    jplan = df._jdf.queryExecution().executedPlan()
+    for n in _walk_physical(jplan):
+        if n.getClass().getSimpleName() == "WindowExec":
+            assert n.partitionSpec().size() > 0, "unpartitioned window in sk05"
