@@ -1252,3 +1252,164 @@ def q23_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
     errs = ev.filter(F.col("event_type") == "error").select("user_id")
     return clicks.intersect(buys).subtract(errs)
+
+
+# --------------------------------------------------------------------------
+# q24 — bilateral volume shipping (TPC-H Q7 shape): revenue flowing
+# between two specific nations, by (supplier nation, customer nation,
+# ship year). Exercises the 5-way dim+fact join tree with BOTH fact
+# tables large (lineitem ⋈ orders shuffles on orderkey; every dim side
+# broadcasts) and a disjunctive cross-nation predicate that must not
+# collapse to a cartesian anywhere. Year buckets come from the shipdate
+# so partition pruning applies when the fact table is date-partitioned.
+_Q24_A, _Q24_B = "NATION_1", "NATION_2"
+
+
+@query(
+    "q24_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {dsum_expr("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{_Q24_A}' AND n2.n_name = '{_Q24_B}')
+        OR (n1.n_name = '{_Q24_B}' AND n2.n_name = '{_Q24_A}'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q24_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == _Q24_A)
+                & (F.col("cust_nation") == _Q24_B)
+            )
+            | (
+                (F.col("supp_nation") == _Q24_B)
+                & (F.col("cust_nation") == _Q24_A)
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — national market share (TPC-H Q8 shape): within one region's
+# customers and one part type, the share of yearly revenue supplied by
+# one nation. The share is a ratio of two exact-decimal sums (one
+# conditional), so the double result is bit-identical across engines;
+# the 6-dp round matches the repo's portable-ratio convention.
+_Q25_NATION, _Q25_REGION, _Q25_TYPE = "NATION_3", "AMERICA", "ECONOMY"
+
+
+@query(
+    "q25_market_share",
+    f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND({dsum_expr(
+               "CASE WHEN n2.n_name = '" + _Q25_NATION + "' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {dsum_expr("l.l_extendedprice * (1 - l.l_discount)")}, 6)
+             AS mkt_share,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = '{_Q25_REGION}'
+      AND p.p_type = '{_Q25_TYPE}'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q25_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    partt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q25_TYPE
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q25_REGION
+    )
+    cust_in_region = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk2"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp.s_nationkey == F.col("s_nk2"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(partt.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.round(
+            dsum(F.when(F.col("supp_nation") == _Q25_NATION, rev).otherwise(0.0))
+            / dsum(rev),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
