@@ -429,3 +429,41 @@ def test_grouped_quantiles_null_and_nan_groups_coexist(spark):
         key = "nan" if r.g is not None else "null"
         wm[key] = r.wmedian
     assert wm == {"null": 4.0, "nan": 4.5}, wm
+
+
+def _run_twice_hash_stable(spark, sf_dir, name):
+    """Two INDEPENDENT invocations of a catalog query (fresh plans, fresh
+    side effects — new txlog dirs, new streaming drains) must produce the
+    identical sorted value set: what the driver's per-round value hash
+    requires across rounds."""
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+
+    def snap():
+        df = QUERIES[name](spark, sf_dir)
+        return sorted(
+            tuple(str(v) for v in row) for row in df.collect()
+        )
+
+    assert snap() == snap(), f"{name}: two invocations disagree"
+
+
+def test_d12_txlog_upsert_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "d12_txlog_upsert_merge")
+
+
+def test_st01_stream_sessions_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "st01_stream_sessions")
+
+
+def test_st03_stream_dedup_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "st03_stream_dedup_totals")
+
+
+def test_mm01_multimodal_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "mm01_image_decode_stats")
+
+
+def test_sk05_sample_quantiles_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "sk05_sample_quantiles")
