@@ -325,3 +325,69 @@ def mm01_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_low", 6).alias("p_low"),
         F.round("aspect_ratio", 6).alias("aspect_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# st04 — CUSTOM stateful operator (applyInPandasWithState), oracle-
+# checked across real micro-batch boundaries: the events table is staged
+# as two chronological halves (two micro-batches), so roughly every
+# user's state is built up across batches, not within one. The kernel
+# carries integer-exact accumulators (count + event_id checksum) in the
+# state store and re-emits a user's running totals each batch it appears
+# in (update mode); totals are strictly increasing, so the FINAL value
+# per user is the max — selected batch-side with a max-struct aggregate.
+# The oracle is the plain per-user aggregate: equality proves the state
+# store accumulated every batch exactly once.
+@query(
+    "st04_stateful_user_checksums",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st04_stateful_user_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_checksums,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st04_src_")
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid)))
+    ):
+        tmp = f"{stage}/_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import os as _os
+        import shutil as _shutil
+
+        src = next(
+            f for f in _os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = f"{stage}/events_{i}.parquet"
+        _shutil.move(f"{tmp}/{src}", dst)
+        _shutil.rmtree(tmp)
+        # file-source batch order follows mtime: pin it explicitly
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+    )
+    totals = stateful_user_checksums(stream)
+    name = f"st04_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        totals, name, tempfile.mkdtemp(prefix="st04_chk_"),
+        output_mode="update",
+    )
+    emitted = spark.table(name)
+    # update mode emits one running-total row per (user, batch-appeared);
+    # totals increase monotonically, so the final state is the max struct
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_event_id")).alias("s"))
+        .select("user_id", "s.n_events", "s.sum_event_id")
+    )
+    return final

@@ -465,3 +465,46 @@ def view_purchase_attribution(
             F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
         ).alias("lag_us"),
     )
+
+
+def stateful_user_checksums(events: DataFrame) -> DataFrame:
+    """Custom stateful operator with INTEGER-exact state (the oracle-
+    checkable face of ``applyInPandasWithState``): per-user running
+    event count and event_id checksum, carried across micro-batches and
+    re-emitted (update mode) after every batch the user appears in.
+    Both accumulators are bigint, so the running values are exact under
+    ANY arrival order — the property that lets an external SQL oracle
+    hash-match the final emission. State is O(distinct users); bound it
+    with a GroupStateTimeout TTL when the key space is unbounded."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cks", LongType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        n, cks = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cks += int(pdf["event_id"].astype("int64").sum())
+        state.update((n, cks))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_event_id": [cks]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -467,3 +467,7 @@ def test_mm01_multimodal_invocations_agree(spark, sf_dir):
 
 def test_sk05_sample_quantiles_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "sk05_sample_quantiles")
+
+
+def test_st04_stateful_checksums_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "st04_stateful_user_checksums")
