@@ -633,3 +633,20 @@ def test_sk05_windows_all_partitioned(spark, sf_dir):
     for n in _walk_physical(jplan):
         if n.getClass().getSimpleName() == "WindowExec":
             assert n.partitionSpec().size() > 0, "unpartitioned window in sk05"
+
+
+def test_q24_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q7 shape: every dimension side broadcasts; the only shuffle join
+    is lineitem ⋈ orders on orderkey; the disjunctive cross-nation
+    predicate must never degrade to a cartesian."""
+    df = QUERIES["q24_volume_shipping"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # supp, cust, n1, n2
+
+
+def test_q25_dims_broadcast_no_cartesian(spark, sf_dir):
+    df = QUERIES["q25_market_share"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part, cust-in-region, supp
