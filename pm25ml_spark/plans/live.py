@@ -391,3 +391,51 @@ def st04_stateful_user_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "s.n_events", "s.sum_event_id")
     )
     return final
+
+
+# --------------------------------------------------------------------------
+# d13 — snapshot-isolated TIME TRAVEL, oracle-checked: build the same
+# three-commit table as d12, but read back the MIDDLE version — after
+# the first upsert batch, before the second. The oracle is the d12 CASE
+# without the b2 arm: equality proves a historical read reconstructs
+# exactly the files live at that commit, untouched by the later batch's
+# bucket rewrites (the rewritten files belong to version 3; version 2's
+# log entry still pins the pre-rewrite files).
+@query(
+    "d13_txlog_time_travel",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 IN (1, 3) THEN o_totalprice + 10000.0
+                ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 4 IN (1, 3) THEN 'b1'
+                ELSE 'base' END AS src
+    FROM orders
+    """,
+)
+def d13_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 4 != 3).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("src"),
+    )
+    b1 = orders.filter((k % 4 == 1) | (k % 4 == 3)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10000.0).alias("price"),
+        F.lit("b1").alias("src"),
+    )
+    b2 = orders.filter((k % 8 == 2) | (k % 8 == 3)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 20000.0).alias("price"),
+        F.lit("b2").alias("src"),
+    )
+    table = TxTable(spark, tempfile.mkdtemp(prefix="d13_tx_"))
+    table.overwrite(base)
+    v_mid = table.upsert(b1, "o_orderkey", n_buckets=16)
+    table.upsert(b2, "o_orderkey", n_buckets=16)
+    return table.read(version=v_mid).select("o_orderkey", "price", "src")

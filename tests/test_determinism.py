@@ -471,3 +471,7 @@ def test_sk05_sample_quantiles_invocations_agree(spark, sf_dir):
 
 def test_st04_stateful_checksums_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "st04_stateful_user_checksums")
+
+
+def test_d13_time_travel_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "d13_txlog_time_travel")
