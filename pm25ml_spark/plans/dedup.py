@@ -768,18 +768,23 @@ def cp05_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT UNNEST(string_split(b, ' ')) AS t FROM cb)
     ),
     inst AS (
-        SELECT source, ROUND(ln((cb + 1.0) / (cw + v)), 6) AS lnp
+        SELECT source,
+               CAST(ROUND(ln((cb + 1.0) / (cw + v)) * 1000000) AS BIGINT)
+                   AS lnp_micro
         FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v
     ),
     per_source AS (
+        -- 6-dp half-up round of the mean in pure integer micro-units
+        -- ((2a + n) div 2n): ROUND(sum/count, 6) on doubles lands on
+        -- half-way points of the 6-dp grid and splits engines (t12)
         SELECT source, COUNT(*) AS n_bigrams,
-               ROUND(-CAST(SUM(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS ce
+               CAST((2 * -SUM(lnp_micro) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) / 1000000.0 AS ce
         FROM inst GROUP BY source
     ),
     base AS (
-        SELECT ROUND(-CAST(SUM(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS ce_corpus
+        SELECT CAST((2 * -SUM(lnp_micro) + COUNT(*)) // (2 * COUNT(*))
+                    AS BIGINT) / 1000000.0 AS ce_corpus
         FROM inst
     ),
     excess AS (
@@ -815,8 +820,11 @@ def cp06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cb.select(F.explode(F.split("b", " ")).alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
-    # per-(source, bigram) counts first; n·lnp decimal sums equal the
-    # per-instance sums exactly (see t12)
+    # per-(source, bigram) counts first; n·lnp_micro long sums equal the
+    # per-instance sums exactly (see t12). Integer micro-units + integer
+    # half-up mean rounding, for the same reason as t12: the 6-dp mean of
+    # grid values lands ON grid half-way points, where double ROUND
+    # splits engines.
     csb = bg.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n"))
     inst = (
         csb.withColumn("w1", F.split("b", " ")[0])
@@ -827,16 +835,19 @@ def cp06_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n",
             F.round(
-                F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))), 6
-            ).alias("lnp"),
+                F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v")))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lnp_micro"),
         )
     )
-    dec_ce = F.round(
-        -F.sum(F.col("n") * F.col("lnp").cast("decimal(38,6)")).cast(
-            "double"
+    dec_ce = (
+        F.expr(
+            "(2 * -sum(n * lnp_micro) + sum(n)) div (2 * sum(n))"
         )
-        / F.sum("n"),
-        6,
+        / 1_000_000.0
     )
     per_source = inst.groupBy("source").agg(
         F.sum("n").alias("n_bigrams"), dec_ce.alias("ce")

@@ -511,17 +511,20 @@ def t10_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     inst AS (
         SELECT doc_id,
-               ROUND(ln((cb + 1.0) / (cw + v)), 6) AS lnp
+               CAST(ROUND(ln((cb + 1.0) / (cw + v)) * 1000000) AS BIGINT)
+                   AS lnp_micro
         FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v
     ),
     per_doc AS (
         SELECT doc_id, COUNT(*) AS n_bigrams,
-               CAST(SUM(CAST(lnp AS DECIMAL(38,6))) AS DOUBLE) AS s
+               CAST(-SUM(lnp_micro) AS BIGINT) AS h_micro_sum
         FROM inst GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams,
-           ROUND(-s / n_bigrams, 6) AS cross_entropy,
-           ROUND(exp(-s / n_bigrams), 6) AS perplexity
+           CAST((2 * h_micro_sum + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+               / 1000000.0 AS cross_entropy,
+           ROUND(exp(CAST(h_micro_sum AS DOUBLE)
+                     / (n_bigrams * 1000000.0)), 6) AS perplexity
     FROM per_doc
     """,
 )
@@ -547,9 +550,18 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cb.select(F.explode(F.split("b", " ")).alias("t")).agg(
         F.count_distinct("t").alias("v")
     )
-    # score on per-(doc, bigram) counts, not raw instances: n·lnp in
-    # DECIMAL equals the oracle's per-instance decimal sum exactly, and
-    # the model join input shrinks from instances to within-doc-distinct
+    # score on per-(doc, bigram) counts, not raw instances: n·lnp_micro in
+    # LONG equals the oracle's per-instance sum exactly, and the model
+    # join input shrinks from instances to within-doc-distinct.
+    # Per-instance log-probs live in INTEGER MICRO-UNITS end-to-end:
+    # lnp_micro = round(ln(p)·1e6), summed in bigint, and the final 6-dp
+    # half-up round of the mean is pure integer arithmetic
+    # ((2a + n) div 2n). Why not ROUND(-s/n, 6) on doubles: s is an exact
+    # multiple of 1e-6 and n a small integer, so the mean lands ON the
+    # 6-dp half-way grid with probability ~1/(2n) PER DOC — and there
+    # Spark's exact-decimal HALF_UP and DuckDB's float-scaled round
+    # disagree (observed at sf0.1: 3.388329 vs 3.38833). Integer rounding
+    # makes both engines compute the identical value by construction.
     cdbg = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     inst = (
         cdbg.withColumn("w1", F.split("b", " ")[0])
@@ -560,21 +572,28 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n",
             F.round(
-                F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))), 6
-            ).alias("lnp"),
+                F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v")))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lnp_micro"),
         )
     )
     per_doc = inst.groupBy("doc_id").agg(
         F.sum("n").alias("n_bigrams"),
-        F.sum(F.col("n") * F.col("lnp").cast("decimal(38,6)"))
-        .cast("double")
-        .alias("s"),
+        (-F.sum(F.col("n") * F.col("lnp_micro"))).alias("h_micro_sum"),
     )
-    h = -F.col("s") / F.col("n_bigrams")
+    ce_micro = F.expr(
+        "(2 * h_micro_sum + n_bigrams) div (2 * n_bigrams)"
+    )
+    h = F.col("h_micro_sum").cast("double") / (
+        F.col("n_bigrams") * 1_000_000.0
+    )
     return per_doc.select(
         "doc_id",
         "n_bigrams",
-        F.round(h, 6).alias("cross_entropy"),
+        (ce_micro / F.lit(1_000_000.0)).alias("cross_entropy"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
 
