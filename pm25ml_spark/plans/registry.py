@@ -17,6 +17,13 @@ Determinism contract for every registered query:
   must be engine-deterministic — use ``functions.exact`` decimal-sum helpers
   for any float aggregate, and break window-order ties with a unique key.
 - every computed column is aliased identically in the Spark plan and the SQL.
+- NEVER ``ROUND(grid_value / small_int, 6)`` on doubles: a 1e-6-grid
+  numerator over a small integer denominator lands ON 6-dp half-way points
+  with probability ~1/(2n), where Spark's exact-decimal HALF_UP and
+  DuckDB's float-scaled round disagree (the t12 sf0.1 finding). Round such
+  means in integer micro-units instead: ``(2a + n) div (2n)`` with
+  ``a = sum of round(x*1e6) longs``. Ratios of two LARGE grid sums (rates,
+  shares) are fine — their quotients are not structurally grid-aligned.
 """
 
 from __future__ import annotations
