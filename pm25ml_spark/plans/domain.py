@@ -1104,3 +1104,99 @@ def d11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# m09 — chi-squared independence test + Cramér's V (event_type ×
+# day-of-week): the categorical-association screen a feature-selection
+# pass runs before training. All sufficient statistics are integers
+# (cell/margin counts); each cell's o²/(r·c) term is one identical
+# double in both engines, rounded ONCE to integer nano-units, and
+# χ² = N·(Σterm − 1) assembles in exact bigint arithmetic — the final
+# /1e9 division is a single identical IEEE op, so no 6-dp round (and no
+# grid-half ambiguity) is ever needed on χ² itself. Day-of-week derives
+# from pure epoch arithmetic, not calendar functions, so both engines
+# share one definition. Scale: one corpus aggregation; everything after
+# is |R×C| rows.
+@query(
+    "m09_chi2_independence",
+    """
+    WITH cells AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+                   COUNT(DISTINCT dow) AS nc
+            FROM cells),
+    terms AS (
+        SELECT CAST(ROUND(CAST(o * o AS DOUBLE) / (r * c) * 1000000000)
+                    AS BIGINT) AS t_nano
+        FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+    )
+    SELECT n, nr AS r_levels, nc AS c_levels,
+           CAST(n * (SELECT SUM(t_nano) FROM terms) - n * 1000000000
+                AS BIGINT) / 1000000000.0 AS chi2,
+           ROUND(SQRT((CAST(n * (SELECT SUM(t_nano) FROM terms)
+                            - n * 1000000000 AS BIGINT) / 1000000000.0)
+                      / (n * (LEAST(nr, nc) - 1))), 6) AS cramers_v
+    FROM tot
+    """,
+)
+def m09_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.expr("unix_micros(ts) div 86400000000") % 7
+        ).alias("dow"),
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rm = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cm = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    terms = (
+        cells.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "dow")
+        .select(
+            F.round(
+                (F.col("o") * F.col("o")).cast("double")
+                / (F.col("r") * F.col("c"))
+                * 1_000_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("t_nano"),
+            "o",
+            "event_type",
+            "dow",
+        )
+    )
+    agg = terms.agg(
+        F.sum("t_nano").alias("s_nano"),
+        F.sum("o").alias("n"),
+        F.count_distinct("event_type").alias("r_levels"),
+        F.count_distinct("dow").alias("c_levels"),
+    )
+    chi2_nano = F.col("n") * F.col("s_nano") - F.col("n") * F.lit(
+        1_000_000_000
+    )
+    chi2 = chi2_nano.cast("bigint") / F.lit(1_000_000_000.0)
+    return agg.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        chi2.alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n")
+                    * (F.least("r_levels", "c_levels") - F.lit(1))
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

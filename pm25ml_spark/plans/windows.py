@@ -965,3 +965,38 @@ def w19_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# w20 — rolling MEDIAN over a trailing 7-event frame per user: the
+# order-statistic window the plain SUM/AVG frames (w01) can't express.
+# Spark computes it declaratively — sort_array(collect_list(...)) over
+# the frame, then element_at at the lower-middle rank ((n+1) div 2) —
+# all JVM expressions, no UDF; the frame holds ≤ 7 values so the
+# per-row array work is O(1). DuckDB's quantile_disc(0.5) picks the
+# same lower-middle element, and the 2-dp event values make every
+# median engine-portable with no rounding step at all.
+@query(
+    "w20_rolling_median",
+    f"""
+    SELECT user_id, event_id,
+           quantile_disc(value, 0.5) OVER (
+               {_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def w20_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    return ev.select("user_id", "event_id", med.alias("med7"))
