@@ -338,6 +338,33 @@ def mm01_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per user is the max — selected batch-side with a max-struct aggregate.
 # The oracle is the plain per-user aggregate: equality proves the state
 # store accumulated every batch exactly once.
+def _stage_chronological_halves(spark, sf_dir: str, prefix: str) -> str:
+    """Write the events table as two chronological parquet halves with
+    pinned increasing mtimes (the file source orders batches by mtime),
+    so a maxFilesPerTrigger=1 stream replays it as two real micro-
+    batches in time order. Returns the staging directory."""
+    import os as _os
+    import shutil as _shutil
+
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_src_")
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid)))
+    ):
+        tmp = f"{stage}/_w{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in _os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = f"{stage}/events_{i}.parquet"
+        _shutil.move(f"{tmp}/{src}", dst)
+        _shutil.rmtree(tmp)
+        # file-source batch order follows mtime: pin it explicitly
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return stage
+
+
 @query(
     "st04_stateful_user_checksums",
     """
@@ -354,25 +381,7 @@ def st04_stateful_user_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_checksums,
     )
 
-    stage = tempfile.mkdtemp(prefix="st04_src_")
-    ev = load_table(spark, sf_dir, "events")
-    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
-    for i, part in enumerate(
-        (ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid)))
-    ):
-        tmp = f"{stage}/_w{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import os as _os
-        import shutil as _shutil
-
-        src = next(
-            f for f in _os.listdir(tmp) if f.endswith(".parquet")
-        )
-        dst = f"{stage}/events_{i}.parquet"
-        _shutil.move(f"{tmp}/{src}", dst)
-        _shutil.rmtree(tmp)
-        # file-source batch order follows mtime: pin it explicitly
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stage = _stage_chronological_halves(spark, sf_dir, "st04")
     stream = read_events_stream(
         spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
     )
@@ -439,3 +448,52 @@ def d13_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_mid = table.upsert(b1, "o_orderkey", n_buckets=16)
     table.upsert(b2, "o_orderkey", n_buckets=16)
     return table.read(version=v_mid).select("o_orderkey", "price", "src")
+
+
+# --------------------------------------------------------------------------
+# st05 — exactly-once streaming CDC-apply into a transaction-log table
+# (the storage × streaming composition): the events stream replays as
+# two chronological micro-batches, and each batch MERGEs its rows into a
+# bucketed TxTable keyed by user_id (latest row per key by event_id
+# wins within a batch; batch rows replace table rows; every commit
+# carries a (query, epoch) stamp so a replayed epoch can never
+# double-apply). The final table is each user's LATEST event — and
+# because event_ids are assigned in time order, that equals the plain
+# arg_max oracle. Equality proves the whole chain: per-batch in-batch
+# dedup, cross-batch replacement, and exactly-once commit stamping.
+@query(
+    "st05_stream_cdc_latest_state",
+    """
+    SELECT user_id,
+           MAX(event_id) AS last_event_id,
+           arg_max(event_type, event_id) AS last_event_type
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st05_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable, sink_stream_upsert
+    from pm25ml_spark.streaming.events import read_events_stream
+
+    stage = _stage_chronological_halves(spark, sf_dir, "st05")
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+    ).select("user_id", "event_id", "event_type")
+    table = TxTable(spark, tempfile.mkdtemp(prefix="st05_tx_"))
+    q = sink_stream_upsert(
+        stream,
+        table,
+        key_col="user_id",
+        order_col="event_id",
+        query_name=f"st05_{uuid.uuid4().hex[:8]}",
+        checkpoint_dir=tempfile.mkdtemp(prefix="st05_chk_"),
+        n_buckets=16,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("st05 CDC stream did not drain in 300s")
+    return table.read().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )

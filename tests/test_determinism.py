@@ -475,3 +475,7 @@ def test_st04_stateful_checksums_invocations_agree(spark, sf_dir):
 
 def test_d13_time_travel_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "d13_txlog_time_travel")
+
+
+def test_st05_cdc_apply_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "st05_stream_cdc_latest_state")
