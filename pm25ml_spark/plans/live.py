@@ -39,7 +39,9 @@ _GAP_US = 1_800_000_000  # 30 minutes
 _HOUR_US = 3_600_000_000
 
 
-def _drain(sess_df: DataFrame, tag: str) -> DataFrame:
+def _drain(
+    sess_df: DataFrame, tag: str, output_mode: str = "complete"
+) -> DataFrame:
     """AvailableNow-drain a streaming frame into a uniquely-named memory
     sink and return the materialized table. The uuid suffix keeps
     repeated invocations in one session (bench + parity + driver) from
@@ -48,7 +50,10 @@ def _drain(sess_df: DataFrame, tag: str) -> DataFrame:
 
     name = f"{tag}_{uuid.uuid4().hex[:8]}"
     run_available_now(
-        sess_df, name, tempfile.mkdtemp(prefix=f"{tag}_chk_")
+        sess_df,
+        name,
+        tempfile.mkdtemp(prefix=f"{tag}_chk_"),
+        output_mode=output_mode,
     )
     return sess_df.sparkSession.table(name)
 
@@ -338,16 +343,22 @@ def mm01_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per user is the max — selected batch-side with a max-struct aggregate.
 # The oracle is the plain per-user aggregate: equality proves the state
 # store accumulated every batch exactly once.
-def _stage_chronological_halves(spark, sf_dir: str, prefix: str) -> str:
+def _stage_chronological_halves(
+    spark, sf_dir: str, prefix: str, event_types: tuple | None = None
+) -> str:
     """Write the events table as two chronological parquet halves with
     pinned increasing mtimes (the file source orders batches by mtime),
     so a maxFilesPerTrigger=1 stream replays it as two real micro-
-    batches in time order. Returns the staging directory."""
+    batches in time order. ``event_types`` pre-filters the staged rows —
+    the ingest-side projection a real topology would do before the
+    expensive stateful operator. Returns the staging directory."""
     import os as _os
     import shutil as _shutil
 
     stage = tempfile.mkdtemp(prefix=f"{prefix}_src_")
     ev = load_table(spark, sf_dir, "events")
+    if event_types:
+        ev = ev.filter(F.col("event_type").isin(*event_types))
     mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
     for i, part in enumerate(
         (ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid)))
@@ -497,3 +508,49 @@ def st05_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# st06 — STREAM-STREAM watermarked interval join, oracle-checked across
+# real micro-batch boundaries: two filtered branches of the same
+# two-batch chronological replay join on (user, purchase within 1 h of
+# view). Cross-batch matches — a view buffered in batch 1 joining a
+# purchase arriving in batch 2 — exercise the bounded join state for
+# real; the 2 h watermark with a 1 h horizon guarantees no buffered view
+# is evicted while a qualifying purchase can still arrive (eviction
+# needs watermark > view_ts + horizon, and every batch-2 purchase is
+# newer than any such view's match window). The oracle is the plain
+# interval self-join.
+@query(
+    "st06_stream_attribution",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event,
+           p.event_id AS purchase_event,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def st06_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.streaming.events import (
+        read_events_stream,
+        view_purchase_attribution,
+    )
+
+    stage = _stage_chronological_halves(
+        spark, sf_dir, "st06", event_types=("view", "purchase")
+    )
+
+    def branch(kind: str) -> DataFrame:
+        return read_events_stream(
+            spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+        ).filter(F.col("event_type") == kind)
+
+    joined = view_purchase_attribution(
+        branch("view"), branch("purchase"), horizon="1 hour", watermark="2 hours"
+    )
+    return _drain(joined, "st06", output_mode="append")

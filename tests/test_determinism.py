@@ -479,3 +479,7 @@ def test_d13_time_travel_invocations_agree(spark, sf_dir):
 
 def test_st05_cdc_apply_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "st05_stream_cdc_latest_state")
+
+
+def test_st06_stream_attribution_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "st06_stream_attribution")
