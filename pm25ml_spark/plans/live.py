@@ -351,26 +351,36 @@ def _stage_chronological_halves(
     so a maxFilesPerTrigger=1 stream replays it as two real micro-
     batches in time order. ``event_types`` pre-filters the staged rows —
     the ingest-side projection a real topology would do before the
-    expensive stateful operator. Returns the staging directory."""
+    expensive stateful operator. Returns the staging directory.
+
+    Staging is pyarrow on the driver, not a Spark write: the input is
+    one test-fixture file (tens of MB), and a ``coalesce(1)`` Spark
+    write funnels it through a single task plus a full job per half —
+    measured ~3-5 s of pure harness overhead per streaming entry at
+    sf0.1. This is TEST-HARNESS plumbing (producing a replayable two-
+    batch stream); the operators under test still run on the real
+    distributed streaming path. The split point is any ts midpoint —
+    the drained results are split-invariant; only batch MEMBERSHIP
+    moves with it."""
     import os as _os
-    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     stage = tempfile.mkdtemp(prefix=f"{prefix}_src_")
-    ev = load_table(spark, sf_dir, "events")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
     if event_types:
-        ev = ev.filter(F.col("event_type").isin(*event_types))
-    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
-    for i, part in enumerate(
-        (ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid)))
-    ):
-        tmp = f"{stage}/_w{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            f for f in _os.listdir(tmp) if f.endswith(".parquet")
+        tbl = tbl.filter(
+            pc.is_in(tbl["event_type"], value_set=pa.array(list(event_types)))
         )
+    ts = tbl["ts"]
+    mid = pc.quantile(ts.cast("int64"), q=0.5).to_pylist()[0]
+    mask = pc.less_equal(ts.cast("int64"), int(mid))
+    halves = (tbl.filter(mask), tbl.filter(pc.invert(mask)))
+    for i, half in enumerate(halves):
         dst = f"{stage}/events_{i}.parquet"
-        _shutil.move(f"{tmp}/{src}", dst)
-        _shutil.rmtree(tmp)
+        pq.write_table(half, dst)
         # file-source batch order follows mtime: pin it explicitly
         _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     return stage
