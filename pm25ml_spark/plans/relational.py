@@ -1413,3 +1413,53 @@ def q25_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — small-quantity revenue (TPC-H Q17 shape): the classic CORRELATED
+# scalar subquery ("below 20% of this part's average quantity"),
+# decorrelated the way Catalyst plans it — one per-part aggregate,
+# broadcast back onto the fact scan, filter, sum. The 0.2·avg threshold
+# compares in integer-exact form: avg(l_quantity) = sum/n with integer
+# quantities, so qty < 0.2·(sum/n) ⟺ 5·qty·n < sum — no float
+# boundary anywhere in the filter. The revenue total is the standard
+# decimal-exact sum divided by 7 (one deterministic double division).
+@query(
+    "q26_small_qty_revenue",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_expr("l.l_extendedprice")} / 7.0 AS avg_weekly_revenue
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey,
+               CAST(SUM(l_quantity) AS BIGINT) AS sq,
+               COUNT(*) AS nq
+        FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * a.nq < a.sq
+    """,
+)
+def q26_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    partt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    # brand filter first: the per-part aggregate only needs the parts
+    # that survive, so the agg input is semi-joined down before grouping
+    agg_b = agg.join(F.broadcast(partt), agg.l_partkey == partt.p_partkey)
+    joined = li.join(
+        F.broadcast(agg_b.select("l_partkey", "sq", "nq")), "l_partkey"
+    ).filter(
+        F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("nq")
+        < F.col("sq")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (dsum("l_extendedprice") / 7.0).alias("avg_weekly_revenue"),
+    )
