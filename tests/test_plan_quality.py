@@ -650,3 +650,12 @@ def test_q25_dims_broadcast_no_cartesian(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # part, cust-in-region, supp
+
+
+def test_q26_threshold_broadcast_no_extra_shuffle(spark, sf_dir):
+    """Q17 shape: the per-part threshold frame must broadcast back onto
+    the fact scan (decorrelated correlated-subquery plan)."""
+    df = QUERIES["q26_small_qty_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
