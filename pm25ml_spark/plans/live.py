@@ -564,3 +564,37 @@ def st06_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         branch("view"), branch("purchase"), horizon="1 hour", watermark="2 hours"
     )
     return _drain(joined, "st06", output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# d14 — small-file COMPACTION invariance, oracle-checked: three append
+# commits accrete small files (the streaming-sink accretion shape), then
+# compact() rewrites them into balanced files as one atomic commit. The
+# read-back must equal the plain union of the appended slices — proving
+# the maintenance operation moves BYTES, never rows. Disjoint key-range
+# slices keep the oracle a single filter.
+@query(
+    "d14_txlog_compaction",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def d14_txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    table = TxTable(spark, tempfile.mkdtemp(prefix="d14_tx_"))
+    table.append(orders.filter(k % 3 == 0))
+    table.append(orders.filter(k % 6 == 1))
+    table.append(orders.filter(k % 6 == 4))
+    v = table.compact(target_file_bytes=64 * 1024 * 1024)
+    # compact returns None when nothing qualified; either way the read
+    # below must see exactly the appended rows
+    return table.read(version=v).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
