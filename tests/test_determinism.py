@@ -483,3 +483,7 @@ def test_st05_cdc_apply_invocations_agree(spark, sf_dir):
 
 def test_st06_stream_attribution_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "st06_stream_attribution")
+
+
+def test_d14_compaction_invocations_agree(spark, sf_dir):
+    _run_twice_hash_stable(spark, sf_dir, "d14_txlog_compaction")
