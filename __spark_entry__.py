@@ -90,9 +90,14 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r6 verdict: green-by-luck — composed the nondeterministic
-        # two-pass prefix-sum fixed in r7; re-verify under the fix.
+        # r8: plan changed (single-key packing order -> approxQuantile
+        # split fast path); re-verify under the new plan.
         "t14_chunk_language_mix",
+        # r8: oracle typing fixed (CAST SUM AS BIGINT) — make sure the
+        # driver re-checks them even though the staleness rotation
+        # already front-loads their stale-red state.
+        "t13_sequence_packing",
+        "m09_chi2_independence",
     }
     return sorted(
         names,

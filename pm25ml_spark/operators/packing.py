@@ -25,6 +25,7 @@ def pack_sequences(
     order_cols: list[str],
     capacity: int,
     num_partitions: int | None = None,
+    bucket=None,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: adds ``start_offset``,
     ``first_chunk``, ``last_chunk``, ``spans_boundary`` to ``df``.
@@ -32,12 +33,19 @@ def pack_sequences(
     ``order_cols`` must be a unique key (same contract as decimation:
     ties make any engine's order arbitrary). Documents spanning a chunk
     boundary are flagged, not split — the downstream chunker decides
-    whether to split or mask across the seam.
+    whether to split or mask across the seam. ``bucket`` forwards a
+    precomputed ``range_bucket_column`` pair to the prefix sum so
+    composed plans sample split keys once.
     """
     from pm25ml_spark.operators.prefix import ordered_prefix_sum
 
     cum = ordered_prefix_sum(
-        df, order_cols, token_col, "__cum", num_partitions=num_partitions
+        df,
+        order_cols,
+        token_col,
+        "__cum",
+        num_partitions=num_partitions,
+        bucket=bucket,
     )
     out = cum.select(
         *df.columns,

@@ -38,16 +38,38 @@ def ordered_prefix_sum(
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
+    bucket=None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive prefix sum of ``value_col`` over the
-    global ``order_cols`` order. Schema: input columns + ``out_col``."""
+    global ``order_cols`` order. Schema: input columns + ``out_col``.
+
+    ``bucket`` (optional): a precomputed ``(bucket_expr, n_buckets)``
+    pair from :func:`~pm25ml_spark.operators.bucketize.
+    range_bucket_column` over the SAME ``order_cols``. Composed plans
+    that take several prefix sums in one ordering (e.g. packing followed
+    by a rank over the packed order) pass the pair once so the split
+    keys are sampled a single time instead of once per call — the
+    sampling job is the only per-call overhead of the deterministic
+    two-pass shape.
+    """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     integral = dict(df.dtypes)[value_col] in _INTEGRAL
     sum_cast = "bigint" if integral else "decimal(38,6)"
     out_type = "bigint" if integral else "double"
 
-    bucket_expr, _ = range_bucket_column(df, order_cols, nparts)
+    # The operator scans its input up to three times (split sampling,
+    # per-bucket totals, final window); persist it so upstream work
+    # (e.g. tokenization feeding a packing plan) runs once instead of
+    # three times. Callers pass the projection they want ranked —
+    # typically keys + one value column, tens of bytes per row — and
+    # MEMORY_AND_DISK spills rather than evicts at corpus scale, where
+    # the recompute it avoids is the expensive part.
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    bucket_expr, _ = bucket or range_bucket_column(df, order_cols, nparts)
     part = df.withColumn("__bucket", bucket_expr)
     totals = (
         part.groupBy("__bucket")

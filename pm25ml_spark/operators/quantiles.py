@@ -29,10 +29,19 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pm25ml_spark.operators.bucketize import range_bucket_column
+
+# Above this many (bucket, group) tally rows the bucketed algorithm's
+# driver collect stops being "a few MB" — but a group count that large
+# also means each group is SMALL (corpus/|groups| rows), which is
+# exactly the regime where a per-group window sort is the right plan:
+# every window partition fits a task and the sort parallelizes across
+# groups. The two plans trade off on the same axis, so the tally count
+# is the natural switch.
+DEFAULT_MAX_DRIVER_TALLIES = 1_000_000
 
 
 def exact_quantiles(
@@ -127,11 +136,13 @@ def grouped_exact_quantiles(
     value_col: str,
     ps: list[float],
     num_partitions: int | None = None,
+    max_driver_tallies: int = DEFAULT_MAX_DRIVER_TALLIES,
 ) -> DataFrame:
     """Per-GROUP exact order statistics — ``(group_cols..., p double,
     value <col type>)`` with the same ``max(1, ceil(p*n))`` rank
     convention as :func:`exact_quantiles`, computed WITHOUT a per-group
-    window sort.
+    window sort (few-large-groups path) or WITH one (many-small-groups
+    fallback — see ``max_driver_tallies``).
 
     Why not ``row_number() OVER (PARTITION BY group)``: with few large
     groups (the common profiling shape — a handful of event types over
@@ -147,8 +158,13 @@ def grouped_exact_quantiles(
     Arrow sampler (measured 3.6 s → sub-second on the sf0.1 lineitem
     key). The driver holds the per-(bucket, group) tallies (≤
     num_buckets × |groups| rows — the one driver-size term that grows
-    with group count; at 10^5+ groups prefer a windowed formulation
-    per group-shard). Scales in the bucket count, not the group size.
+    with group count). When the tally count exceeds
+    ``max_driver_tallies`` the operator switches to the per-group
+    WINDOW formulation instead of collecting: that many tallies means
+    many small groups, where one window partition per group is the
+    scale-correct plan (each partition ≈ corpus/|groups| rows). The
+    collect is bounded by ``take(max_driver_tallies + 1)`` either way,
+    so the driver never materializes an unbounded tally set.
     NULL and NaN group keys each form their own single group (SQL
     GROUP BY / Spark NaN-normalization semantics); NULL values are
     excluded (aggregate semantics).
@@ -165,7 +181,7 @@ def grouped_exact_quantiles(
     counts = (
         tagged.groupBy("__bucket", *group_cols)
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .take(max_driver_tallies + 1)
     )
     dtypes = dict(df.dtypes)
     out_schema = ", ".join(
@@ -174,6 +190,8 @@ def grouped_exact_quantiles(
     )
     if not counts:
         return spark.createDataFrame([], out_schema)
+    if len(counts) > max_driver_tallies:
+        return _grouped_quantiles_windowed(vals, group_cols, value_col, ps)
 
     per_group: dict[tuple, list[tuple[int, int]]] = {}
     raw_key: dict[tuple, tuple] = {}
@@ -236,12 +254,89 @@ def grouped_exact_quantiles(
     )
 
 
+def _grouped_quantiles_windowed(
+    vals: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """Many-small-groups fallback: one window partition per group.
+
+    Identical contract and rank convention as the bucketed path —
+    ``k_p = min(max(1, ceil(p*n)), n)`` — spelled as ``row_number``
+    per group joined against a broadcast p-list. Every window is
+    PARTITIONED BY the group columns (the plan-quality audit's
+    requirement); with |groups| ≫ cores each partition is small and the
+    sort parallelizes across groups, which is exactly the regime this
+    path is selected for. Duplicate values yield the same k-th VALUE
+    under any tie order, so no tie-break column is needed.
+    """
+    spark = vals.sparkSession
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    gw = Window.partitionBy(*group_cols)
+    ranked = vals.select(
+        *group_cols,
+        F.col(value_col).alias("value"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(gw).alias("__n"),
+    )
+    pdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    k = F.least(
+        F.greatest(F.lit(1).cast("long"), F.ceil(F.col("p") * F.col("__n"))),
+        F.col("__n"),
+    )
+    return (
+        ranked.join(F.broadcast(pdf))
+        .filter(F.col("__rn") == k)
+        .select(*group_cols, "p", "value")
+    )
+
+
+def _grouped_weighted_median_windowed(
+    vals: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    dtypes: dict,
+) -> DataFrame:
+    """Many-small-groups fallback for the weighted median: per-group
+    window over the pre-rounded DECIMAL(38,6) weights. The inclusive
+    cumulative decimal sum is order-independent at the crossing VALUE
+    (intra-tie order can move which ROW crosses, never which value),
+    and the single decimal→double conversion for ``w_total`` matches
+    the bucketed path's one-rounding contract. Expects ``vals`` to
+    already carry ``__w6`` and be filtered to positive finite weights.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gw = Window.partitionBy(*group_cols)
+    marked = vals.select(
+        *group_cols,
+        F.col(value_col),
+        (F.sum("__w6").over(w) * 2 >= F.sum("__w6").over(gw)).alias("__hit"),
+        F.count(F.lit(1)).over(gw).alias("__n"),
+        F.sum("__w6").over(gw).alias("__tot"),
+    )
+    return (
+        marked.filter(F.col("__hit"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("wmedian"),
+            F.max("__n").cast("bigint").alias("n"),
+            F.max("__tot").cast("double").alias("w_total"),
+        )
+    )
+
+
 def grouped_weighted_median(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     weight_col: str,
     num_partitions: int | None = None,
+    max_driver_tallies: int = DEFAULT_MAX_DRIVER_TALLIES,
 ) -> DataFrame:
     """Per-group WEIGHTED median — the smallest value ``v`` whose
     inclusive cumulative weight reaches half the group total
@@ -282,7 +377,7 @@ def grouped_weighted_median(
     counts = (
         tagged.groupBy("__bucket", *group_cols)
         .agg(F.sum("__w6").alias("w"), F.count(F.lit(1)).alias("n"))
-        .collect()
+        .take(max_driver_tallies + 1)
     )
     dtypes = dict(df.dtypes)
     out_cols = ", ".join(
@@ -291,6 +386,10 @@ def grouped_weighted_median(
     )
     if not counts:
         return spark.createDataFrame([], out_cols)
+    if len(counts) > max_driver_tallies:
+        return _grouped_weighted_median_windowed(
+            tagged.drop("__bucket"), group_cols, value_col, dtypes
+        )
 
     def _micro(dec) -> int:
         # DECIMAL(38,6) -> exact integer micro-units (scale 6, so

@@ -117,6 +117,7 @@ def decimate_partitioned(
     every: int,
     order_cols: list[str],
     num_partitions: int | None = None,
+    bucket=None,
 ) -> DataFrame:
     """Exact gather_every(n) without the global window (the W7 scale
     path): EXACTLY the rows :func:`decimate` keeps, computed with
@@ -149,6 +150,7 @@ def decimate_partitioned(
         "__one",
         "__rank",
         num_partitions=num_partitions,
+        bucket=bucket,
     )
     return ranked.filter((F.col("__rank") - 1) % every == 0).drop(
         "__one", "__rank"

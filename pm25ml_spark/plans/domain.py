@@ -1128,7 +1128,8 @@ def d11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rm AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
     cm AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY 1),
-    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   COUNT(DISTINCT event_type) AS nr,
                    COUNT(DISTINCT dow) AS nc
             FROM cells),
     terms AS (
@@ -1137,10 +1138,10 @@ def d11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
     )
     SELECT n, nr AS r_levels, nc AS c_levels,
-           CAST(n * (SELECT SUM(t_nano) FROM terms) - n * 1000000000
+           CAST(n * ((SELECT SUM(t_nano) FROM terms) - 1000000000)
                 AS BIGINT) / 1000000000.0 AS chi2,
-           ROUND(SQRT((CAST(n * (SELECT SUM(t_nano) FROM terms)
-                            - n * 1000000000 AS BIGINT) / 1000000000.0)
+           ROUND(SQRT((CAST(n * ((SELECT SUM(t_nano) FROM terms)
+                                 - 1000000000) AS BIGINT) / 1000000000.0)
                       / (n * (LEAST(nr, nc) - 1))), 6) AS cramers_v
     FROM tot
     """,
@@ -1180,9 +1181,11 @@ def m09_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_type").alias("r_levels"),
         F.count_distinct("dow").alias("c_levels"),
     )
-    chi2_nano = F.col("n") * F.col("s_nano") - F.col("n") * F.lit(
-        1_000_000_000
-    )
+    # n * (s_nano - 1e9), NOT n*s_nano - n*1e9: s_nano sits near 1e9
+    # (sum of o^2/(r*c) terms ~ 1 + chi2/n), so the subtraction-first
+    # form keeps the product near n*chi2/n_cells instead of n*1e9 —
+    # Spark longs are non-ANSI and would silently wrap near n ~ 9e9.
+    chi2_nano = F.col("n") * (F.col("s_nano") - F.lit(1_000_000_000))
     chi2 = chi2_nano.cast("bigint") / F.lit(1_000_000_000.0)
     return agg.select(
         "n",

@@ -39,6 +39,17 @@ _GAP_US = 1_800_000_000  # 30 minutes
 _HOUR_US = 3_600_000_000
 
 
+# State-store partition count for the catalog's streaming drains: every
+# stateful streaming operator creates/commits/snapshots one state store
+# PER state partition PER micro-batch (a stream-stream join: 4 per side),
+# so per-store fixed cost — not data — dominated the measured st-family
+# bench time at 32 shuffle partitions. The drains' state is bounded
+# (sessions/windows/users at test sf), so 8 partitions keep full
+# parallelism headroom; a production topology sizes this to state
+# volume via the same parameter.
+_STATE_PARTITIONS = 8
+
+
 def _drain(
     sess_df: DataFrame, tag: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -54,6 +65,7 @@ def _drain(
         name,
         tempfile.mkdtemp(prefix=f"{tag}_chk_"),
         output_mode=output_mode,
+        state_partitions=_STATE_PARTITIONS,
     )
     return sess_df.sparkSession.table(name)
 
@@ -69,7 +81,7 @@ def _drain(
     "st01_stream_sessions",
     f"""
     WITH flagged AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                         > {_GAP_US}
@@ -81,7 +93,8 @@ def _drain(
     ),
     sessions AS (
         SELECT user_id, ts_us,
-               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS sid
         FROM flagged
@@ -241,6 +254,7 @@ def st03_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         deduped, name, tempfile.mkdtemp(prefix="st03_chk_"),
         output_mode="append",
+        state_partitions=_STATE_PARTITIONS,
     )
     return (
         spark.table(name)
@@ -333,6 +347,241 @@ def mm01_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# mm02 — the VIDEO face of the multimodal pipeline, oracle-checked:
+# render a REAL single-track MP4 per document (sources/mp4.build_mp4 —
+# ftyp + mdat + moov with genuine stts/stss/stsc/stsz/stco tables;
+# frame count, frame sizes, and display dimensions are deterministic
+# functions of doc_id), then SAMPLE KEYFRAMES by walking the sample
+# tables (sources/mp4.parse_mp4 + extract_frames) WITHOUT decoding a
+# single coded frame — the cheap seek-point sampling a 100 TB video
+# corpus runs before any expensive decode. Both stages are Arrow-batched
+# mapInPandas over a binary column, chained narrowly (payloads never
+# leave the executor; only a dozen small stats come back per video).
+# The oracle re-derives every statistic from the generator's closed
+# forms. k0_checksum additionally pins the BYTE SLICES extract_frames
+# returns (sum of the first keyframe's payload bytes), so chunk-offset
+# arithmetic — not just table metadata — is oracle-checked. last_key_ts
+# is one IEEE division of exact integers in both engines (i·100 / 1000).
+_MM2_FPS = 10  # build_mp4 timescale = fps*100, per-frame delta = 100
+
+
+def _mm02_frame_count(doc_id: int) -> int:
+    return 10 + doc_id % 13
+
+
+def _mm02_frame_size(doc_id: int, i: int) -> int:
+    return 40 + (doc_id * 7 + i * 13) % 100
+
+
+@query(
+    "mm02_video_keyframe_sample",
+    """
+    WITH d AS (
+        SELECT doc_id, 10 + doc_id % 13 AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, u.i AS i,
+               40 + (doc_id * 7 + u.i * 13) % 100 AS sz
+        FROM d, UNNEST(range(n)) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(16 * (2 + doc_id % 3) AS BIGINT) AS width,
+           CAST(16 * (1 + doc_id % 2) AS BIGINT) AS height,
+           CAST(COUNT(*) FILTER (WHERE i % 5 = 0) AS BIGINT) AS n_keyframes,
+           CAST(SUM(sz) AS BIGINT) AS total_bytes,
+           CAST(SUM(sz) FILTER (WHERE i % 5 = 0) AS BIGINT) AS key_bytes,
+           ROUND(CAST(MAX(CASE WHEN i % 5 = 0 THEN i END) * 100 AS DOUBLE)
+                 / 1000, 6) AS last_key_ts,
+           CAST((40 + (doc_id * 7) % 100) * (doc_id % 256) AS BIGINT)
+               AS k0_checksum
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def mm02_video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+
+    def render(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from pm25ml_spark.sources.mp4 import build_mp4
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = _mm02_frame_count(d)
+                frames = [
+                    bytes([(d + i) % 256]) * _mm02_frame_size(d, i)
+                    for i in range(n)
+                ]
+                payload = build_mp4(
+                    frames,
+                    fps=_MM2_FPS,
+                    width=16 * (2 + d % 3),
+                    height=16 * (1 + d % 2),
+                    keyframe_every=5,
+                )
+                rows.append((d, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    def sample(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from pm25ml_spark.sources.mp4 import extract_frames, parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                track = [
+                    t for t in parse_mp4(payload) if t.handler == "vide"
+                ][0]
+                keys = extract_frames(payload, keyframes_only=True)
+                rows.append(
+                    (
+                        int(mid),
+                        len(track.samples),
+                        int(track.width),
+                        int(track.height),
+                        len(keys),
+                        sum(s.size for s in track.samples),
+                        sum(len(b) for _, _, b in keys),
+                        round(keys[-1][1], 6),
+                        sum(keys[0][2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "width", "height",
+                    "n_keyframes", "total_bytes", "key_bytes",
+                    "last_key_ts", "k0_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        render, schema="media_id bigint, payload binary"
+    )
+    return media.mapInPandas(
+        sample,
+        schema=(
+            "media_id bigint, n_frames bigint, width bigint, "
+            "height bigint, n_keyframes bigint, total_bytes bigint, "
+            "key_bytes bigint, last_key_ts double, k0_checksum bigint"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# mm03 — the AUDIO face of the multimodal pipeline, oracle-checked
+# (completing the image/video/audio triad with mm01/mm02): render a
+# REAL 16-bit PCM WAV per document (stdlib-backed encode_wav; mono or
+# stereo, frame count / channel count / sample rate all deterministic
+# functions of doc_id, samples a pseudo-noise integer formula), decode
+# it distributed (sources/imaging.decode_wav — exercises RIFF framing +
+# int16 interleaving on every payload), and emit integer-exact loudness
+# stats. Every aggregate is an integer sum (|v| ≤ 1000, ≤ 2k samples →
+# sums well under 2^63); rms is one division + sqrt on exact integers,
+# identical IEEE ops in both engines; the 6-dp round is belt-and-braces.
+@query(
+    "mm03_audio_loudness",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               400 + (doc_id % 37) * 16 AS n,
+               1 + doc_id % 2 AS ch,
+               8000 + (doc_id % 3) * 4000 AS rate
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, ch, rate,
+               ((doc_id * 13 + u.j * 7) % 2001) - 1000 AS v
+        FROM d, UNNEST(range(n * ch)) AS u(j)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_frames,
+           CAST(MAX(ch) AS BIGINT) AS n_channels,
+           CAST(MAX(rate) AS BIGINT) AS sample_rate,
+           CAST(MAX(v) AS BIGINT) AS peak,
+           CAST(MIN(v) AS BIGINT) AS trough,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           ROUND(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def mm03_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterable, Iterator
+
+    import pandas as pd
+
+    def render(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from pm25ml_spark.sources.imaging import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 400 + (d % 37) * 16
+                ch = 1 + d % 2
+                rate = 8000 + (d % 3) * 4000
+                j = np.arange(n * ch, dtype=np.int64)
+                v = (((d * 13 + j * 7) % 2001) - 1000).astype(np.int16)
+                samples = v.reshape(n, ch)
+                rows.append((d, bytearray(encode_wav(samples, rate))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    def loudness(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import math
+
+        import numpy as np
+
+        from pm25ml_spark.sources.imaging import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, rate = decode_wav(bytes(payload))
+                flat = arr.reshape(-1).astype(np.int64)
+                sq = int((flat * flat).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        int(rate),
+                        int(flat.max()),
+                        int(flat.min()),
+                        int(np.abs(flat).sum()),
+                        round(math.sqrt(sq / len(flat)), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_channels", "sample_rate",
+                    "peak", "trough", "sum_abs", "rms",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        render, schema="media_id bigint, payload binary"
+    )
+    return media.mapInPandas(
+        loudness,
+        schema=(
+            "media_id bigint, n_frames bigint, n_channels bigint, "
+            "sample_rate bigint, peak bigint, trough bigint, "
+            "sum_abs bigint, rms double"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # st04 — CUSTOM stateful operator (applyInPandasWithState), oracle-
 # checked across real micro-batch boundaries: the events table is staged
 # as two chronological halves (two micro-batches), so roughly every
@@ -411,6 +660,7 @@ def st04_stateful_user_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(
         totals, name, tempfile.mkdtemp(prefix="st04_chk_"),
         output_mode="update",
+        state_partitions=_STATE_PARTITIONS,
     )
     emitted = spark.table(name)
     # update mode emits one running-total row per (user, batch-appeared);
@@ -596,5 +846,84 @@ def d14_txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact returns None when nothing qualified; either way the read
     # below must see exactly the appended rows
     return table.read(version=v).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+# --------------------------------------------------------------------------
+# st07 — stream-STATIC enrichment join, oracle-checked: the standard
+# streaming-ETL topology the st-family lacked — a micro-batched event
+# stream joined against a broadcast static dimension (customer →
+# nation), then aggregated per nation in complete mode. The static side
+# is planned ONCE and broadcast to every micro-batch (stateless join —
+# no watermark, no join state store; the plan's only state is the
+# complete-mode aggregate, |nations| rows). Staged as two chronological
+# halves so the join provably applies per micro-batch, not once over a
+# pre-unioned input. At 100 TB the identical topology holds: dimension
+# broadcast, stream side never shuffles before the keyed aggregate.
+@query(
+    "st07_stream_static_enrichment",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_value,
+           MAX(epoch_us(e.ts)) AS last_ts_us
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def st07_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.streaming.events import read_events_stream
+
+    stage = _stage_chronological_halves(spark, sf_dir, "st07")
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+    return _drain(agg, "st07")
+
+
+# --------------------------------------------------------------------------
+# d15 — keyed DELETE through the transaction log (GDPR-style hard
+# delete, oracle-checked): seed a bucketed TxTable with orders via
+# upsert, delete a deterministic key slice (every 5th key, plus a batch
+# of keys that don't exist — DELETE must be a per-key no-op for those),
+# read the final snapshot back. The rewrite touches ONLY the hash
+# buckets containing deleted keys (upsert's layout reused); time travel
+# still resolves the pre-delete snapshot (pinned by d13's machinery,
+# asserted in pytest). The oracle is the plain anti-filter.
+@query(
+    "d15_txlog_delete",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+    """,
+)
+def d15_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    table = TxTable(spark, tempfile.mkdtemp(prefix="d15_tx_"))
+    table.upsert(orders, "o_orderkey")
+    doomed = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    # absent keys (orderkeys are non-negative) — must be silent no-ops
+    ghosts = spark.range(3).select(
+        (-1 - F.col("id")).cast("long").alias("o_orderkey")
+    )
+    table.delete_keys(doomed.unionByName(ghosts), "o_orderkey")
+    return table.read().select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )

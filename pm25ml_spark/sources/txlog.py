@@ -375,6 +375,11 @@ class TxTable:
                     files.append(
                         os.path.relpath(os.path.join(root, f), self.path)
                     )
+        if not files:
+            # an empty frame writes no leaf files (e.g. a delete that
+            # empties every touched bucket) — reading the dir back
+            # would fail schema inference
+            return [], 0
         n = self.spark.read.parquet(out_dir).count()
         return sorted(files), n
 
@@ -536,6 +541,95 @@ class TxTable:
                         ignore_errors=True,
                     )
         raise CommitConflict(f"upsert lost {max_retries} races")
+
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        key_col: str,
+        n_buckets: int = 16,
+        max_retries: int = 5,
+    ) -> int:
+        """Keyed DELETE — the lakehouse verb the table lacked: rows
+        whose ``key_col`` appears in ``keys_df`` are removed in one
+        atomic commit. Same scale shape as :meth:`upsert`: on a
+        bucketed table only the hash-buckets containing deleted keys
+        are read and rewritten (cost O(keys ∪ touched-bucket rows),
+        never a full-table rewrite); an unbucketed table is
+        bootstrapped into the bucketed layout by one full rewrite,
+        exactly like upsert's bootstrap. Keys absent from the table
+        are no-ops (DELETE semantics — idempotent per key), duplicate
+        keys in the batch are harmlessly deduplicated, and an empty
+        key set commits nothing. Old versions still resolve to the
+        pre-delete files (time travel shows the deleted rows;
+        ``vacuum`` reclaims them once retired).
+
+        Concurrency: the commit is pinned to the snapshot the rewrite
+        was planned against; an interleaved commit forces a re-plan,
+        and never-committed rewrites are deleted immediately.
+        Returns the committed version (or the current snapshot
+        version for an empty/no-op delete)."""
+        keys = keys_df.select(key_col).distinct()
+        tagged = keys.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"),
+        )
+        touched = sorted(
+            r[0] for r in tagged.select("__b").distinct().collect()
+        )
+        for _ in range(max_retries):
+            sv, live = self.snapshot()
+            if not touched or not live:
+                return sv  # nothing to delete / empty table: pure no-op
+            if any(self._file_bucket(f) is not None for f in live):
+                recorded = self._recorded_buckets(sv)
+                if recorded is not None and recorded != n_buckets:
+                    raise ValueError(
+                        f"table is laid out with {recorded} buckets; "
+                        f"got n_buckets={n_buckets}"
+                    )
+            legacy = [f for f in live if self._file_bucket(f) is None]
+            if legacy:
+                removed = list(live)  # bootstrap into the bucketed layout
+            else:
+                removed = [
+                    f for f in live if self._file_bucket(f) in set(touched)
+                ]
+            if not removed:
+                return sv  # no live file can contain any of the keys
+            old = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in removed]
+            ).withColumn(
+                "__b",
+                F.pmod(
+                    F.xxhash64(F.col(key_col)), F.lit(n_buckets)
+                ).cast("int"),
+            )
+            keep = old.join(keys, key_col, "left_anti")
+            files, n = self._write_files_bucketed(keep)
+            entry = {
+                "op": "delete",
+                "added": files,
+                "removed": sorted(removed),
+                "n_rows": n,
+                "upsert_buckets": n_buckets,
+            }
+            try:
+                try:
+                    v = self._commit(entry, at_version=sv + 1)
+                    self._maybe_checkpoint(v)
+                    files = []
+                    return v
+                except CommitConflict:
+                    continue
+            finally:
+                if files:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.path, files[0].split(os.sep)[0]),
+                        ignore_errors=True,
+                    )
+        raise CommitConflict(f"delete lost {max_retries} races")
 
     def _recorded_buckets(self, upto: int) -> int | None:
         """Bucket count of the table's upsert layout: the most recent

@@ -127,20 +127,45 @@ def run_available_now(
     tmp_dir: str,
     output_mode: str = "complete",
     timeout_s: int = 120,
+    state_partitions: int | None = None,
 ):
     """Drain the stream with AvailableNow into an in-memory sink; returns
     the finished StreamingQuery (caller reads ``spark.table(query_name)``).
     Aggregating streams drain in ``complete`` mode; row-level operators
-    (dedup) drain in ``append``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", f"{tmp_dir}/chk_{query_name}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
+    (dedup) drain in ``append``.
+
+    ``state_partitions`` sizes the stateful operators' shuffle (and
+    therefore the number of state-store instances the query creates,
+    commits, and snapshots EVERY micro-batch — a stream-stream join
+    carries 4 stores per partition per side). Structured Streaming pins
+    this at checkpoint creation, so it must be set before ``start()``;
+    the session value is restored right after, since each catalog
+    invocation uses a fresh checkpoint dir. Size it to expected state
+    volume: a 100 TB topology wants hundreds, these bounded-state
+    catalog drains want few (per-store fixed cost dominates measured
+    BENCH streaming time otherwise)."""
+    spark = stream_df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", f"{tmp_dir}/chk_{query_name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        # start() is async — the first micro-batch (which pins the state
+        # partition count into the checkpoint) may plan at any point
+        # before termination, so the conf is only restored AFTER the
+        # drain completes
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     if not finished:
         # a silent partial drain would hand the caller an incomplete
         # memory table with no error — stop the query and fail loudly

@@ -431,6 +431,64 @@ def test_grouped_quantiles_null_and_nan_groups_coexist(spark):
     assert wm == {"null": 4.0, "nan": 4.5}, wm
 
 
+def test_grouped_quantiles_high_cardinality_fallback(spark):
+    """When |groups| x buckets tallies exceed max_driver_tallies, the
+    operator must switch to the per-group window plan (group-shard
+    fallback) and produce the IDENTICAL result — same rank convention,
+    same schema. Forced here with a tiny threshold over a group column
+    with 500 distinct keys."""
+    import math
+
+    from pm25ml_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.range(5000).select(
+        (F.col("id") % 500).cast("string").alias("g"),
+        ((F.col("id") * 37) % 101).cast("double").alias("v"),
+    )
+    ps = [0.0, 0.5, 1.0]
+    big = grouped_exact_quantiles(df, ["g"], "v", ps, 8)
+    small = grouped_exact_quantiles(
+        df, ["g"], "v", ps, 8, max_driver_tallies=10
+    )
+    assert [f.name for f in big.schema.fields] == [
+        f.name for f in small.schema.fields
+    ]
+    as_map = lambda d: {(r.g, r.p): r.value for r in d.collect()}  # noqa: E731
+    got_big, got_small = as_map(big), as_map(small)
+    assert got_small == got_big
+    # independent reference: driver-side sort per group
+    rows = df.collect()
+    byg: dict = {}
+    for r in rows:
+        byg.setdefault(r.g, []).append(r.v)
+    for g, vs in byg.items():
+        vs.sort()
+        for p in ps:
+            k = min(max(1, math.ceil(p * len(vs))), len(vs))
+            assert got_small[(g, p)] == vs[k - 1]
+
+
+def test_grouped_weighted_median_high_cardinality_fallback(spark):
+    """Same switch for the weighted median: the windowed fallback must
+    reproduce the bucketed path bit-for-bit (crossing value, n, and the
+    decimal-summed w_total)."""
+    from pm25ml_spark.operators.quantiles import grouped_weighted_median
+
+    df = spark.range(4000).select(
+        (F.col("id") % 400).cast("string").alias("g"),
+        ((F.col("id") * 13) % 97).cast("double").alias("v"),
+        ((F.col("id") % 7) * 0.25 + 0.125).alias("w"),
+    )
+    big = grouped_weighted_median(df, ["g"], "v", "w", 8)
+    small = grouped_weighted_median(
+        df, ["g"], "v", "w", 8, max_driver_tallies=10
+    )
+    as_map = lambda d: {  # noqa: E731
+        r.g: (r.wmedian, r.n, r.w_total) for r in d.collect()
+    }
+    assert as_map(small) == as_map(big)
+
+
 def _run_twice_hash_stable(spark, sf_dir, name):
     """Two INDEPENDENT invocations of a catalog query (fresh plans, fresh
     side effects — new txlog dirs, new streaming drains) must produce the

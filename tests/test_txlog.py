@@ -674,3 +674,94 @@ def test_randomized_interleavings_with_upserts(spark, tmp_path):
             assert got == set(expected.items()), (step, op, len(got))
     vs = t1.versions()
     assert vs == list(range(len(vs)))
+
+
+def test_delete_keys_removes_rows_and_is_idempotent(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(20)]), "k")
+    keys = spark.range(5).select(F.col("id").cast("long").alias("k"))
+    v1 = t.delete_keys(keys, "k")
+    assert {r.k for r in t.read().collect()} == set(range(5, 20))
+    assert t.history()[-1]["op"] == "delete"
+    # re-deleting the same (now absent) keys touches buckets but stays
+    # correct; absent keys are per-key no-ops
+    t.delete_keys(keys, "k")
+    assert {r.k for r in t.read().collect()} == set(range(5, 20))
+    # time travel: the pre-delete snapshot still shows every row
+    assert len(t.read(version=v1 - 1).collect()) == 20
+
+
+def test_delete_keys_rewrites_only_touched_buckets(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(40)]), "k", n_buckets=8)
+    _, live_before = t.snapshot()
+    t.delete_keys(
+        spark.range(1, 2).select(F.col("id").cast("long").alias("k")),
+        "k",
+        n_buckets=8,
+    )
+    _, live_after = t.snapshot()
+    retired = set(live_before) - set(live_after)
+    key_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(8)).cast("int")
+    ).first()[0]
+    assert retired and {t._file_bucket(f) for f in retired} == {key_bucket}
+    for f in live_before:
+        if t._file_bucket(f) != key_bucket:
+            assert f in live_after
+    got = {r.k for r in t.read().collect()}
+    assert got == set(range(40)) - {1}
+
+
+def test_delete_keys_empty_set_and_empty_table_are_noops(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    empty = spark.range(0).select(F.col("id").cast("long").alias("k"))
+    t.delete_keys(empty, "k")
+    assert t.latest_version() is None  # no commit on an empty table
+    t.upsert(_kv(spark, [(1, "a", 1)]), "k")
+    v = t.latest_version()
+    assert t.delete_keys(empty, "k") == v  # no commit for an empty key set
+    assert t.latest_version() == v
+
+
+def test_delete_keys_can_empty_a_bucket(spark, tmp_path):
+    """Deleting every key in a touched bucket writes ZERO replacement
+    files for it (the empty-frame write path) and the table stays
+    readable."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(12)]), "k", n_buckets=2)
+    t.delete_keys(
+        spark.range(12).select(F.col("id").cast("long").alias("k")),
+        "k",
+        n_buckets=2,
+    )
+    e = t.history()[-1]
+    assert e["op"] == "delete" and e["n_rows"] == 0 and e["added"] == []
+    # a fully-empty snapshot has no files to infer a schema from; read
+    # raises the table's documented empty-read error rather than
+    # returning a schemaless frame
+    with pytest.raises(ValueError, match="empty at version"):
+        t.read()
+
+
+def test_delete_keys_bootstraps_unbucketed_table(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    t.delete_keys(
+        spark.range(2, 3).select(F.col("id").cast("long").alias("k")), "k"
+    )
+    got = {r.k for r in t.read().collect()}
+    assert got == {1, 3}
+    _, live = t.snapshot()
+    assert all(t._file_bucket(f) is not None for f in live)
+
+
+def test_delete_keys_bucket_count_mismatch_raises(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(1, "a", 1)]), "k", n_buckets=8)
+    with pytest.raises(ValueError, match="laid out with 8 buckets"):
+        t.delete_keys(
+            spark.range(1).select(F.col("id").cast("long").alias("k")),
+            "k",
+            n_buckets=4,
+        )
