@@ -1203,3 +1203,104 @@ def m09_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# m10 — two-sample Kolmogorov-Smirnov drift statistic (click vs view
+# value distributions): the feature-drift screen a training pipeline
+# runs between data snapshots before retraining. Exact at any scale and
+# engine-portable with NO rounding step: KS = max|F1 - F2| is computed
+# as max|c1·n2 - c2·n1| over the merged support in pure bigint
+# arithmetic (c_i = cumulative counts at each distinct value, evaluated
+# at value-group boundaries so ties never produce a phantom ECDF
+# point), and the final /(n1·n2) is one identical IEEE division.
+# Shape: corpus → per-value indicator aggregate, then the audited
+# two-pass ordered_prefix_sum over the value order — both cumulative
+# columns share ONE set of sampled split keys via the precomputed-
+# bucket API, so the distributed prefix machinery samples once. No
+# unpartitioned windows anywhere; the support frame is |distinct
+# values| rows (≈ corpus for continuous features), which is exactly
+# why the prefix sum, not a global window, carries the cumulation.
+@query(
+    "m10_ks_drift",
+    """
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+        FROM s
+    ),
+    g AS (
+        SELECT value, CAST(SUM(a) AS BIGINT) AS ga,
+               CAST(SUM(b) AS BIGINT) AS gb
+        FROM s GROUP BY 1
+    ),
+    c AS (
+        SELECT value,
+               CAST(SUM(ga) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ca,
+               CAST(SUM(gb) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cb
+        FROM g
+    )
+    SELECT n1, n2,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE) / (n1 * n2) AS ks
+    FROM c, tot
+    GROUP BY n1, n2
+    """,
+)
+def m10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.bucketize import range_bucket_column
+    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    s = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("a"),
+        F.when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("b"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("a").alias("ga"), F.sum("b").alias("gb")
+    )
+    # one split-sample shared by both cumulative columns
+    nparts = spark.sparkContext.defaultParallelism
+    bk = range_bucket_column(g, ["value"], nparts)
+    c1 = ordered_prefix_sum(g, ["value"], "ga", "ca", bucket=bk)
+    c2 = ordered_prefix_sum(c1, ["value"], "gb", "cb", bucket=bk)
+    tot = F.broadcast(
+        g.agg(
+            F.sum("ga").cast("bigint").alias("n1"),
+            F.sum("gb").cast("bigint").alias("n2"),
+        )
+    )
+    d = (
+        F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")
+    )
+    return (
+        c2.join(tot)
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(d)).cast("bigint").alias("d_num"),
+            (
+                F.max(F.abs(d)).cast("double")
+                / (F.col("n1") * F.col("n2"))
+            ).alias("ks"),
+        )
+    )

@@ -927,3 +927,91 @@ def d15_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+
+
+# --------------------------------------------------------------------------
+# st08 — watermarked SLIDING-window aggregation on the live streaming
+# path (every event lands in window/slide = 2 overlapping windows): the
+# one window shape of §2.11's streaming family (tumbling st02, session
+# st01, sliding) that had no oracle-checked face. Spark aligns window
+# origins to the epoch, so the oracle enumerates each event's two
+# covering starts arithmetically (floor(t/S)·S − k·S, k ∈ {0,1});
+# totals are exact-decimal. complete-mode drain — watermark-independent
+# emitted set; state is O(open windows × |event types|) on an unbounded
+# stream.
+_SLIDE_US = 3_600_000_000  # 1 hour; window = 2 slides
+
+
+@query(
+    "st08_stream_sliding_volume",
+    f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS t, value FROM events
+    )
+    SELECT ((t // {_SLIDE_US}) - u.k) * {_SLIDE_US} AS window_start_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM e, UNNEST(range(2)) AS u(k)
+    GROUP BY 1, 2
+    """,
+)
+def st08_stream_sliding_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, "st08")
+
+
+# --------------------------------------------------------------------------
+# d16 — additive schema evolution through the transaction log, oracle-
+# checked: a table appends half of orders with the original columns,
+# later commits the other half carrying a NEW column (priority), and a
+# merge-schema read returns the union schema with NULLs where the
+# column predates its introduction — the Delta/Iceberg add-column
+# contract. The oracle is the plain CASE projection. Cost note: the
+# merged read pays one parquet-footer union at planning time; pre-
+# evolution snapshots read through time travel keep their own schema
+# (pinned in pytest).
+@query(
+    "d16_txlog_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS priority
+    FROM orders
+    """,
+)
+def d16_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    table = TxTable(spark, tempfile.mkdtemp(prefix="d16_tx_"))
+    table.append(
+        orders.filter(k % 2 == 0).select("o_orderkey", "o_totalprice")
+    )
+    table.append(
+        orders.filter(k % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return table.read(merge_schema=True).select(
+        "o_orderkey", "o_totalprice", "priority"
+    )

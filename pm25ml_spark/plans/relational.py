@@ -1463,3 +1463,45 @@ def q26_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         (dsum("l_extendedprice") / 7.0).alias("avg_weekly_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# a11 — exact per-group MODE with deterministic tie-break (min value
+# among the arg-max counts): the categorical-profile statistic a data-
+# quality sweep reports next to a08's moments. Shape: one corpus hash
+# aggregate to |groups|x|distinct values| cells, a |groups|-row max
+# frame broadcast back onto the cells, one final tiny aggregate —
+# map-side combinable everywhere, no windows, integer-exact.
+@query(
+    "a11_group_mode",
+    """
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (SELECT l_returnflag, MAX(n) AS mx FROM c GROUP BY 1)
+    SELECT c.l_returnflag,
+           MIN(c.l_quantity) AS mode_value,
+           CAST(MAX(c.n) AS BIGINT) AS n_mode
+    FROM c JOIN m USING (l_returnflag)
+    WHERE c.n = m.mx
+    GROUP BY 1
+    """,
+)
+def a11_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    cells = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = cells.groupBy("l_returnflag").agg(F.max("n").alias("mx"))
+    return (
+        cells.join(F.broadcast(m), "l_returnflag")
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("mode_value"),
+            F.max("n").cast("bigint").alias("n_mode"),
+        )
+    )

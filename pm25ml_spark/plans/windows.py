@@ -1000,3 +1000,59 @@ def w20_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.sort_array(F.collect_list("value").over(w))
     med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
     return ev.select("user_id", "event_id", med.alias("med7"))
+
+
+# --------------------------------------------------------------------------
+# w21 — exponential smoothing (EWMA, alpha = 1/2) over each user's last
+# 4 events: the decayed-activity feature every behavioral model wants
+# and the reference's window family (W1-W6: lags/means/fills) lacks.
+# Engine-exactness without a rounding step: the smoothed value is ONE
+# explicit arithmetic expression over lag() terms — v + c1·lag1 +
+# c2·lag2 + c3·lag3 normalized by the weights actually present — with
+# the coefficients 0.5/0.25/0.125 all dyadic (exact doubles) and the
+# SAME evaluation tree spelled on both sides, so every intermediate
+# IEEE rounding is identical. Window is PARTITIONED by user (audit-
+# clean) and the frame is 4 lags — O(1) state per row at any scale.
+@query(
+    "w21_ewma_activity",
+    f"""
+    WITH l AS (
+        SELECT user_id, event_id, value,
+               lag(value, 1) OVER ({_WIN}) AS l1,
+               lag(value, 2) OVER ({_WIN}) AS l2,
+               lag(value, 3) OVER ({_WIN}) AS l3
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           (value + COALESCE(l1, 0) * 0.5
+                  + COALESCE(l2, 0) * 0.25
+                  + COALESCE(l3, 0) * 0.125)
+           / (1 + CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END
+                + CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END
+                + CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END) AS ewma
+    FROM l
+    """,
+)
+def w21_ewma_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1, l2, l3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.col("value")
+        + F.coalesce(l1, F.lit(0.0)) * 0.5
+        + F.coalesce(l2, F.lit(0.0)) * 0.25
+        + F.coalesce(l3, F.lit(0.0)) * 0.125
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(l1.isNull(), 0.0).otherwise(0.5)
+        + F.when(l2.isNull(), 0.0).otherwise(0.25)
+        + F.when(l3.isNull(), 0.0).otherwise(0.125)
+    )
+    return ev.select(
+        "user_id", "event_id", (num / den).alias("ewma")
+    )

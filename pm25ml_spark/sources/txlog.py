@@ -348,13 +348,25 @@ class TxTable:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Read an immutable snapshot (latest by default)."""
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
+        """Read an immutable snapshot (latest by default).
+
+        ``merge_schema=True`` unions the live files' schemas (additive
+        column evolution: rows written before a column existed read as
+        NULL — the Delta/Iceberg add-column semantics). It costs one
+        footer read per live file at planning time, so the default
+        stays single-schema; old snapshots read through time travel are
+        unaffected either way (their file set pins their schema)."""
         v, live = self.snapshot(version)
         if not live:
             raise ValueError(f"table {self.path} is empty at version {v}")
         paths = [os.path.join(self.path, f) for f in live]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def history(self) -> list[dict]:
         """The commit log, oldest first — op, files, rows, timestamps."""

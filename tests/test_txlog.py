@@ -765,3 +765,21 @@ def test_delete_keys_bucket_count_mismatch_raises(spark, tmp_path):
             "k",
             n_buckets=4,
         )
+
+
+def test_merge_schema_read_and_time_travel_pin(spark, tmp_path):
+    """Additive column evolution: a merge-schema read unions schemas
+    (pre-evolution rows -> NULL), while time travel to the pre-evolution
+    version keeps the ORIGINAL schema — the snapshot pins its files."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 5, "old"))
+    t.append(
+        _df(spark, 5, 8, "new").withColumn("extra", F.col("id") * 2)
+    )
+    merged = t.read(merge_schema=True)
+    assert "extra" in merged.columns
+    got = {r.id: r.extra for r in merged.collect()}
+    assert all(got[i] is None for i in range(5))
+    assert all(got[i] == 2 * i for i in range(5, 8))
+    old = t.read(version=v0)
+    assert "extra" not in old.columns and old.count() == 5
