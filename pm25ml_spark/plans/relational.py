@@ -1505,3 +1505,118 @@ def a11_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_mode"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — TPC-H Q21 shape (double-correlated EXISTS / NOT EXISTS):
+# suppliers with a RETURNED line in a multi-supplier order where no
+# OTHER supplier's line in the same order was returned — the classic
+# "who alone caused the failure" decorrelation exercise. Spark spelling:
+# the EXISTS becomes a left-semi join against other-supplier lines, the
+# NOT EXISTS a left-anti join against other-supplier RETURNED lines,
+# both keyed on orderkey (shuffle-partitioned; no correlated re-scan per
+# row — the decorrelated plan reads lineitem once per branch). The
+# supplier dimension broadcasts.
+@query(
+    "q27_sole_blame_suppliers",
+    """
+    SELECT s.s_name,
+           COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    """,
+)
+def q27_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    semi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.join(F.broadcast(sup), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — TPC-H Q20 shape (nested aggregate threshold → semi join):
+# suppliers who shipped MORE THAN HALF of some part's total shipped
+# quantity (the "dominant supplier" stock-concentration screen). The
+# per-(part, supplier) aggregate joins the per-part total and the
+# threshold comparison runs integer-exact as 2·sq > tq (quantities are
+# integral); the winner set semi-joins the supplier dimension. Shapes:
+# two hash aggregates over one lineitem scan lineage, a part-keyed
+# equi-join between them (both sides already partitioned by partkey —
+# AQE coalesces), broadcast supplier names.
+@query(
+    "q28_dominant_suppliers",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT l_partkey,
+               CAST(SUM(sq) AS BIGINT) AS tq,
+               COUNT(*) AS n_sups
+        FROM ps GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(*) AS n_dominated_parts,
+           CAST(MAX(CASE WHEN n_sups > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dominates_contested
+    FROM ps JOIN pt USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE 2 * ps.sq > pt.tq
+    GROUP BY 1, 2
+    """,
+)
+def q28_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("sq"))
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("n_sups")
+    )
+    dom = ps.join(pt, "l_partkey").filter(2 * F.col("sq") > F.col("tq"))
+    return (
+        dom.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated_parts"),
+            F.max(F.when(F.col("n_sups") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dominates_contested"),
+        )
+    )

@@ -1056,3 +1056,37 @@ def w21_ewma_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", (num / den).alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# w22 — the ranking-window class (ntile / percent_rank / cume_dist) the
+# catalog's window family lacked: per-user event ranking by value with
+# the unique (value, event_id) order both engines share. percent_rank =
+# (rank−1)/(n−1) and cume_dist = rank/n are single IEEE divisions of
+# exact integers — identical in both engines; ntile(4) is pure integer
+# bucketing. User-partitioned windows, one exchange, O(1) per row.
+@query(
+    "w22_rank_distribution",
+    f"""
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def w22_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
