@@ -783,3 +783,44 @@ def test_merge_schema_read_and_time_travel_pin(spark, tmp_path):
     assert all(got[i] == 2 * i for i in range(5, 8))
     old = t.read(version=v0)
     assert "extra" not in old.columns and old.count() == 5
+
+
+def test_randomized_upsert_delete_interleavings(spark, tmp_path):
+    """Fuzz the NEW delete verb against upserts from two handles: a
+    random schedule of keyed upserts and keyed deletes must always
+    leave the table equal to a dict replay of the same schedule —
+    latest-upsert-wins, delete removes, absent-key deletes no-op."""
+    import random
+
+    rng = random.Random(20260815)
+    t1 = TxTable(spark, str(tmp_path / "t"))
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    expect: dict[int, str] = {}
+
+    def kv(pairs):
+        return spark.createDataFrame(
+            [(k, v) for k, v in pairs], "k long, val string"
+        )
+
+    for step in range(12):
+        writer = t1 if rng.random() < 0.5 else t2
+        if rng.random() < 0.6 or not expect:
+            keys = rng.sample(range(30), rng.randint(1, 5))
+            pairs = [(k, f"v{step}_{k}") for k in keys]
+            writer.upsert(kv(pairs), "k", n_buckets=4)
+            expect.update(dict(pairs))
+        else:
+            pool = list(range(30))  # live and absent keys alike
+            keys = rng.sample(pool, rng.randint(1, 6))
+            writer.delete_keys(
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                "k",
+                n_buckets=4,
+            )
+            for k in keys:
+                expect.pop(k, None)
+        if expect:
+            got = {(r.k, r.val) for r in t1.read().collect()}
+            assert got == set(expect.items()), (step, got, expect)
+    vs = t1.versions()
+    assert vs == list(range(len(vs)))
