@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -58,6 +59,10 @@ def exact_quantiles(
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     vals = df.select(value_col).filter(F.col(value_col).isNotNull())
+    # three scans (split sampling, bucket counts, pick) — persist the
+    # single-column projection so upstream work evaluates once (same
+    # rationale as operators/prefix.py; spillable, value column only)
+    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
     bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
     tagged = vals.withColumn("__bucket", bucket_expr)
     counts = (
@@ -176,6 +181,10 @@ def grouped_exact_quantiles(
     vals = df.select(*group_cols, value_col).filter(
         F.col(value_col).isNotNull()
     )
+    # sampled + tallied + picked: persist the keys+value projection so
+    # a derived input (e.g. the MAD pass's |x - median| broadcast join)
+    # evaluates once instead of three times
+    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
     bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
     tagged = vals.withColumn("__bucket", bucket_expr)
     counts = (
@@ -371,6 +380,7 @@ def grouped_weighted_median(
     vals = df.select(*group_cols, value_col, weight_col).filter(
         F.col(value_col).isNotNull() & (wd > 0) & ~F.isnan(wd)
     )
+    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
     w6 = F.round(F.col(weight_col), 6).cast("decimal(38,6)")
     bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
     tagged = vals.withColumn("__bucket", bucket_expr).withColumn("__w6", w6)
