@@ -390,7 +390,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
 def _walk_physical(node):
     yield node
     if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        yield from _walk_physical(node.inputPlan())
+        # initialPlan (post-EnsureRequirements), NOT inputPlan: the
+        # pre-preparation tree hides exchanges, so audits that count
+        # Exchange-adjacent structure would see a truncated plan.
+        # WindowExec/CartesianProductExec exist in both, but walk the
+        # fuller tree so future audits inherit the right basis.
+        yield from _walk_physical(node.initialPlan())
         return
     it = node.children().iterator()
     while it.hasNext():
@@ -659,3 +664,32 @@ def test_q26_threshold_broadcast_no_extra_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- catalog-wide no-CartesianProduct audit --------------------------------
+#
+# Per-query no-cartesian pins exist for the pair-emitting families above;
+# this audit extends the guarantee to EVERY catalog query: a
+# CartesianProduct anywhere means a blocking/banding/broadcast strategy
+# silently degraded (e.g. a join condition stopped being an equi-join
+# after a refactor) — at corpus scale that's a |n|² explosion. Scalar
+# one-row cross joins compile to BroadcastNestedLoopJoin with a 1-row
+# build side, which is fine and NOT flagged by this audit; only true
+# CartesianProductExec nodes fail.
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    offenders = {}
+    for name, fn in QUERIES.items():
+        n_cart = sum(
+            1
+            for n in _walk_physical(
+                fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            )
+            if n.getClass().getSimpleName() == "CartesianProductExec"
+        )
+        if n_cart:
+            offenders[name] = n_cart
+    assert not offenders, (
+        f"CartesianProduct in: {offenders} — a join lost its equi-key or "
+        f"a broadcast hint was dropped; restore the blocked/banded/"
+        f"broadcast strategy"
+    )
