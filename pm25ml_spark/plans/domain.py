@@ -1304,3 +1304,63 @@ def m10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# m11 — exact Spearman rank correlation between a user's event ORDER
+# and event VALUE (the per-entity monotonic-trend screen — "is this
+# user's engagement drifting up or down" — that a feature store
+# publishes next to EWMA). Entirely integer until one final division:
+# both rankings are row_number() over the shared tie-broken orders
+# ((ts, event_id) and (value, event_id)), d = rank difference, and
+# rs = 1 − 6·Σd² / (n·(n²−1)) has an exact bigint numerator. Windows
+# are user-partitioned (many users ⇒ parallel sorts, audit-clean).
+# Users with a single ranked event have an undefined rs and are
+# excluded (n > 1).
+@query(
+    "m11_spearman_trend",
+    """
+    WITH r AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rt,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS rv
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM((rt - rv) * (rt - rv)) AS BIGINT) AS d2,
+           1.0 - CAST(6 * SUM((rt - rv) * (rt - rv)) AS DOUBLE)
+                 / (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS rho
+    FROM r
+    GROUP BY user_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def m11_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    wt = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    d = F.row_number().over(wt) - F.row_number().over(wv)
+    r = ev.select("user_id", (d * d).cast("bigint").alias("dd"))
+    n = F.count(F.lit(1))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            n.alias("n"),
+            F.sum("dd").cast("bigint").alias("d2"),
+            (
+                F.lit(1.0)
+                - (6 * F.sum("dd")).cast("double")
+                / (n * (n * n - F.lit(1)))
+            ).alias("rho"),
+        )
+        .filter(F.col("n") > 1)
+    )

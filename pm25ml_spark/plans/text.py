@@ -1356,3 +1356,60 @@ def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.max("n_kg"), 6
         ).alias("density"),
     )
+
+
+# --------------------------------------------------------------------------
+# t23 — corpus length profile in log2 buckets: the doc-length histogram
+# every curation dashboard opens with (power-of-two buckets because
+# token-length distributions are heavy-tailed). Engine-exact WITHOUT
+# floating log: floor(log2(n)) = bitlength(n) − 1, spelled as the
+# length of the binary rendering on both sides (Spark `bin()`, DuckDB
+# `printf('%b')`) — no libm log2 whose last-ulp rounding could flip a
+# floor at bucket boundaries. Share is one exact-integer division per
+# bucket row.
+@query(
+    "t23_doclen_histogram",
+    """
+    WITH d AS (
+        SELECT length(printf('%b', len(string_split(text, ' ')))) - 1
+                   AS bucket,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM d)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot) AS share
+    FROM d
+    GROUP BY bucket
+    """,
+)
+def t23_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens()).cast("long")
+    d = docs.select(
+        (F.length(F.bin(n)) - 1).cast("long").alias("bucket"),
+        n.alias("n_tokens"),
+    )
+    tot = F.broadcast(d.agg(F.count(F.lit(1)).alias("total")))
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .join(tot)
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "total_tokens",
+            (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        )
+    )
