@@ -33,6 +33,32 @@ import sys
 import time
 
 
+def compact_line(compact: dict, budget: int = 1950) -> str:
+    """Render the driver-facing stdout line, degrading gracefully: the
+    driver parses the LAST 2000 stdout chars, so if catalog growth pushes
+    the line past ``budget`` drop per-query precision to 1 dp (full
+    precision lives in BENCH_FULL.json), then drop the stfix split — the
+    suite total and per-query map must always survive."""
+    line = json.dumps(compact, separators=(",", ":")) + "\n"
+    if len(line) > budget:
+        compact["queries"] = {
+            t: round(v, 1) for t, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":")) + "\n"
+    if len(line) > budget:
+        compact.pop("stfix", None)
+        line = json.dumps(compact, separators=(",", ":")) + "\n"
+    if len(line) > budget:
+        # last rung: integer seconds per query (0 for sub-second) —
+        # coarse, but the driver's per-query signal survives and the
+        # exact numbers are always in BENCH_FULL.json
+        compact["queries"] = {
+            t: int(round(v)) for t, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":")) + "\n"
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -192,19 +218,7 @@ def main() -> None:
         }
     if errors:
         compact["errors"] = {tags[n]: e[:60] for n, e in errors.items()}
-    line = json.dumps(compact, separators=(",", ":")) + "\n"
-    # The driver parses the LAST 2000 stdout chars: if catalog growth
-    # pushes the line past that, degrade per-query precision (full
-    # precision lives in BENCH_FULL.json), then drop stfix — the suite
-    # total and per-query map must always survive.
-    if len(line) > 1950:
-        compact["queries"] = {
-            t: round(v, 1) for t, v in compact["queries"].items()
-        }
-        line = json.dumps(compact, separators=(",", ":")) + "\n"
-    if len(line) > 1950:
-        compact.pop("stfix", None)
-        line = json.dumps(compact, separators=(",", ":")) + "\n"
+    line = compact_line(compact)
     spark.stop()
     sys.stderr.flush()
     os.write(real_stdout, line.encode())

@@ -1015,3 +1015,34 @@ def d16_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(merge_schema=True).select(
         "o_orderkey", "o_totalprice", "priority"
     )
+
+
+# --------------------------------------------------------------------------
+# d17 — RESTORE (version rollback as a new commit), oracle-checked: seed
+# orders, apply a "bad" upsert batch (price corruption), then restore
+# the pre-corruption version — the operational undo every lakehouse
+# needs. The final read must equal the ORIGINAL snapshot (the oracle is
+# the plain projection), history keeps both the mistake and the fix,
+# and no data file is copied: restore re-references the old files
+# (O(log entry), pinned in pytest).
+@query(
+    "d17_txlog_restore",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+)
+def d17_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table = TxTable(spark, tempfile.mkdtemp(prefix="d17_tx_"))
+    good = table.upsert(orders, "o_orderkey")
+    corrupted = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * -1.0).alias("o_totalprice"),
+    )
+    table.upsert(corrupted, "o_orderkey")
+    table.restore(good)
+    return table.read().select("o_orderkey", "o_totalprice")

@@ -554,6 +554,53 @@ class TxTable:
                     )
         raise CommitConflict(f"upsert lost {max_retries} races")
 
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """ROLL BACK the table to ``version`` as a NEW commit (the
+        Delta/Iceberg RESTORE verb): the restored snapshot's file list
+        becomes the live set again, history is preserved (the rollback
+        is itself an entry — audits see both the mistake and the fix),
+        and no data files are copied or rewritten — the old files are
+        simply re-referenced, so restore is O(log entry), not O(data).
+
+        Fails loudly if any file of the target snapshot has been
+        vacuumed (the rollback would resurrect a dangling reference).
+        Concurrency: pinned commit, standard retry — an interleaved
+        writer forces re-pinning (the restored CONTENT does not change,
+        only the claimed version)."""
+        _, want = self.snapshot(version)
+        missing = [
+            f for f in want
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore version {version}: {len(missing)} of its "
+                f"files were vacuumed (e.g. {missing[0]})"
+            )
+        for _ in range(max_retries):
+            sv, live = self.snapshot()
+            entry = {
+                "op": "restore",
+                "restore_of": version,
+                "added": sorted(set(want) - set(live)),
+                "removed": sorted(set(live) - set(want)),
+                "n_rows": None,
+            }
+            # the restored snapshot's bucket layout governs future
+            # upserts, not whatever a rolled-back upsert recorded after
+            # it — carry the TARGET version's layout forward so
+            # _recorded_buckets resolves against the restored state
+            nb = self._recorded_buckets(version)
+            if nb is not None:
+                entry["upsert_buckets"] = nb
+            try:
+                v = self._commit(entry, at_version=sv + 1)
+                self._maybe_checkpoint(v)
+                return v
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"restore lost {max_retries} races")
+
     def delete_keys(
         self,
         keys_df: DataFrame,

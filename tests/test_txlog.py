@@ -824,3 +824,62 @@ def test_randomized_upsert_delete_interleavings(spark, tmp_path):
             assert got == set(expect.items()), (step, got, expect)
     vs = t1.versions()
     assert vs == list(range(len(vs)))
+
+
+def test_restore_rolls_back_without_copying_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    v0 = t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(10)]), "k")
+    _, live_v0 = t.snapshot()
+    t.upsert(_kv(spark, [(1, "CORRUPT", 2), (99, "extra", 2)]), "k")
+    rv = t.restore(v0)
+    # content equals the restored snapshot exactly
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(i, f"v{i}") for i in range(10)}
+    # no data copy: the live files ARE v0's files, re-referenced
+    _, live_now = t.snapshot()
+    assert live_now == live_v0
+    # history preserved: mistake and fix both visible
+    ops = [e["op"] for e in t.history()]
+    assert ops[-1] == "restore" and "upsert" in ops
+    assert t.history()[-1]["restore_of"] == v0
+    # the rolled-back state is still time-travelable
+    assert (1, "CORRUPT") in {
+        (r.k, r.val) for r in t.read(version=rv - 1).collect()
+    }
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, "old"))
+    t.overwrite(_df(spark, 0, 2, "new"))
+    t.vacuum()  # version 0's files are gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+
+
+def test_restore_preserves_bucket_layout_of_target(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    v0 = t.upsert(_kv(spark, [(1, "a", 1)]), "k", n_buckets=8)
+    t.upsert(_kv(spark, [(2, "b", 2)]), "k", n_buckets=8)
+    t.restore(v0)
+    # upserts after restore still enforce the restored layout
+    with pytest.raises(ValueError, match="laid out with 8 buckets"):
+        t.upsert(_kv(spark, [(3, "c", 3)]), "k", n_buckets=4)
+    t.upsert(_kv(spark, [(3, "c", 3)]), "k", n_buckets=8)
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_vacuum_reclaims_delete_retired_files(spark, tmp_path):
+    """Files retired by a keyed DELETE are dead once no live snapshot
+    references them; vacuum removes them and the live read survives."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(12)]), "k", n_buckets=2)
+    t.delete_keys(
+        spark.range(6).select(F.col("id").cast("long").alias("k")),
+        "k",
+        n_buckets=2,
+    )
+    dead = t.vacuum()
+    assert dead  # the pre-delete bucket files were reclaimed
+    assert {r.k for r in t.read().collect()} == set(range(6, 12))
