@@ -1090,3 +1090,43 @@ def w22_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+# --------------------------------------------------------------------------
+# w23 — top-3 purchases per user by value (the per-entity top-k shape):
+# row_number over a user-partitioned order, filtered to rank ≤ 3. The
+# scale story is the plan, not the algebra: Spark ≥ 3.5 rewrites the
+# rank filter into WindowGroupLimit, which keeps a 3-row heap PER
+# PARTITION on the map side BEFORE the shuffle — the exchange carries
+# ≤ 3 rows per (user, input partition) instead of every purchase, the
+# difference between shuffling top-k candidates and shuffling the
+# corpus. Pinned in tests/test_plan_quality.py. Ties are impossible by
+# construction (the order key ends with the unique event_id).
+@query(
+    "w23_top3_per_user",
+    f"""
+    SELECT user_id, event_id, value, rk FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ) WHERE rk <= 3
+    """,
+)
+def w23_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select("user_id", "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", "rk")
+    )

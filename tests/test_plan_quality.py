@@ -693,3 +693,23 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         f"a broadcast hint was dropped; restore the blocked/banded/"
         f"broadcast strategy"
     )
+
+
+def test_w23_rank_filter_becomes_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must compile to the two-phase WindowGroupLimit
+    (a Partial limit keeping a k-row heap per map partition BEFORE the
+    exchange, plus the Final after): the shuffle then carries <= k rows
+    per (group, input partition) instead of every purchase. Losing this
+    rewrite (e.g. by materializing rk before filtering) silently turns
+    a top-k query back into a full-corpus shuffle."""
+    df = QUERIES["w23_top3_per_user"](spark, sf_dir)
+    nodes = [
+        n.getClass().getSimpleName()
+        for n in _walk_physical(
+            df._jdf.queryExecution().executedPlan()
+        )
+    ]
+    n_wgl = sum(1 for s in nodes if s == "WindowGroupLimitExec")
+    assert n_wgl == 2, (
+        f"expected Partial+Final WindowGroupLimitExec, got {n_wgl} in {nodes}"
+    )
