@@ -35,10 +35,12 @@ import time
 
 def compact_line(compact: dict, budget: int = 1950) -> str:
     """Render the driver-facing stdout line, degrading gracefully: the
-    driver parses the LAST 2000 stdout chars, so if catalog growth pushes
-    the line past ``budget`` drop per-query precision to 1 dp (full
-    precision lives in BENCH_FULL.json), then drop the stfix split — the
-    suite total and per-query map must always survive."""
+    driver parses the LAST 2000 stdout chars, so if catalog growth
+    pushes the line past ``budget``, shed per-query PRECISION first
+    (1 dp, then integer seconds — full precision always lives in
+    BENCH_FULL.json, which the judge reads directly) and the stfix
+    streaming split LAST (it has no other driver-visible home). The
+    suite total and the per-query map always survive."""
     line = json.dumps(compact, separators=(",", ":")) + "\n"
     if len(line) > budget:
         compact["queries"] = {
@@ -46,15 +48,22 @@ def compact_line(compact: dict, budget: int = 1950) -> str:
         }
         line = json.dumps(compact, separators=(",", ":")) + "\n"
     if len(line) > budget:
-        compact.pop("stfix", None)
+        if "stfix" in compact:
+            compact["stfix"] = {
+                t: round(v, 1) for t, v in compact["stfix"].items()
+            }
+        if "pipeline_e2e_sec" in compact:
+            compact["pipeline_e2e_sec"] = round(
+                compact["pipeline_e2e_sec"], 1
+            )
         line = json.dumps(compact, separators=(",", ":")) + "\n"
     if len(line) > budget:
-        # last rung: integer seconds per query (0 for sub-second) —
-        # coarse, but the driver's per-query signal survives and the
-        # exact numbers are always in BENCH_FULL.json
         compact["queries"] = {
             t: int(round(v)) for t, v in compact["queries"].items()
         }
+        line = json.dumps(compact, separators=(",", ":")) + "\n"
+    if len(line) > budget:
+        compact.pop("stfix", None)
         line = json.dumps(compact, separators=(",", ":")) + "\n"
     return line
 

@@ -39,13 +39,24 @@ def test_large_catalog_degrades_precision_before_dropping_stfix():
     assert "stfix" in d  # survived at this size
 
 
-def test_huge_catalog_drops_stfix_last():
+def test_huge_catalog_sheds_precision_before_stfix():
+    """Precision goes first (integer seconds; exact numbers live in
+    BENCH_FULL.json) — the stfix split has no other driver-visible home,
+    so it must survive as long as the budget allows."""
     line = compact_line(_compact(175))
     d = json.loads(line)
     assert len(line) <= 1950
-    assert "stfix" not in d
-    # the suite total and per-query map always survive
+    assert "stfix" in d
+    assert d["queries"]["q000"] == 1  # integer rung engaged
     assert d["value"] == 123.45 and len(d["queries"]) == 175
+
+
+def test_astronomical_catalog_drops_stfix_as_last_resort():
+    line = compact_line(_compact(205))
+    d = json.loads(line)
+    assert len(line) <= 1950
+    assert "stfix" not in d
+    assert len(d["queries"]) == 205
 
 
 def test_line_is_single_json_object_with_required_keys():
