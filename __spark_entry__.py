@@ -90,14 +90,21 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r8: plan changed (single-key packing order -> approxQuantile
-        # split fast path); re-verify under the new plan.
-        "t14_chunk_language_mix",
-        # r8: oracle typing fixed (CAST SUM AS BIGINT) — make sure the
-        # driver re-checks them even though the staleness rotation
-        # already front-loads their stale-red state.
-        "t13_sequence_packing",
-        "m09_chi2_independence",
+        # r9: the whole jaccard-pair consumer family now reads the
+        # build-once staged edge artifact (plans/dup_graph.py) — the
+        # physical plan changed for every one of these.
+        "dd03_jaccard_pairs",
+        "dd08_dup_clusters",
+        "dd11_canonical_selection",
+        "cp09_soft_dedup_weights",
+        "gr01_dupgraph_pagerank",
+        "gr02_dupgraph_triangles",
+        "gr03_kcore_members",
+        "gr04_bfs_hops",
+        "gr05_degree_assortativity",
+        # r9: KS cross-multiplication moved to DECIMAL(38,0) in both
+        # engines (overflow-safe at >3e9 events per arm).
+        "m10_ks_drift",
     }
     return sorted(
         names,

@@ -97,7 +97,12 @@ def ordered_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = F.sum(F.col(value_col).cast(sum_cast)).over(w)
-    return part.join(F.broadcast(odf), "__bucket").select(
+    out = part.join(F.broadcast(odf), "__bucket").select(
         *df.columns,
         (F.col("__off") + local).cast(out_type).alias(out_col),
     )
+    # cache lifetime = returned plan's lifetime (operators/cache.py):
+    # callers that drop the result release the persisted projection
+    from pm25ml_spark.operators.cache import release_with
+
+    return release_with(out, df)

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pm25ml_spark.operators.bucketize import range_bucket_column
+from pm25ml_spark.operators.cache import release_with
 
 # Above this many (bucket, group) tally rows the bucketed algorithm's
 # driver collect stops being "a few MB" — but a group count that large
@@ -72,6 +73,7 @@ def exact_quantiles(
     n = sum(sizes.values())
     out_schema = f"p double, value {dict(df.dtypes)[value_col]}"
     if n == 0:
+        vals.unpersist(False)  # the empty result never reads the cache
         return spark.createDataFrame([], out_schema)
 
     # driver-side rank → (bucket, local_rank); dict keeps ≤ len(ps) rows
@@ -97,11 +99,12 @@ def exact_quantiles(
             {"p": [p for p, _ in want], "value": [v[r - 1] for _, r in want]}
         )
 
-    return (
+    out = (
         tagged.filter(F.col("__bucket").isin(needed))
         .groupBy("__bucket")
         .applyInPandas(pick, out_schema)
     )
+    return release_with(out, vals)  # cache lives as long as the plan
 
 
 def _canon_key(x):
@@ -198,9 +201,13 @@ def grouped_exact_quantiles(
         + ["p double", f"value {dtypes[value_col]}"]
     )
     if not counts:
+        vals.unpersist(False)
         return spark.createDataFrame([], out_schema)
     if len(counts) > max_driver_tallies:
-        return _grouped_quantiles_windowed(vals, group_cols, value_col, ps)
+        return release_with(
+            _grouped_quantiles_windowed(vals, group_cols, value_col, ps),
+            vals,
+        )
 
     per_group: dict[tuple, list[tuple[int, int]]] = {}
     raw_key: dict[tuple, tuple] = {}
@@ -258,9 +265,10 @@ def grouped_exact_quantiles(
         .groupBy("__bucket")
         .applyInPandas(pick, f"__gid int, p double, value {dtypes[value_col]}")
     )
-    return picked.join(F.broadcast(gdf), "__gid").select(
+    out = picked.join(F.broadcast(gdf), "__gid").select(
         *group_cols, "p", "value"
     )
+    return release_with(out, vals)
 
 
 def _grouped_quantiles_windowed(
@@ -305,7 +313,6 @@ def _grouped_weighted_median_windowed(
     vals: DataFrame,
     group_cols: list[str],
     value_col: str,
-    dtypes: dict,
 ) -> DataFrame:
     """Many-small-groups fallback for the weighted median: per-group
     window over the pre-rounded DECIMAL(38,6) weights. The inclusive
@@ -395,10 +402,14 @@ def grouped_weighted_median(
         + [f"wmedian {dtypes[value_col]}", "n bigint", "w_total double"]
     )
     if not counts:
+        vals.unpersist(False)
         return spark.createDataFrame([], out_cols)
     if len(counts) > max_driver_tallies:
-        return _grouped_weighted_median_windowed(
-            tagged.drop("__bucket"), group_cols, value_col, dtypes
+        return release_with(
+            _grouped_weighted_median_windowed(
+                tagged.drop("__bucket"), group_cols, value_col
+            ),
+            vals,
         )
 
     def _micro(dec) -> int:
@@ -483,6 +494,7 @@ def grouped_weighted_median(
         .groupBy("__bucket")
         .applyInPandas(pick, f"__gid int, wmedian {dtypes[value_col]}")
     )
-    return picked.join(F.broadcast(gdf), "__gid").select(
+    out = picked.join(F.broadcast(gdf), "__gid").select(
         *group_cols, "wmedian", "n", "w_total"
     )
+    return release_with(out, vals)

@@ -81,8 +81,12 @@ def dd02_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    # served from the build-once staged artifact (plans/dup_graph.py):
+    # the first pair consumer in a session pays the shingle join, every
+    # other (dd08/dd11/cp09/gr01-gr06) reads the staged parquet
+    from pm25ml_spark.plans.dup_graph import dup_edges
+
+    return dup_edges(spark, sf_dir)
 
 
 @query(
@@ -219,9 +223,9 @@ def dd08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate clusters with keep-lowest-id policy. The oracle computes
     # the same clusters with a recursive-CTE transitive closure.
     from pm25ml_spark.operators.components import dedup_clusters
+    from pm25ml_spark.plans.dup_graph import dup_edges
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    pairs = dup_edges(spark, sf_dir)
     return dedup_clusters(pairs)
 
 
@@ -1008,15 +1012,11 @@ def _pr_oracle() -> str:
 
 @query("gr01_dupgraph_pagerank", _pr_oracle())
 def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
-        "doc_a", "doc_b"
-    )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    from pm25ml_spark.plans.dup_graph import dup_edges_symmetric
+
+    # staged-artifact read (build-once, plans/dup_graph.py); persisted
+    # because every PageRank iteration joins against the edge set
+    edges = dup_edges_symmetric(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1094,13 +1094,11 @@ def gr01_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gr02_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # the shingle→groupBy pair-builder is referenced (via deg / e1 / e2 /
-    # closing) six times downstream — without a persist Spark re-runs the
-    # whole subplan per reference (measured 71 s → 9 s at sf0.1)
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
-        "doc_a", "doc_b"
-    ).persist()
+    from pm25ml_spark.plans.dup_graph import dup_edges
+
+    # staged-artifact read; still persisted because deg / e1 / e2 /
+    # closing reference the pair list six times downstream
+    pairs = dup_edges(spark, sf_dir).select("doc_a", "doc_b").persist()
     # degree over both endpoints of the undirected pair list
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
@@ -1282,24 +1280,11 @@ def _kcore_oracle() -> str:
 
 @query("gr03_kcore_members", _kcore_oracle())
 def gr03_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # persisted: the union below references pairs twice, and Spark does
-    # no cross-branch CSE — without this the dominant jaccard-pair
-    # build runs 2x even for a single materialization of edges
-    pairs = (
-        D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .persist()
-    )
+    from pm25ml_spark.plans.dup_graph import dup_edges_symmetric
+
+    # staged-artifact read; persisted because each peel round feeds the
+    # next degree aggregate and two semi joins
+    edges = dup_edges_symmetric(spark, sf_dir).persist()
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.filter(F.col("c") >= _KCORE_K).select("src")
@@ -1364,9 +1349,10 @@ def gr03_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cp09_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pm25ml_spark.operators.components import dedup_clusters
+    from pm25ml_spark.plans.dup_graph import dup_edges
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    pairs = dup_edges(spark, sf_dir)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_size")
     w = F.lit(1.0) / F.coalesce(
         F.col("cluster_size"), F.lit(1)
@@ -1438,9 +1424,10 @@ def dd11_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from pm25ml_spark.operators.components import dedup_clusters
+    from pm25ml_spark.plans.dup_graph import dup_edges
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
+    pairs = dup_edges(spark, sf_dir)
     members = dedup_clusters(pairs).select("doc_id", "cluster_id")
     toks = docs.select(
         "doc_id",
@@ -1521,24 +1508,11 @@ def _bfs_oracle() -> str:
 def gr04_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pm25ml_spark.operators.sampling import global_topk
 
-    docs = load_table(spark, sf_dir, "documents")
-    # persisted: referenced by both union branches (no cross-branch CSE)
-    pairs = (
-        D.jaccard_pairs(docs, n=3, t_num=3, t_den=5)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        # the edge set feeds the degree aggregate plus one join per BFS
-        # round — persist or the jaccard-pair build re-runs 4x
-        .persist()
-    )
+    from pm25ml_spark.plans.dup_graph import dup_edges_symmetric
+
+    # staged-artifact read; persisted because the edge set feeds the
+    # degree aggregate plus one join per BFS round
+    edges = dup_edges_symmetric(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -1652,19 +1626,10 @@ def _gr05_oracle() -> str:
 
 @query("gr05_degree_assortativity", _gr05_oracle())
 def gr05_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).select(
-        "doc_a", "doc_b"
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .persist()
-    )
+    from pm25ml_spark.plans.dup_graph import dup_edges_symmetric
+
+    # staged-artifact read; persisted: degree aggregate + two re-joins
+    edges = dup_edges_symmetric(spark, sf_dir).persist()
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).persist()
@@ -1713,6 +1678,42 @@ def gr05_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# gr06 — degree distribution of the duplicate graph, read from the
+# BUILD-ONCE staged edge artifact (plans/dup_graph.py): the catalog pin
+# for the build-once-analyze-many topology. The histogram itself is the
+# corpus-health panel's headline chart (how heavy is the boilerplate
+# tail), but the point of the entry is the lifecycle: this plan never
+# touches `documents` — it is two scans of the staged parquet + two
+# map-side-combinable aggregates, which is exactly what every gr-family
+# analysis costs at 100 TB once the pair build is a pipeline stage
+# instead of a per-query subplan. Oracle recomputes the edge list
+# brute-force, so the artifact's content is value-checked end-to-end.
+def _gr06_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM qual
+        UNION ALL SELECT doc_b, doc_a FROM qual
+    ),
+    deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """
+
+
+@query("gr06_dupgraph_degree_hist", _gr06_oracle())
+def gr06_dupgraph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.dup_graph import dup_edges_symmetric
+
+    edges = dup_edges_symmetric(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
 # --------------------------------------------------------------------------

@@ -1210,8 +1210,12 @@ def m09_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value distributions): the feature-drift screen a training pipeline
 # runs between data snapshots before retraining. Exact at any scale and
 # engine-portable with NO rounding step: KS = max|F1 - F2| is computed
-# as max|c1·n2 - c2·n1| over the merged support in pure bigint
-# arithmetic (c_i = cumulative counts at each distinct value, evaluated
+# as max|c1·n2 - c2·n1| over the merged support with the cross-
+# multiplication carried in DECIMAL(38,0) (each factor is a bigint
+# count, so the product can exceed 2^63 once each arm passes ~3e9
+# events — Spark's non-ANSI bigint would wrap silently; decimal never
+# does). d_num is reported as bigint, exact while n1·n2 < 2^63
+# (c_i = cumulative counts at each distinct value, evaluated
 # at value-group boundaries so ties never produce a phantom ECDF
 # point), and the final /(n1·n2) is one identical IEEE division.
 # Shape: corpus → per-value indicator aggregate, then the audited
@@ -1251,8 +1255,12 @@ def m09_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT n1, n2,
-           CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
-           CAST(MAX(ABS(ca * n2 - cb * n1)) AS DOUBLE) / (n1 * n2) AS ks
+           CAST(MAX(ABS(CAST(ca AS DECIMAL(38,0)) * n2
+                        - CAST(cb AS DECIMAL(38,0)) * n1)) AS BIGINT)
+               AS d_num,
+           CAST(MAX(ABS(CAST(ca AS DECIMAL(38,0)) * n2
+                        - CAST(cb AS DECIMAL(38,0)) * n1)) AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
     FROM c, tot
     GROUP BY n1, n2
     """,
@@ -1290,8 +1298,12 @@ def m10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gb").cast("bigint").alias("n2"),
         )
     )
+    # cross-multiply in DECIMAL(38,0): bigint·bigint wraps silently in
+    # non-ANSI Spark once each arm exceeds ~3e9 events
+    dec = "decimal(38,0)"
     d = (
-        F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")
+        F.col("ca").cast(dec) * F.col("n2").cast(dec)
+        - F.col("cb").cast(dec) * F.col("n1").cast(dec)
     )
     return (
         c2.join(tot)
@@ -1300,7 +1312,7 @@ def m10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(d)).cast("bigint").alias("d_num"),
             (
                 F.max(F.abs(d)).cast("double")
-                / (F.col("n1") * F.col("n2"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
             ).alias("ks"),
         )
     )

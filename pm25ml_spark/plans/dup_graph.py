@@ -1,0 +1,110 @@
+"""Build-once duplicate-pair graph artifact (the 100 TB topology).
+
+Round-8 bench read: gr01-gr05 + dd08/dd11/cp09 each rebuilt the exact
+n-gram-Jaccard pair list from the raw corpus — correct, but at corpus
+scale recomputing a corpus-wide MinHash/shingle join per analytics query
+is the wrong shape. Production dedup pipelines stage the pair graph ONCE
+(the reference stages intermediate artifacts the same way —
+``combiners/data_artifact.py:10-44``) and every downstream analysis
+(PageRank, triangles, k-core, BFS, assortativity, soft-dedup weights,
+canonical selection) reads the staged edge list.
+
+``dup_edges`` is that stage: the first caller in a session materializes
+``operators.dedup.jaccard_pairs`` into a transaction-log table (our own
+lakehouse layer — atomic swap, snapshot reads, per-file ``doc_a``/
+``doc_b`` min-max stats for pruned seed lookups) under a process-local
+temp dir; every later caller gets a parquet scan. At 100 TB the artifact
+would live on the object store next to the corpus and be refreshed by
+the ingest pipeline, not per query — the session-scoped memo here is the
+local-mode stand-in for that lifecycle.
+
+The artifact is partitioned by ``doc_a`` hash so the edge files are
+uniform regardless of upstream skew; graph queries that start from a
+node set can prune files via the recorded stats instead of scanning the
+full edge list.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pm25ml_spark.catalog import load_table
+
+# (applicationId, sf_dir, n, t_num, t_den) -> TxTable path
+_ARTIFACTS: dict[tuple, str] = {}
+# observability + test pin: number of from-scratch builds this process
+BUILD_COUNT = 0
+
+
+def _cleanup(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def dup_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """The staged duplicate-pair edge list for ``sf_dir``'s documents.
+
+    Columns: ``(doc_a, doc_b, shared, jaccard)`` with ``doc_a < doc_b``
+    — exactly :func:`pm25ml_spark.operators.dedup.jaccard_pairs`, built
+    once per (session, corpus, params) and served from the staged table
+    afterwards.
+    """
+    global BUILD_COUNT
+    from pm25ml_spark.operators import dedup as D
+    from pm25ml_spark.sources.txlog import TxTable
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        n,
+        t_num,
+        t_den,
+    )
+    path = _ARTIFACTS.get(key)
+    if path is None:
+        base = tempfile.mkdtemp(prefix="pm25ml_dup_graph_")
+        atexit.register(_cleanup, base)
+        path = os.path.join(base, "edges")
+        docs = load_table(spark, sf_dir, "documents")
+        edges = D.jaccard_pairs(docs, n=n, t_num=t_num, t_den=t_den)
+        nparts = spark.sparkContext.defaultParallelism
+        t = TxTable(spark, path)
+        t.append(
+            edges.repartition(nparts, F.col("doc_a")),
+            stats_cols=["doc_a", "doc_b"],
+        )
+        BUILD_COUNT += 1
+        _ARTIFACTS[key] = path
+    return TxTable(spark, path).read()
+
+
+def dup_edges_symmetric(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Both orientations of the staged edge list: ``(src, dst)`` with
+    every undirected pair appearing twice — the adjacency shape the
+    iterative graph plans (PageRank, k-core, BFS, assortativity) start
+    from. Two scans of the staged parquet, no recompute."""
+    pairs = dup_edges(spark, sf_dir, n=n, t_num=t_num, t_den=t_den).select(
+        "doc_a", "doc_b"
+    )
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )

@@ -1092,7 +1092,12 @@ def _dc_prog(reader, huff_dc, scan_info, preds, cid, zz, ah, al) -> None:
         td, _ = scan_info[cid]
         n = huff_dc[td].decode(reader)
         preds[cid] += _extend(reader.receive(n), n)
-        zz[0] = preds[cid] << al
+        # explicit masked int32 cast: a hostile stream can walk the DC
+        # predictor past 2^31 (unbounded diff accumulation), and the
+        # implicit out-of-bound Python-int -> int32 store is a NumPy 1.x
+        # DeprecationWarning / NumPy 2 OverflowError. Spec-valid streams
+        # never wrap; corrupt ones decode to garbage pixels, not a crash.
+        zz[0] = np.int32(((preds[cid] << al) + 2**31) % 2**32 - 2**31)
     else:  # refinement: one raw bit
         if reader.bit():
             zz[0] |= 1 << al

@@ -537,8 +537,11 @@ class TxTable:
             try:
                 try:
                     v = self._commit(entry, at_version=sv + 1)
-                    self._maybe_checkpoint(v)
+                    # clear BEFORE checkpointing: once the commit landed the
+                    # data files belong to the log — a checkpoint IO failure
+                    # must not trigger the cleanup rmtree below
                     files = []
+                    self._maybe_checkpoint(v)
                     return v
                 except CommitConflict:
                     continue  # re-plan (and re-check the stamp) above
@@ -675,8 +678,11 @@ class TxTable:
             try:
                 try:
                     v = self._commit(entry, at_version=sv + 1)
-                    self._maybe_checkpoint(v)
+                    # clear BEFORE checkpointing (see upsert): a checkpoint
+                    # failure after a successful commit must not delete the
+                    # data files the committed entry references
                     files = []
+                    self._maybe_checkpoint(v)
                     return v
                 except CommitConflict:
                     continue
@@ -803,8 +809,9 @@ class TxTable:
                             },
                             at_version=pin + 1,
                         )
+                        files = []  # committed BEFORE checkpoint: nothing
+                        # to clean up even if the checkpoint write fails
                         self._maybe_checkpoint(v)
-                        files = []  # committed: nothing to clean up
                         return v
                     except CommitConflict:
                         pin, live_now = self.snapshot()

@@ -471,3 +471,85 @@ def write_zarr_distributed(
             if r.chunk not in ("__unmatched__", "__duplicate__")
         ]
     )
+
+
+def read_zarr_cube_distributed(spark, path: str, var_name: str = "pm25"):
+    """Chunk-parallel Zarr read: the scan dual of
+    :func:`write_zarr_distributed`.
+
+    The driver reads ONLY metadata (one ``.zmetadata`` document — the
+    single-GET open that consolidation exists for — falling back to the
+    per-array keys) plus the tiny coordinate arrays; the chunk objects
+    are decoded on EXECUTORS, one task per chunk file, via an
+    Arrow-batched ``mapInPandas`` over the chunk-key list. Fill cells
+    (NaN) are dropped on the executor, so only real samples cross the
+    shuffle — at 100 TB the read parallelizes exactly like the write.
+
+    Returns a long-form DataFrame ``(t_idx int, y double, x double,
+    value double)`` where ``t_idx`` indexes the store's time axis.
+    """
+    import pandas as pd
+
+    var_dir = os.path.join(path, var_name)
+    zmeta = os.path.join(path, ".zmetadata")
+    if os.path.exists(zmeta):
+        with open(zmeta) as f:
+            meta = json.load(f)["metadata"][f"{var_name}/.zarray"]
+    else:
+        with open(os.path.join(var_dir, ".zarray")) as f:
+            meta = json.load(f)
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise ValueError(f"unsupported compressor {comp}")
+    dt = np.dtype(meta["dtype"])
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    if len(shape) != 3:
+        raise ValueError("read_zarr_cube_distributed expects a 3-d cube")
+    # coordinate axes: driver-sized by the cube contract, broadcast
+    ys, _ = read_zarr_array(os.path.join(path, "y"))
+    xs, _ = read_zarr_array(os.path.join(path, "x"))
+    keys = [
+        ".".join(map(str, idx))
+        for idx, _slc in chunk_grid(shape, chunks)
+        if os.path.exists(os.path.join(var_dir, ".".join(map(str, idx))))
+    ]
+    bc = spark.sparkContext.broadcast(
+        (var_dir, shape, chunks, dt.str, comp is not None,
+         ys.tolist(), xs.tolist())
+    )
+
+    def decode(batches):
+        vdir, shp, cks, dts, zipped, ys_l, xs_l = bc.value
+        dtv = np.dtype(dts)
+        ct, cy, cx = cks
+        ya = np.asarray(ys_l, dtype=np.float64)
+        xa = np.asarray(xs_l, dtype=np.float64)
+        for pdf in batches:
+            for key in pdf["key"]:
+                tc, yc, xc = (int(p) for p in key.split("."))
+                with open(os.path.join(vdir, key), "rb") as f:
+                    raw = f.read()
+                if zipped:
+                    raw = zlib.decompress(raw)
+                block = np.frombuffer(raw, dtype=dtv).reshape(cks)
+                # trim edge-chunk padding back to the true extent
+                bt = min(ct, shp[0] - tc * ct)
+                by = min(cy, shp[1] - yc * cy)
+                bx = min(cx, shp[2] - xc * cx)
+                block = block[:bt, :by, :bx]
+                ti, yi, xi = np.nonzero(~np.isnan(block))
+                yield pd.DataFrame(
+                    {
+                        "t_idx": (ti + tc * ct).astype(np.int32),
+                        "y": ya[yi + yc * cy],
+                        "x": xa[xi + xc * cx],
+                        "value": block[ti, yi, xi].astype(np.float64),
+                    }
+                )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    nparts = min(len(keys), spark.sparkContext.defaultParallelism) or 1
+    return kdf.repartition(nparts).mapInPandas(
+        decode, "t_idx int, y double, x double, value double"
+    )

@@ -143,10 +143,24 @@ def run_available_now(
     invocation uses a fresh checkpoint dir. Size it to expected state
     volume: a 100 TB topology wants hundreds, these bounded-state
     catalog drains want few (per-store fixed cost dominates measured
-    BENCH streaming time otherwise)."""
+    BENCH streaming time otherwise).
+
+    SCOPE CAVEAT: ``spark.sql.shuffle.partitions`` is session-global, so
+    any BATCH query planned concurrently on the same session during the
+    drain would silently plan with ``state_partitions`` shuffles. The
+    setting can't be moved to a child session — ``stream_df`` and the
+    memory-sink table are bound to the session that built the plan — so
+    this helper requires (and asserts) drains are not stacked; callers
+    that interleave batch planning with a drain should build the stream
+    in a ``spark.newSession()`` of their own."""
     spark = stream_df.sparkSession
     prev = None
     if state_partitions is not None:
+        assert not spark.streams.active, (
+            "run_available_now(state_partitions=...) mutates the "
+            "session-wide shuffle-partition conf; refusing to overlap "
+            "with active streaming queries"
+        )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

@@ -1,0 +1,45 @@
+"""Build-once duplicate-pair graph artifact (plans/dup_graph.py):
+the staged edge list is built exactly once per (session, corpus,
+params), matches the direct operator output, and every gr-family plan
+reads it instead of recomputing the shingle join."""
+
+from __future__ import annotations
+
+import pm25ml_spark.plans.dup_graph as DG
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dup_edges_built_once_and_exact(spark):
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+
+    before = DG.BUILD_COUNT
+    e1 = DG.dup_edges(spark, SF)
+    got = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in e1.collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    want = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).collect()
+    }
+    assert got == want and got  # artifact content == direct operator
+    # second consumer (and the symmetric view) reuse the staged table
+    DG.dup_edges(spark, SF).count()
+    sym = DG.dup_edges_symmetric(spark, SF)
+    assert sym.count() == 2 * len(got)
+    assert DG.BUILD_COUNT == before + 1
+
+
+def test_gr_family_shares_one_build(spark):
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+    DG.dup_edges(spark, SF).count()  # warm the artifact
+    before = DG.BUILD_COUNT
+    a = QUERIES["gr06_dupgraph_degree_hist"](spark, SF)
+    b = QUERIES["dd03_jaccard_pairs"](spark, SF)
+    assert a.count() > 0 and b.count() > 0
+    assert DG.BUILD_COUNT == before  # zero rebuilds after the stage

@@ -262,3 +262,33 @@ class TestProgressive:
         first_sos = data.find(b"\xff\xda")
         with pytest.raises(ValueError):
             decode_jpeg(data[: first_sos + 20])
+
+
+def test_dc_predictor_overflow_is_masked_not_deprecated():
+    """A hostile progressive stream can walk the DC predictor past 2^31;
+    the store into the int32 coefficient plane must be an EXPLICIT masked
+    cast. NumPy 1.x raises DeprecationWarning on implicit out-of-bound
+    Python-int -> int32 stores and NumPy 2 makes it an OverflowError, so
+    this runs with warnings-as-errors to pin the future-proof path."""
+    import warnings
+
+    from pm25ml_spark.sources.jpeg import _dc_prog
+
+    class _Huff:
+        def decode(self, reader):
+            return 15  # max-size DC diff every block
+
+    class _Reader:
+        def receive(self, n):
+            return (1 << n) - 1  # all-ones: maximal positive diff
+
+        def bit(self):
+            return 1
+
+    preds = {1: 2**40}  # predictor already far outside int32
+    zz = np.zeros(64, dtype=np.int32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning class fails
+        _dc_prog(_Reader(), {0: _Huff()}, {1: (0, 0)}, preds, 1, zz, 0, 13)
+    want = ((preds[1] << 13) + 2**31) % 2**32 - 2**31
+    assert int(zz[0]) == want  # wrapped, deterministic, no crash

@@ -883,3 +883,33 @@ def test_vacuum_reclaims_delete_retired_files(spark, tmp_path):
     dead = t.vacuum()
     assert dead  # the pre-delete bucket files were reclaimed
     assert {r.k for r in t.read().collect()} == set(range(6, 12))
+
+
+def test_checkpoint_failure_after_commit_keeps_data_files(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint IO error AFTER a successful commit must not delete
+    the data files the committed entry references (upsert / delete_keys
+    / compact share the cleanup-on-failure rmtree; only UNcommitted
+    files may be reclaimed by it)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_kv(spark, [(i, f"v{i}", 1) for i in range(8)]), "k", n_buckets=2)
+
+    def boom(version):
+        raise OSError("checkpoint write failed")
+
+    monkeypatch.setattr(t, "_maybe_checkpoint", boom)
+    with pytest.raises(OSError):
+        t.upsert(_kv(spark, [(1, "NEW", 2)]), "k", n_buckets=2)
+    with pytest.raises(OSError):
+        t.delete_keys(
+            spark.range(2, 4).select(F.col("id").alias("k")),
+            "k",
+            n_buckets=2,
+        )
+    monkeypatch.undo()
+    # every committed snapshot must still be fully readable
+    got = {(r.k, r.val) for r in t.read().collect()}
+    assert got == {(1, "NEW")} | {(i, f"v{i}") for i in range(8) if i not in (1, 2, 3)}
+    # and the log itself is intact for time travel
+    assert t.read(version=0).count() == 8

@@ -319,3 +319,40 @@ def test_consolidate_skips_swap_debris(tmp_path):
     doc = consolidate_metadata(store)
     assert not any(".old-" in k or ".stage-" in k for k in doc["metadata"])
     assert "pm25/.zarray" in doc["metadata"]
+
+
+def test_distributed_read_matches_driver_read(spark, tmp_path):
+    """read_zarr_cube_distributed (chunk-parallel executor decode) must
+    return exactly the non-fill cells of the store — edge-chunk padding
+    trimmed, NaN holes dropped, coordinates mapped through the axes."""
+    from pm25ml_spark.sources.zarr_io import read_zarr_cube_distributed
+
+    cube, dates, ys, xs = _cube_fixture()
+    path = str(tmp_path / "store")
+    write_zarr_cube(path, cube, dates, ys, xs, chunks=(2, 3, 4))
+    got = {
+        (r.t_idx, r.y, r.x, round(r.value, 6))
+        for r in read_zarr_cube_distributed(spark, path).collect()
+    }
+    want = set()
+    for ti in range(cube.shape[0]):
+        for yi in range(cube.shape[1]):
+            for xi in range(cube.shape[2]):
+                v = float(cube[ti, yi, xi])
+                if not np.isnan(v):
+                    want.add((ti, float(ys[yi]), float(xs[xi]), round(v, 6)))
+    assert got == want
+    # consolidated-metadata fast path: same result without per-array keys
+    assert os.path.exists(os.path.join(path, ".zmetadata"))
+
+
+def test_distributed_read_skips_absent_chunks(spark, tmp_path):
+    from pm25ml_spark.sources.zarr_io import read_zarr_cube_distributed
+
+    cube, dates, ys, xs = _cube_fixture()
+    path = str(tmp_path / "store")
+    write_zarr_cube(path, cube, dates, ys, xs, chunks=(1, 5, 7))
+    os.remove(os.path.join(path, "pm25", "1.0.0"))  # whole slab absent
+    out = read_zarr_cube_distributed(spark, path)
+    assert out.filter("t_idx = 1").count() == 0
+    assert out.filter("t_idx = 0").count() == 5 * 7
