@@ -713,3 +713,27 @@ def test_w23_rank_filter_becomes_window_group_limit(spark, sf_dir):
     assert n_wgl == 2, (
         f"expected Partial+Final WindowGroupLimitExec, got {n_wgl} in {nodes}"
     )
+
+
+def test_plan_census_is_fresh():
+    """PLAN_CENSUS.json must cover the whole current catalog — a new
+    @query without a census walk means the 0-cartesian / allowlisted-
+    window audit silently excludes it (the r8 gap: 4 queries added
+    after the last census run). Regenerate with
+    `python tools/plan_census.py`."""
+    import json
+    import pathlib
+
+    census_path = (
+        pathlib.Path(__file__).resolve().parents[1] / "PLAN_CENSUS.json"
+    )
+    doc = json.loads(census_path.read_text())
+    missing = sorted(set(QUERIES) - set(doc["queries"]))
+    assert doc["n_queries"] == len(QUERIES) and not missing, (
+        f"census covers {doc['n_queries']}/{len(QUERIES)} queries; "
+        f"missing: {missing[:10]} — rerun tools/plan_census.py"
+    )
+    errs = {
+        n: c["error"] for n, c in doc["queries"].items() if "error" in c
+    }
+    assert not errs, f"census walk errored on: {errs}"
