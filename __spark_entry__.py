@@ -105,6 +105,14 @@ def sample_order(names: list[str]) -> list[str]:
         # r9: KS cross-multiplication moved to DECIMAL(38,0) in both
         # engines (overflow-safe at >3e9 events per arm).
         "m10_ks_drift",
+        # r9: ordered_prefix_sum computes bucket offsets in-plan (no
+        # driver collect) — physical plan changed for every consumer.
+        "t13_sequence_packing",
+        "t14_chunk_language_mix",
+        "w08_decimate_100",
+        "m04_roc_auc",
+        "m06_lift_table",
+        "dd14_sorted_neighborhood",
     }
     return sorted(
         names,

@@ -9,9 +9,10 @@ global window and no single-task sort.
    keys sampled once and embedded as literals, never ``repartitionByRange``
    whose boundaries re-sample per job) keys every row to a range bucket
    deterministically across jobs.
-2. One tiny job collects per-bucket totals (≤ num_buckets rows to the
-   driver); their running sum is each bucket's global offset, joined back
-   as a broadcast.
+2. Per-bucket totals and their exclusive running sum (each bucket's
+   global offset) are computed IN-PLAN — the offsets frame is
+   ≤ num_buckets rows, so its unpartitioned window is bounded by
+   construction — and joined back as a broadcast. No driver collect.
 3. A per-bucket window (parallel — one frame per bucket) adds the local
    inclusive sum to the bucket offset.
 
@@ -58,10 +59,10 @@ def ordered_prefix_sum(
     sum_cast = "bigint" if integral else "decimal(38,6)"
     out_type = "bigint" if integral else "double"
 
-    # The operator scans its input up to three times (split sampling,
-    # per-bucket totals, final window); persist it so upstream work
-    # (e.g. tokenization feeding a packing plan) runs once instead of
-    # three times. Callers pass the projection they want ranked —
+    # The operator scans its input in two jobs (split sampling; the
+    # final job reads it twice — bucket totals + the window-join side);
+    # persist it so upstream work (e.g. tokenization feeding a packing
+    # plan) runs once. Callers pass the projection they want ranked —
     # typically keys + one value column, tens of bytes per row — and
     # MEMORY_AND_DISK spills rather than evicts at corpus scale, where
     # the recompute it avoids is the expensive part.
@@ -71,25 +72,29 @@ def ordered_prefix_sum(
 
     bucket_expr, _ = bucket or range_bucket_column(df, order_cols, nparts)
     part = df.withColumn("__bucket", bucket_expr)
-    totals = (
-        part.groupBy("__bucket")
-        .agg(F.sum(F.col(value_col).cast(sum_cast)).alias("t"))
-        .collect()
+    # Per-bucket totals and their exclusive running sum stay IN THE PLAN
+    # (no driver collect): the offsets frame is ≤ num_buckets rows, so
+    # the unpartitioned window over it is bounded by construction (the
+    # plan-quality audit's allowlisted shape) and the whole operator
+    # costs ONE action instead of two — at any scale the offsets job was
+    # pure fixed overhead, and on a busy cluster one fewer driver
+    # round-trip per composed prefix sum. A bucket whose values are all
+    # NULL has a NULL total — coalesce to 0, matching SUM-ignores-NULL
+    # window semantics. Float totals stay DECIMAL end-to-end: offset +
+    # local sum combine exactly, with ONE final deterministic cast.
+    zero = F.lit(0).cast(sum_cast)
+    btot = part.groupBy("__bucket").agg(
+        F.coalesce(F.sum(F.col(value_col).cast(sum_cast)), zero).alias("__t")
     )
-    from decimal import Decimal
-
-    offsets, acc = [], (0 if integral else Decimal(0))
-    for r in sorted(totals, key=lambda r: r["__bucket"]):
-        offsets.append((int(r["__bucket"]), acc))
-        # t is NULL when every value_col row in the bucket is NULL —
-        # contribute 0, matching SUM-ignores-NULL window semantics.
-        acc += (int(r["t"]) if r["t"] is not None else 0) if integral else (
-            r["t"] or Decimal(0)
-        )
-    # float offsets stay DECIMAL end-to-end: offset + local sum combine
-    # exactly, with ONE final deterministic cast to double
-    odf = spark.createDataFrame(
-        offsets, f"__bucket int, __off {sum_cast}"
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    odf = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__t").over(w_off), zero)
+        .cast(sum_cast)
+        .alias("__off"),
     )
     w = (
         Window.partitionBy("__bucket")

@@ -382,8 +382,19 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # dimension-sized frames
     "w13_cumulative_unique_users": (1, "day-keyed aggregate (calendar-bounded)"),
     "m01_group_folds": (1, "dense_rank over DISTINCT group keys (dimension)"),
-    "m06_lift_table": (1, "cumulative gain over the 10 decile rows"),
+    "m06_lift_table": (3, "cumulative gain over the 10 decile rows + r9 in-plan bucket offsets (≤ num_buckets rows; 2 window nodes per prefix sum after exchange reuse)"),
+    "m04_roc_auc": (1, "bucket-offset running sum over ≤ num_buckets rows"),
     "gr04_bfs_hops": (1, "seed top-3 over ≤ 3·64 lane survivors"),
+    # r9: ordered_prefix_sum computes bucket offsets IN-PLAN — the
+    # exclusive running sum over the ≤ num_buckets per-bucket totals is
+    # an unpartitioned window over a bounded (≤ 32-row) frame, replacing
+    # the former driver-side totals collect (one fewer job per prefix
+    # sum). One window per prefix sum in the plan.
+    "t13_sequence_packing": (1, "bucket-offset running sum over ≤ num_buckets rows"),
+    "t14_chunk_language_mix": (1, "bucket-offset running sum over ≤ num_buckets rows"),
+    "w08_decimate_100": (1, "bucket-offset running sum over ≤ num_buckets rows"),
+    "m10_ks_drift": (2, "two composed prefix sums, each ≤ num_buckets offset rows"),
+    "dd14_sorted_neighborhood": (1, "bucket-offset running sum over ≤ num_buckets rows"),
 }
 
 
