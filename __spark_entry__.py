@@ -113,6 +113,10 @@ def sample_order(names: list[str]) -> list[str]:
         "m04_roc_auc",
         "m06_lift_table",
         "dd14_sorted_neighborhood",
+        # r9: winnowing selection is now a staged artifact shared by
+        # t20 + dd13.
+        "t20_winnowing_fingerprints",
+        "dd13_winnowing_pairs",
     }
     return sorted(
         names,

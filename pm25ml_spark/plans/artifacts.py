@@ -1,0 +1,71 @@
+"""Session-scoped staged-table registry — build-once-analyze-many.
+
+The general mechanism behind ``plans/dup_graph.py``: a corpus-derived
+intermediate that several catalog queries share (duplicate-pair edges,
+winnowing fingerprints, trained codebooks) is materialized ONCE per
+(session, corpus, params) into a transaction-log table under a
+process-local temp dir and read from parquet by every later consumer —
+the reference stages intermediate artifacts the same way
+(``combiners/data_artifact.py:10-44``). At 100 TB these artifacts live
+on the object store next to the corpus, refreshed by the ingest
+pipeline rather than per analytics query; the session memo here is the
+local-mode stand-in for that lifecycle.
+
+Correctness stays oracle-checked end-to-end: every consumer's DuckDB
+oracle recomputes the artifact's content from the raw corpus, so a
+stale or wrong staged table cannot hide behind the cache.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (applicationId, sf_dir, name, params) -> TxTable path
+_ARTIFACTS: dict[tuple, str] = {}
+# observability + test pin: from-scratch builds per artifact name
+BUILD_COUNTS: dict[str, int] = {}
+
+
+def staged_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    params: tuple,
+    build: Callable[[], DataFrame],
+    partition_col: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> DataFrame:
+    """Return the staged table for ``(sf_dir, name, params)``, building
+    it with ``build()`` on first use. ``partition_col`` hash-partitions
+    the write (uniform files regardless of upstream skew);
+    ``stats_cols`` records per-file min/max so targeted consumers can
+    prune files via ``TxTable.read_pruned``."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.sources.txlog import TxTable
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        params,
+    )
+    path = _ARTIFACTS.get(key)
+    if path is None:
+        base = tempfile.mkdtemp(prefix=f"pm25ml_stage_{name}_")
+        atexit.register(shutil.rmtree, base, True)
+        path = os.path.join(base, name)
+        df = build()
+        if partition_col is not None:
+            nparts = spark.sparkContext.defaultParallelism
+            df = df.repartition(nparts, F.col(partition_col))
+        TxTable(spark, path).append(df, stats_cols=stats_cols)
+        BUILD_COUNTS[name] = BUILD_COUNTS.get(name, 0) + 1
+        _ARTIFACTS[key] = path
+    return TxTable(spark, path).read()

@@ -1758,10 +1758,11 @@ def _dd13_oracle() -> str:
 
 @query("dd13_winnowing_pairs", _dd13_oracle())
 def dd13_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pm25ml_spark.plans.text import winnow_selection
+    from pm25ml_spark.plans.text import winnow_selection_staged
 
-    docs = load_table(spark, sf_dir, "documents")
-    fp = winnow_selection(docs).select("doc_id", "sel_h").distinct()
+    fp = winnow_selection_staged(spark, sf_dir).select(
+        "doc_id", "sel_h"
+    ).distinct()
     df_counts = fp.groupBy("sel_h").agg(F.count(F.lit(1)).alias("df"))
     rare = fp.join(
         df_counts.filter(F.col("df") <= _DD13_DF_CAP).select("sel_h"),

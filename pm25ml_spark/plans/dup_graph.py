@@ -26,24 +26,11 @@ full edge list.
 
 from __future__ import annotations
 
-import atexit
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pm25ml_spark.catalog import load_table
-
-# (applicationId, sf_dir, n, t_num, t_den) -> TxTable path
-_ARTIFACTS: dict[tuple, str] = {}
-# observability + test pin: number of from-scratch builds this process
-BUILD_COUNT = 0
-
-
-def _cleanup(path: str) -> None:
-    shutil.rmtree(path, ignore_errors=True)
+from pm25ml_spark.plans.artifacts import staged_table
 
 
 def dup_edges(
@@ -58,35 +45,23 @@ def dup_edges(
     Columns: ``(doc_a, doc_b, shared, jaccard)`` with ``doc_a < doc_b``
     — exactly :func:`pm25ml_spark.operators.dedup.jaccard_pairs`, built
     once per (session, corpus, params) and served from the staged table
-    afterwards.
+    afterwards (``plans/artifacts.staged_table``).
     """
-    global BUILD_COUNT
     from pm25ml_spark.operators import dedup as D
-    from pm25ml_spark.sources.txlog import TxTable
 
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        n,
-        t_num,
-        t_den,
-    )
-    path = _ARTIFACTS.get(key)
-    if path is None:
-        base = tempfile.mkdtemp(prefix="pm25ml_dup_graph_")
-        atexit.register(_cleanup, base)
-        path = os.path.join(base, "edges")
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        edges = D.jaccard_pairs(docs, n=n, t_num=t_num, t_den=t_den)
-        nparts = spark.sparkContext.defaultParallelism
-        t = TxTable(spark, path)
-        t.append(
-            edges.repartition(nparts, F.col("doc_a")),
-            stats_cols=["doc_a", "doc_b"],
-        )
-        BUILD_COUNT += 1
-        _ARTIFACTS[key] = path
-    return TxTable(spark, path).read()
+        return D.jaccard_pairs(docs, n=n, t_num=t_num, t_den=t_den)
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "dup_edges",
+        (n, t_num, t_den),
+        build,
+        partition_col="doc_a",
+        stats_cols=["doc_a", "doc_b"],
+    )
 
 
 def dup_edges_symmetric(

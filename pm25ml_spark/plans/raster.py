@@ -326,3 +326,97 @@ def k05_zarr_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# k06 — per-day GeoTIFF export + ingest, both FILE-PARALLEL (the S17
+# GeoTIFF sink's catalog pin, closing the "no catalog-visible query"
+# gap the same way k05 did for Zarr): each executor task writes one
+# day's GeoTIFF (sources/geotiff.write_geotiff — real TIFF 6.0 / OGC
+# GeoTIFF 1.1 bytes: zlib strips, ModelPixelScale/Tiepoint, GeoKey
+# directory, GDAL nodata) and a second task-per-file pass decodes them
+# back to per-day stats. Per-date files ARE the unit of parallelism for
+# GIS exports, so one-task-one-file is the 100 TB shape, not a local
+# shortcut. nodata cells (v == 7) are written as NaN and must be absent
+# from the read-back; integer values exact in float32 keep every stat
+# engine-portable with no rounding. Oracle = the generator formula.
+_K6_T, _K6_Y, _K6_X = 5, 24, 40
+
+
+@query(
+    "k06_geotiff_roundtrip_stats",
+    f"""
+    WITH cells AS (
+        SELECT t.t AS t_idx,
+               (t.t * 31 + y.y * 7 + x.x * 3) % 89 AS v
+        FROM UNNEST(range({_K6_T})) AS t(t),
+             UNNEST(range({_K6_Y})) AS y(y),
+             UNNEST(range({_K6_X})) AS x(x)
+    )
+    SELECT CAST(t_idx AS INT) AS t_idx,
+           COUNT(*) AS n_valid,
+           CAST(SUM(v) AS BIGINT) AS v_sum,
+           CAST(MIN(v) AS DOUBLE) AS v_min,
+           CAST(MAX(v) AS DOUBLE) AS v_max
+    FROM cells WHERE v <> 7
+    GROUP BY t_idx
+    """,
+)
+def k06_geotiff_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    from collections.abc import Iterable, Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    t_n, y_n, x_n = _K6_T, _K6_Y, _K6_X
+    out_dir = tempfile.mkdtemp(prefix="pm25ml_k06_gtiff_")
+    atexit.register(shutil.rmtree, out_dir, True)
+    ys = np.arange(y_n, dtype=np.float64) * 1000.0
+    xs = np.arange(x_n, dtype=np.float64) * 1000.0
+
+    def write_days(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from pm25ml_spark.sources.geotiff import write_geotiff
+
+        for pdf in batches:
+            paths = []
+            for t in pdf["t"]:
+                t = int(t)
+                yy = np.arange(y_n).reshape(-1, 1)
+                xx = np.arange(x_n).reshape(1, -1)
+                g = ((t * 31 + yy * 7 + xx * 3) % 89).astype(np.float32)
+                g[g == 7] = np.nan  # nodata holes
+                paths.append(
+                    write_geotiff(
+                        os.path.join(out_dir, f"day_{t}.tif"), g, ys, xs
+                    )
+                )
+            yield pd.DataFrame({"path": paths, "t": pdf["t"]})
+
+    days = spark.range(t_n).select(F.col("id").cast("int").alias("t"))
+    written = days.repartition(t_n, "t").mapInPandas(
+        write_days, "path string, t int"
+    )
+
+    def read_days(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from pm25ml_spark.sources.geotiff import read_geotiff
+
+        for pdf in batches:
+            for path, t in zip(pdf["path"], pdf["t"]):
+                vals = read_geotiff(path)["values"]
+                v = vals[~np.isnan(vals)].astype(np.float64)
+                yield pd.DataFrame(
+                    {"t_idx": np.full(len(v), int(t), dtype=np.int32),
+                     "value": v}
+                )
+
+    cells = written.mapInPandas(read_days, "t_idx int, value double")
+    return cells.groupBy("t_idx").agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.sum(F.col("value").cast("bigint")).alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )

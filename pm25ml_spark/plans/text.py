@@ -1300,6 +1300,25 @@ def winnow_selection(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_selection_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once staged winnowing selection (plans/artifacts.py): t20
+    and dd13 both consume the full-corpus fingerprint pick, and at scale
+    a MOSS-style system stages exactly this table next to the corpus —
+    per query it is a posexplode of every 3-gram plus a sliding-window
+    min, the dominant cost of both consumers."""
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "winnow_sel",
+        (_WIN_W, _WIN_PB),
+        lambda: winnow_selection(load_table(spark, sf_dir, "documents")),
+        partition_col="doc_id",
+        stats_cols=["doc_id"],
+    )
+
+
 # Shared oracle fragment: the winnowing selection CTE chain (DuckDB
 # spelling of winnow_selection) — used by t20 here and dd13 in
 # plans/dedup.py.
@@ -1347,7 +1366,7 @@ WINNOW_SEL_CTE = f"""
     """,
 )
 def t20_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = winnow_selection(load_table(spark, sf_dir, "documents"))
+    sel = winnow_selection_staged(spark, sf_dir)
     return sel.groupBy("doc_id").agg(
         F.max("n_kg").alias("n_kgrams"),
         F.count(F.lit(1)).alias("n_selected"),

@@ -5,6 +5,7 @@ reads it instead of recomputing the shingle join."""
 
 from __future__ import annotations
 
+import pm25ml_spark.plans.artifacts as ART
 import pm25ml_spark.plans.dup_graph as DG
 
 SF = "/root/testdata/sf0.001"
@@ -14,7 +15,7 @@ def test_dup_edges_built_once_and_exact(spark):
     from pm25ml_spark.catalog import load_table
     from pm25ml_spark.operators import dedup as D
 
-    before = DG.BUILD_COUNT
+    before = ART.BUILD_COUNTS.get("dup_edges", 0)
     e1 = DG.dup_edges(spark, SF)
     got = {
         (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
@@ -30,7 +31,7 @@ def test_dup_edges_built_once_and_exact(spark):
     DG.dup_edges(spark, SF).count()
     sym = DG.dup_edges_symmetric(spark, SF)
     assert sym.count() == 2 * len(got)
-    assert DG.BUILD_COUNT == before + 1
+    assert ART.BUILD_COUNTS.get("dup_edges", 0) == before + 1
 
 
 def test_gr_family_shares_one_build(spark):
@@ -38,8 +39,25 @@ def test_gr_family_shares_one_build(spark):
 
     load_all_plans()
     DG.dup_edges(spark, SF).count()  # warm the artifact
-    before = DG.BUILD_COUNT
+    before = ART.BUILD_COUNTS.get("dup_edges", 0)
     a = QUERIES["gr06_dupgraph_degree_hist"](spark, SF)
     b = QUERIES["dd03_jaccard_pairs"](spark, SF)
     assert a.count() > 0 and b.count() > 0
-    assert DG.BUILD_COUNT == before  # zero rebuilds after the stage
+    assert ART.BUILD_COUNTS.get("dup_edges", 0) == before  # zero rebuilds after the stage
+
+
+def test_winnow_artifact_built_once_and_exact(spark):
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.plans.text import (
+        winnow_selection,
+        winnow_selection_staged,
+    )
+
+    before = ART.BUILD_COUNTS.get("winnow_sel", 0)
+    staged = winnow_selection_staged(spark, SF)
+    got = {tuple(r) for r in staged.collect()}
+    direct = winnow_selection(load_table(spark, SF, "documents"))
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want and got
+    winnow_selection_staged(spark, SF).count()  # second consumer: no rebuild
+    assert ART.BUILD_COUNTS.get("winnow_sel", 0) == before + 1

@@ -154,13 +154,22 @@ def test_t13_no_single_partition_stage(spark, sf_dir):
     load_all_plans()
 
     plan = physical_plan(QUERIES["t13_sequence_packing"](spark, sf_dir))
-    # the whole point: no Exchange SinglePartition anywhere (the global
-    # window spelling would need one); prefix-sum runs bucket-partitioned
-    # on the row-pure __bucket id (NOT rangepartitioning — its per-job
-    # boundary resample caused the r6 t13 red)
-    assert "SinglePartition" not in plan
+    # the whole point: the corpus-bearing prefix sum runs bucket-
+    # partitioned on the row-pure __bucket id (NOT rangepartitioning —
+    # its per-job boundary resample caused the r6 t13 red). The ONE
+    # allowed SinglePartition exchange is the r9 in-plan offsets frame:
+    # it must sit directly above the per-bucket HashAggregate, i.e.
+    # carry <= num_buckets rows, never the corpus.
     assert "hashpartitioning(__bucket" in plan
     assert "rangepartitioning" not in plan.lower()
+    lines = plan.splitlines()
+    singles = [i for i, l in enumerate(lines) if "SinglePartition" in l]
+    assert len(singles) == 1, plan
+    below = "\n".join(lines[singles[0] + 1 : singles[0] + 3])
+    assert "HashAggregate(keys=[__bucket" in below, (
+        "SinglePartition exchange no longer feeds the bounded "
+        "bucket-offsets aggregate:\n" + plan
+    )
 
 
 # ---- Count-Min (operators/sketches.py cm_*) ------------------------------
