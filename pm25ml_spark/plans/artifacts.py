@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 _ARTIFACTS: dict[tuple, str] = {}
 # observability + test pin: from-scratch builds per artifact name
 BUILD_COUNTS: dict[str, int] = {}
+# honest-bench accounting: wall seconds spent building each artifact
+# this process (bench.py folds these into the reported suite total —
+# min-of-two-passes timing would otherwise hide the one-time build)
+BUILD_SECONDS: dict[str, float] = {}
 
 
 def staged_table(
@@ -58,6 +62,9 @@ def staged_table(
     )
     path = _ARTIFACTS.get(key)
     if path is None:
+        import time
+
+        t0 = time.perf_counter()
         base = tempfile.mkdtemp(prefix=f"pm25ml_stage_{name}_")
         atexit.register(shutil.rmtree, base, True)
         path = os.path.join(base, name)
@@ -67,5 +74,8 @@ def staged_table(
             df = df.repartition(nparts, F.col(partition_col))
         TxTable(spark, path).append(df, stats_cols=stats_cols)
         BUILD_COUNTS[name] = BUILD_COUNTS.get(name, 0) + 1
+        BUILD_SECONDS[name] = (
+            BUILD_SECONDS.get(name, 0.0) + time.perf_counter() - t0
+        )
         _ARTIFACTS[key] = path
     return TxTable(spark, path).read()
