@@ -43,13 +43,17 @@ def staged_table(
     params: tuple,
     build: Callable[[], DataFrame],
     partition_col: str | None = None,
+    range_col: str | None = None,
     stats_cols: list[str] | None = None,
 ) -> DataFrame:
     """Return the staged table for ``(sf_dir, name, params)``, building
     it with ``build()`` on first use. ``partition_col`` hash-partitions
-    the write (uniform files regardless of upstream skew);
-    ``stats_cols`` records per-file min/max so targeted consumers can
-    prune files via ``TxTable.read_pruned``."""
+    the write (uniform files regardless of upstream skew); ``range_col``
+    RANGE-partitions it instead, which makes the per-file min/max of
+    that column TIGHT — the layout that turns ``stats_cols`` +
+    ``TxTable.read_pruned`` into real data skipping (a hash layout puts
+    the full key range in every file, so its stats prune nothing).
+    ``stats_cols`` records per-file min/max for pruned point lookups."""
     from pyspark.sql import functions as F
 
     from pm25ml_spark.sources.txlog import TxTable
@@ -69,8 +73,13 @@ def staged_table(
         atexit.register(shutil.rmtree, base, True)
         path = os.path.join(base, name)
         df = build()
-        if partition_col is not None:
-            nparts = spark.sparkContext.defaultParallelism
+        nparts = spark.sparkContext.defaultParallelism
+        if range_col is not None:
+            # single write job: repartitionByRange's per-job boundary
+            # resample can't bite here (content is identical either
+            # way; only the file layout depends on the sample)
+            df = df.repartitionByRange(nparts, F.col(range_col))
+        elif partition_col is not None:
             df = df.repartition(nparts, F.col(partition_col))
         TxTable(spark, path).append(df, stats_cols=stats_cols)
         BUILD_COUNTS[name] = BUILD_COUNTS.get(name, 0) + 1
@@ -79,3 +88,27 @@ def staged_table(
         )
         _ARTIFACTS[key] = path
     return TxTable(spark, path).read()
+
+
+def staged_table_handle(
+    spark: SparkSession, sf_dir: str, name: str, params: tuple
+):
+    """The TxTable handle of an ALREADY-STAGED artifact — for consumers
+    that need table-level verbs (``read_pruned`` point lookups) instead
+    of the full scan. Raises if the artifact was never built this
+    session (call the staging accessor first)."""
+    from pm25ml_spark.sources.txlog import TxTable
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        params,
+    )
+    path = _ARTIFACTS.get(key)
+    if path is None:
+        raise KeyError(
+            f"staged artifact {name}{params} not built for {sf_dir} — "
+            "call its staging accessor first"
+        )
+    return TxTable(spark, path)

@@ -1865,3 +1865,46 @@ def dd14_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("gap"),
         (F.col("key_a") == F.col("key_b")).alias("key_match"),
     )
+
+
+# --------------------------------------------------------------------------
+# gr07 — ego network of the duplicate graph's lowest-id node, served by
+# a STATS-PRUNED point lookup on the staged edge artifact: the seed is
+# one tiny aggregate (min doc_a — column-pruned scan of the artifact),
+# and the neighbor fetch opens ONLY the files whose recorded doc_a
+# range covers the seed (TxTable.read_pruned over the artifact's
+# range-partitioned layout — per-file min/max are tight by
+# construction). This is the 100 TB point-lookup shape: investigating
+# one document's duplicate neighborhood must not scan the corpus-scale
+# edge list, and with range layout + stats it provably doesn't
+# (tests/test_dup_graph.py pins files_opened < files_total). The seed
+# is the graph's minimum doc id, so it only ever appears on the doc_a
+# side (pairs are doc_a < doc_b) — one pruned read covers the whole
+# ego. Oracle recomputes seed + neighborhood brute-force.
+def _gr07_oracle() -> str:
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b, shared,
+               CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+        FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    ),
+    seed AS (SELECT MIN(doc_a) AS s FROM qual)
+    SELECT q.doc_b AS neighbor, q.shared, q.jaccard
+    FROM qual q, seed WHERE q.doc_a = seed.s
+    """
+
+
+@query("gr07_ego_network", _gr07_oracle())
+def gr07_ego_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.dup_graph import dup_edges, dup_edges_pruned
+
+    edges = dup_edges(spark, sf_dir)  # ensures the artifact is staged
+    seed_row = edges.agg(F.min("doc_a").alias("s")).collect()[0]
+    if seed_row.s is None:  # empty graph: empty frame, right schema
+        return edges.select(
+            F.col("doc_b").alias("neighbor"), "shared", "jaccard"
+        ).filter(F.lit(False))
+    ego = dup_edges_pruned(spark, sf_dir, seed_row.s, seed_row.s)
+    return ego.select(F.col("doc_b").alias("neighbor"), "shared", "jaccard")

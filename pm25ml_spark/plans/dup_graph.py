@@ -59,9 +59,30 @@ def dup_edges(
         "dup_edges",
         (n, t_num, t_den),
         build,
-        partition_col="doc_a",
+        # RANGE layout on doc_a: per-file [min, max] stats are tight, so
+        # seed-targeted reads (gr07 ego lookup) skip every non-matching
+        # file via TxTable.read_pruned — the point-lookup shape a 100 TB
+        # edge artifact must support
+        range_col="doc_a",
         stats_cols=["doc_a", "doc_b"],
     )
+
+
+def dup_edges_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    lo,
+    hi,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Stats-pruned point lookup on the staged edge list: only files
+    whose recorded doc_a range intersects [lo, hi] are opened."""
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+
+    t = staged_table_handle(spark, sf_dir, "dup_edges", (n, t_num, t_den))
+    return t.read_pruned("doc_a", lo, hi)
 
 
 def dup_edges_symmetric(

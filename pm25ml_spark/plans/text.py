@@ -1314,7 +1314,7 @@ def winnow_selection_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winnow_sel",
         (_WIN_W, _WIN_PB),
         lambda: winnow_selection(load_table(spark, sf_dir, "documents")),
-        partition_col="doc_id",
+        range_col="doc_id",
         stats_cols=["doc_id"],
     )
 

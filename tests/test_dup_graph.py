@@ -5,6 +5,8 @@ reads it instead of recomputing the shingle join."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import pm25ml_spark.plans.artifacts as ART
 import pm25ml_spark.plans.dup_graph as DG
 
@@ -61,3 +63,33 @@ def test_winnow_artifact_built_once_and_exact(spark):
     assert got == want and got
     winnow_selection_staged(spark, SF).count()  # second consumer: no rebuild
     assert ART.BUILD_COUNTS.get("winnow_sel", 0) == before + 1
+
+
+def test_pruned_ego_lookup_skips_files(spark):
+    """The range-partitioned artifact layout must make the seed lookup a
+    real data-skip: read_pruned opens strictly fewer files than the
+    snapshot holds (and the pruned result equals the filtered scan)."""
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+    from pm25ml_spark.plans.dup_graph import dup_edges, dup_edges_pruned
+
+    edges = dup_edges(spark, SF)
+    seed = edges.agg({"doc_a": "min"}).collect()[0][0]
+    t = staged_table_handle(spark, SF, "dup_edges", (3, 3, 5))
+    _v, live = t.snapshot()
+    stats = t.file_stats()
+    kept = [
+        f
+        for f in live
+        if (st := stats.get(f, {}).get("doc_a")) is None
+        or st[0] is None
+        or not (st[1] < seed or st[0] > seed)
+    ]
+    assert len(live) > 1 and len(kept) < len(live), (
+        f"no pruning possible: {len(kept)}/{len(live)} files kept — "
+        "range layout lost its tight per-file doc_a stats"
+    )
+    got = {tuple(r) for r in dup_edges_pruned(spark, SF, seed, seed).collect()}
+    want = {
+        tuple(r) for r in edges.filter(F.col("doc_a") == seed).collect()
+    }
+    assert got == want and got
