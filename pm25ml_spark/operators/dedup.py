@@ -188,7 +188,94 @@ def _verify_pairs(
 
 
 
-def _ranked_prefix(sh_arr: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def jaccard_pairs_between(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Asymmetric exact n-gram-Jaccard join — the INCREMENTAL-INGEST
+    probe: which incoming docs near-duplicate the existing corpus?
+    Output ``(new_id, corpus_id, shared, jaccard)`` with J ≥ t.
+
+    Unlike :func:`jaccard_pairs` (self-join), the candidate join here is
+    new-prefix × corpus-prefix only — new×new and corpus×corpus pairs
+    are never generated, so a small daily batch probes a 100 TB corpus
+    at cost O(batch prefixes × colliding corpus prefixes), never
+    O(corpus²). The prefix-filter guarantee needs ONE global shingle
+    order shared by both sides, so document frequency is computed over
+    the UNION of the two shingle sets; the same ppjoin length and
+    positional prunes apply, and candidates are exact-verified by JVM
+    set intersection.
+    """
+    sh_new = shingle_arrays(new_docs, n=n)
+    sh_cor = shingle_arrays(corpus_docs, n=n)
+    exploded = sh_new.select(F.explode("h_arr").alias("s")).unionAll(
+        sh_cor.select(F.explode("h_arr").alias("s"))
+    )
+    df_freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pa = _ranked_prefix(sh_new, t_num, t_den, df_freq=df_freq).select(
+        F.col("doc_id").alias("new_id"),
+        "s",
+        F.col("rn").alias("rn_a"),
+        F.col("n_sh").alias("na"),
+    )
+    pb = _ranked_prefix(sh_cor, t_num, t_den, df_freq=df_freq).select(
+        F.col("doc_id").alias("corpus_id"),
+        "s",
+        F.col("rn").alias("rn_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    alpha = (
+        F.lit(t_num) * (F.col("na") + F.col("nb")) + F.lit(t_num + t_den - 1)
+    ).cast("long") / F.lit(t_num + t_den)
+    alpha = alpha.cast("long")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+    )
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
+        .filter(overlap_ub >= alpha)
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = F.broadcast(
+        sh_new.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("h_arr").alias("arr_a"),
+            F.col("n_sh").alias("na"),
+        )
+    )
+    b = sh_cor.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("h_arr").alias("arr_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(
+            F.col("shared") * t_den
+            >= t_num * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            F.col("shared").cast("long").alias("shared"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _ranked_prefix(
+    sh_arr: DataFrame, t_num: int, t_den: int, df_freq: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s, rn, n_sh) — each doc's shingle hashes in rarest-first
     global order, filtered to the prefix-filter length
     ``n_sh − ceil(t·n_sh) + 1``: any doc sharing ≥ ceil(t·n_sh) shingles
@@ -200,9 +287,14 @@ def _ranked_prefix(sh_arr: DataFrame, t_num: int, t_den: int) -> DataFrame:
     Any global order satisfies the prefix guarantee; (df, hash) keeps
     rarest-first. Hash collisions are the same 3e-8 event the
     verification path already accepts. floor-in-double for the overlap
-    is safe: ulp error can only LENGTHEN the prefix."""
+    is safe: ulp error can only LENGTHEN the prefix.
+
+    ``df_freq``: optional externally-computed (s, df) frequency frame —
+    the asymmetric between-join passes the UNION frequencies so both
+    sides share one global order (the prefix guarantee's requirement)."""
     sh = sh_arr.select("doc_id", "n_sh", F.explode("h_arr").alias("s"))
-    df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    if df_freq is None:
+        df_freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_freq, "s").withColumn(
         "rn",
         F.row_number().over(

@@ -1908,3 +1908,52 @@ def gr07_ego_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.lit(False))
     ego = dup_edges_pruned(spark, sf_dir, seed_row.s, seed_row.s)
     return ego.select(F.col("doc_b").alias("neighbor"), "shared", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# dd15 — incremental ingest dedup (batch-vs-corpus): which docs of an
+# incoming slice near-duplicate the EXISTING corpus? The shape every
+# continuously-crawling pipeline runs per ingest batch — and the one
+# the self-join family can't express efficiently: a small batch must
+# probe a 100 TB corpus at O(batch × collisions), never O(corpus²).
+# operators/dedup.jaccard_pairs_between does the asymmetric
+# prefix-filtered join (one UNION-wide shingle frequency order keeps
+# the ppjoin guarantee across the two sides; new×new and corpus×corpus
+# candidates are never generated; the batch side broadcasts). The
+# incoming slice is modeled as doc_id % 10 = 7 — a deterministic ~10%
+# sample the oracle reproduces exactly. Output: per flagged batch doc,
+# how many corpus near-dups and the tightest one.
+@query(
+    "dd15_incremental_dedup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+               ca.n_sh AS na, cb.n_sh AS nb, COUNT(*) AS shared
+        FROM sh a
+        JOIN sh b ON a.s = b.s
+        JOIN counts ca ON ca.doc_id = a.doc_id
+        JOIN counts cb ON cb.doc_id = b.doc_id
+        WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        GROUP BY 1, 2, 3, 4
+    ),
+    q AS (
+        SELECT new_id,
+               CAST(shared AS DOUBLE) / (na + nb - shared) AS j
+        FROM pairs WHERE shared * 5 >= 3 * (na + nb - shared)
+    )
+    SELECT new_id AS doc_id,
+           COUNT(*) AS n_corpus_dups,
+           MAX(j) AS max_jaccard
+    FROM q GROUP BY new_id
+    """,
+)
+def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    pairs = D.jaccard_pairs_between(batch, corpus, n=3, t_num=3, t_den=5)
+    return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_corpus_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -93,3 +93,27 @@ def test_pruned_ego_lookup_skips_files(spark):
         tuple(r) for r in edges.filter(F.col("doc_a") == seed).collect()
     }
     assert got == want and got
+
+
+def test_jaccard_between_equals_filtered_self_join(spark):
+    """The asymmetric probe must return exactly the cross-set subset of
+    the symmetric pair set (same threshold, same shingles) — the
+    equivalence that lets the oracle recompute it brute-force."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    got = {
+        (r.new_id, r.corpus_id, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_pairs_between(batch, corpus).collect()
+    }
+    full = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).collect()
+    want = set()
+    for r in full:
+        a_batch, b_batch = r.doc_a % 10 == 7, r.doc_b % 10 == 7
+        if a_batch != b_batch:  # cross pairs only, keyed new->corpus
+            new, cor = (r.doc_a, r.doc_b) if a_batch else (r.doc_b, r.doc_a)
+            want.add((new, cor, r.shared, round(r.jaccard, 9)))
+    assert got == want and got
