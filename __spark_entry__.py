@@ -117,6 +117,9 @@ def sample_order(names: list[str]) -> list[str]:
         # t20 + dd13.
         "t20_winnowing_fingerprints",
         "dd13_winnowing_pairs",
+        # r9: near-dup stage reads the staged edge artifact filtered to
+        # survivors instead of re-running the shingle join.
+        "cp01_corpus_curation",
     }
     return sorted(
         names,

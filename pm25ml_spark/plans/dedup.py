@@ -293,8 +293,16 @@ def cp01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors (prefix-filtered Jaccard + connected components) → drop
     cluster non-keepers → corpus stats. Every stage is one of the
     catalog's own operators; the oracle recomputes the identical chain in
-    SQL (recursive CTE for the clustering)."""
+    SQL (recursive CTE for the clustering).
+
+    The near-dup stage reads the STAGED edge artifact restricted to
+    surviving endpoints (two semi joins) instead of re-running the
+    shingle join over survivors: pairwise Jaccard between two docs does
+    not depend on any other doc, so dup-pairs-among-survivors is exactly
+    the survivor-filtered subset of the corpus pair list — the same
+    build-once topology the gr family uses."""
     from pm25ml_spark.operators.components import dedup_clusters
+    from pm25ml_spark.plans.dup_graph import dup_edges
 
     docs = load_table(spark, sf_dir, "documents")
     quality = docs.withColumn(
@@ -306,8 +314,19 @@ def cp01_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = quality.join(exact_keep, "doc_id").persist()
-    pairs = D.jaccard_pairs(
-        survivors.select("doc_id", "text"), n=3, t_num=3, t_den=5
+    surv_ids = survivors.select("doc_id")
+    pairs = (
+        dup_edges(spark, sf_dir)
+        .join(
+            surv_ids.withColumnRenamed("doc_id", "doc_a"),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
+            surv_ids.withColumnRenamed("doc_id", "doc_b"),
+            "doc_b",
+            "left_semi",
+        )
     )
     dropped = (
         dedup_clusters(pairs)
