@@ -117,3 +117,35 @@ def test_jaccard_between_equals_filtered_self_join(spark):
             new, cor = (r.doc_a, r.doc_b) if a_batch else (r.doc_b, r.doc_a)
             want.add((new, cor, r.shared, round(r.jaccard, 9)))
     assert got == want and got
+
+
+def test_staged_table_concurrent_first_build_is_single(spark, tmp_path):
+    """Two threads racing the first build of the same artifact must
+    produce exactly ONE build (double-checked lock) and both read the
+    same table."""
+    import threading
+
+    from pm25ml_spark.plans.artifacts import BUILD_COUNTS, staged_table
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10).selectExpr("id", "id * 2 AS v")
+
+    results = []
+
+    def consume():
+        df = staged_table(
+            spark, str(tmp_path), "race_probe", ("x",), build
+        )
+        results.append({(r.id, r.v) for r in df.collect()})
+
+    threads = [threading.Thread(target=consume) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1 and BUILD_COUNTS["race_probe"] == 1
+    want = {(i, 2 * i) for i in range(10)}
+    assert all(r == want for r in results) and len(results) == 4

@@ -105,6 +105,47 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs):
 
 
 # ---------------------------------------------------------------------------
+# asymmetric (batch-vs-corpus) jaccard probe: the union-order prefix
+# filter must be lossless — every qualifying cross pair survives, and no
+# same-side pair ever appears
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_jaccard_between_prefix_filter_is_lossless(spark, docs):
+    from pm25ml_spark.operators.dedup import jaccard_pairs_between
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.filter("doc_id % 2 = 0")
+    corpus = df.filter("doc_id % 2 = 1")
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in jaccard_pairs_between(
+            batch, corpus, n=3, t_num=1, t_den=2
+        ).collect()
+    }
+
+    def shingle_set(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    for a in range(0, len(docs), 2):
+        for b in range(1, len(docs), 2):
+            sa, sb = shingle_set(docs[a]), shingle_set(docs[b])
+            inter = len(sa & sb)
+            if inter * 2 >= 1 * (len(sa) + len(sb) - inter):
+                want.add((a, b))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # exact stratified split: per-stratum training count is exactly
 # ceil(fraction * n_stratum), regardless of data shape
 
