@@ -381,6 +381,8 @@ def k06_geotiff_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_days(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from pm25ml_spark.sources.geotiff import write_geotiff
 
+        import uuid
+
         for pdf in batches:
             paths = []
             for t in pdf["t"]:
@@ -389,11 +391,14 @@ def k06_geotiff_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 xx = np.arange(x_n).reshape(1, -1)
                 g = ((t * 31 + yy * 7 + xx * 3) % 89).astype(np.float32)
                 g[g == 7] = np.nan  # nodata holes
-                paths.append(
-                    write_geotiff(
-                        os.path.join(out_dir, f"day_{t}.tif"), g, ys, xs
-                    )
+                # stage + rename: a retried/speculative task attempt
+                # must never expose a torn file to the read stage
+                final = os.path.join(out_dir, f"day_{t}.tif")
+                tmp = write_geotiff(
+                    f"{final}.tmp-{uuid.uuid4().hex}", g, ys, xs
                 )
+                os.replace(tmp, final)
+                paths.append(final)
             yield pd.DataFrame({"path": paths, "t": pdf["t"]})
 
     days = spark.range(t_n).select(F.col("id").cast("int").alias("t"))
