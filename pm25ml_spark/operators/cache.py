@@ -2,45 +2,66 @@
 
 Several multi-pass operators (``prefix.ordered_prefix_sum``, the exact
 quantile family) persist a projection of their input because the
-deterministic two-pass shape scans it 2-3 times: once for split-key
-sampling, once for per-bucket tallies, once in the returned plan. The
-persisted frame must stay cached until the RETURNED plan has run — the
-function cannot unpersist before returning without re-deriving the whole
-upstream subtree in the final job.
+deterministic two-pass shape scans it twice: once for split-key sampling
+(eager, fills the cache), once in the returned plan. The persisted frame
+must stay cached until the RETURNED plan has run — the function cannot
+unpersist before returning without re-deriving the whole upstream
+subtree in the final job.
 
-``release_with(result, cached)`` ties the cached frame's lifetime to the
-returned DataFrame's Python object: a ``weakref.finalize`` unpersists the
-cached frame (non-blocking) when the result is garbage-collected. Library
-callers that build a plan, materialize it, and drop the handle therefore
-release executor memory/disk without any explicit call; sessions that
-keep the handle keep the cache, which is the behavior a re-runnable plan
-wants. ``spark.catalog.clearCache()`` remains the big hammer (bench.py
-uses it between queries).
+Lifetime design: a bounded LRU registry (strong references). A weakref
+tied to the returned DataFrame is NOT viable — composed plans drop the
+intermediate Python object immediately (``pack_sequences`` selects over
+the prefix result and returns a new frame; CPython refcounting would
+fire the finalizer before the caller ever executes the plan, silently
+re-deriving the upstream subtree the persist exists to avoid — observed:
+0 cached RDDs after building a packing plan under the weakref design).
+Instead the last ``MAX_CACHED`` operator caches stay alive; inserting
+past the bound unpersists the oldest (non-blocking). Long-lived library
+sessions are therefore bounded at MAX_CACHED spillable projections
+instead of leaking per call, while plans built-then-executed-soon (the
+overwhelmingly common shape) always still hold their cache.
+``spark.catalog.clearCache()`` remains the big hammer (bench.py uses it
+between queries); ``release_all()`` drops just this registry.
 """
 
 from __future__ import annotations
 
-import weakref
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
+# Caps executor memory/disk held by operator-internal caches: each entry
+# is a narrow projection (keys + one value column), MEMORY_AND_DISK, so
+# the bound is a few GB of spill at worst — raise if a workload
+# genuinely interleaves more than this many multi-pass operators.
+MAX_CACHED = 32
+
+_LOCK = threading.Lock()
+_LRU: "OrderedDict[int, DataFrame]" = OrderedDict()
+
 
 def release_with(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Unpersist ``cached`` (non-blocking) when ``result`` is GC'd.
-
-    Holds only the JVM handle in the closure so the finalizer does not
-    keep the Python ``cached`` object alive. Unpersisting a frame whose
-    blocks are in use is safe in Spark — downstream tasks recompute from
-    lineage — so a late job on a resurrected plan degrades to recompute,
-    never to a wrong result.
-    """
-    jdf = cached._jdf
-
-    def _release() -> None:
-        try:
-            jdf.unpersist(False)
-        except Exception:
-            pass  # JVM gateway already shut down at interpreter exit
-
-    weakref.finalize(result, _release)
+    """Register ``cached`` in the bounded LRU keeping it alive for the
+    returned plan's execution; evicts (unpersists, non-blocking) the
+    oldest entry past ``MAX_CACHED``. Returns ``result`` unchanged."""
+    with _LOCK:
+        _LRU[id(cached._jdf)] = cached
+        while len(_LRU) > MAX_CACHED:
+            _, old = _LRU.popitem(last=False)
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass  # session already stopped
     return result
+
+
+def release_all() -> None:
+    """Unpersist every registry-held operator cache (non-blocking)."""
+    with _LOCK:
+        while _LRU:
+            _, old = _LRU.popitem(last=False)
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass
