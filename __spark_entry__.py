@@ -120,6 +120,9 @@ def sample_order(names: list[str]) -> list[str]:
         # r9: near-dup stage reads the staged edge artifact filtered to
         # survivors instead of re-running the shingle join.
         "cp01_corpus_curation",
+        # r9: ADC queries read the staged PQ code index.
+        "ss07_pq_adc_top3",
+        "ss08_pq_rerank_top3",
     }
     return sorted(
         names,

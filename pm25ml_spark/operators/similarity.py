@@ -751,6 +751,7 @@ def pq_adc_topk(
     c_id: str = "cid",
     q_vec: str = "qe",
     c_vec: str = "ce",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: (qid, cid, adist, rk).
 
@@ -760,11 +761,18 @@ def pq_adc_topk(
     its stored codes. At 10^9 candidates the corpus side is one narrow
     codes table (m small ints per vector — the 64×-compressed sketch of
     the corpus), the scoring join is broadcast, and the partial sums
-    combine map-side; nothing quadratic ever materializes."""
+    combine map-side; nothing quadratic ever materializes.
+
+    ``codes``: a precomputed (c_id, s, code) table — THE INDEX a
+    production ANN system stages once and serves many queries from
+    (pass the staged-artifact read); must have been encoded with the
+    same (m, sub_dim, stride, offset). Built from ``candidates`` when
+    omitted."""
     csubs = pq_codebook_subspaces(
         candidates, m, sub_dim, stride, offset, c_id, c_vec
     )
-    codes = pq_encode(candidates, csubs, m, sub_dim, c_id, c_vec)
+    if codes is None:
+        codes = pq_encode(candidates, csubs, m, sub_dim, c_id, c_vec)
     qsubs = _subspaces(queries, q_id, q_vec, m, sub_dim)
     lut = qsubs.join(F.broadcast(csubs), "s").select(
         q_id,
@@ -799,6 +807,7 @@ def pq_rerank_topk(
     c_id: str = "cid",
     q_vec: str = "qe",
     c_vec: str = "ce",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC shortlist + exact L2 re-rank: (qid, cid, dist, rk).
 
@@ -806,7 +815,8 @@ def pq_rerank_topk(
     scan winnows to ``shortlist_k`` ids per query, then ONLY those rows'
     full vectors are fetched (the n_q·shortlist_k shortlist broadcasts
     against the corpus — fetch-by-id, never a second corpus scan shape)
-    and re-ranked by the full-dimension exact fold."""
+    and re-ranked by the full-dimension exact fold. ``codes`` forwards a
+    staged index to the ADC stage (see :func:`pq_adc_topk`)."""
     short = pq_adc_topk(
         queries,
         candidates,
@@ -819,6 +829,7 @@ def pq_rerank_topk(
         c_id=c_id,
         q_vec=q_vec,
         c_vec=c_vec,
+        codes=codes,
     ).select(q_id, c_id)
     exact = (
         F.broadcast(short)

@@ -415,7 +415,41 @@ def _pq_cte() -> str:
 def ss07_pq_adc_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, c = _qc(spark, sf_dir)
     return S.pq_adc_topk(
-        q, c, k=3, m=_PQ_M, sub_dim=_PQ_SD, stride=_PQ_STRIDE, offset=_PQ_OFFSET
+        q,
+        c,
+        k=3,
+        m=_PQ_M,
+        sub_dim=_PQ_SD,
+        stride=_PQ_STRIDE,
+        offset=_PQ_OFFSET,
+        codes=_pq_codes_staged(spark, sf_dir),
+    )
+
+
+def _pq_codes_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once staged PQ code table — THE INDEX: a production ANN
+    store encodes the corpus once (m small ints per vector, the 64×
+    compression) and serves every query from the staged codes; ss07 and
+    ss08 share it here (plans/artifacts.py lifecycle). The oracle
+    re-derives codes from raw vectors, so a stale/wrong index cannot
+    hide behind the stage."""
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        csubs = S.pq_codebook_subspaces(
+            c, _PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET
+        )
+        return S.pq_encode(c, csubs, _PQ_M, _PQ_SD)
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "pq_codes",
+        (_PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET),
+        build,
+        range_col="cid",
+        stats_cols=["cid"],
     )
 
 
@@ -469,6 +503,7 @@ def ss08_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=_PQ_SD,
         stride=_PQ_STRIDE,
         offset=_PQ_OFFSET,
+        codes=_pq_codes_staged(spark, sf_dir),
     )
 
 

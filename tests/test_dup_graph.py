@@ -149,3 +149,29 @@ def test_staged_table_concurrent_first_build_is_single(spark, tmp_path):
     assert len(calls) == 1 and BUILD_COUNTS["race_probe"] == 1
     want = {(i, 2 * i) for i in range(10)}
     assert all(r == want for r in results) and len(results) == 4
+
+
+def test_pq_codes_staged_once_and_exact(spark):
+    """The staged PQ index must equal the directly-encoded codes and be
+    built once for both ADC consumers."""
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.plans.similarity import (
+        _PQ_M,
+        _PQ_OFFSET,
+        _PQ_SD,
+        _PQ_STRIDE,
+        _pq_codes_staged,
+        _qc,
+    )
+
+    before = ART.BUILD_COUNTS.get("pq_codes", 0)
+    staged = _pq_codes_staged(spark, SF)
+    got = {tuple(r) for r in staged.collect()}
+    _, _, c = _qc(spark, SF)
+    csubs = S.pq_codebook_subspaces(c, _PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET)
+    want = {
+        tuple(r) for r in S.pq_encode(c, csubs, _PQ_M, _PQ_SD).collect()
+    }
+    assert got == want and got
+    _pq_codes_staged(spark, SF).count()
+    assert ART.BUILD_COUNTS.get("pq_codes", 0) == before + 1
