@@ -295,19 +295,36 @@ def test_sk02_hll_is_jvm_only(spark, sf_dir):
 
 
 def test_ss07_pq_is_broadcast_pipeline_with_one_prune_kernel(spark, sf_dir):
-    """PQ encode + ADC: codebook and LUT joins broadcast, no cartesian,
-    no sort-merge — the corpus side moves through narrow map +
-    partial-agg stages only. Exactly ONE Arrow kernel is allowed: the
-    encode near-argmin prune (the K× winnower); the DECISION (exact
-    fold + rounded tie-break) must still be JVM expressions, visible as
-    the broadcast join that follows the kernel."""
+    """PQ ADC over the STAGED code index (r9): the query plan reads the
+    staged codes table — ZERO Python kernels at query time (the encode
+    near-argmin prune runs once in the index build, pinned below) — and
+    the LUT join broadcasts; no cartesian, no sort-merge. The corpus
+    side moves through narrow map + partial-agg stages only."""
     df = QUERIES["ss07_pq_adc_top3"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 0  # index staged, not rebuilt
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the index BUILD plan keeps exactly ONE Arrow kernel (the K×
+    # near-argmin winnower); the decision fold stays JVM-side, visible
+    # as the broadcast join after the kernel
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.plans.similarity import (
+        _PQ_M,
+        _PQ_OFFSET,
+        _PQ_SD,
+        _PQ_STRIDE,
+        _qc,
+    )
+
+    _, _, c = _qc(spark, sf_dir)
+    csubs = S.pq_codebook_subspaces(c, _PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET)
+    build_plan = physical_plan(S.pq_encode(c, csubs, _PQ_M, _PQ_SD))
+    assert build_plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in build_plan
+    assert "SortMergeJoin" not in build_plan
 
 
 def test_ss08_rerank_fetch_is_broadcast(spark, sf_dir):
