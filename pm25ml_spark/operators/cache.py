@@ -46,7 +46,12 @@ def release_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     returned plan's execution; evicts (unpersists, non-blocking) the
     oldest entry past ``MAX_CACHED``. Returns ``result`` unchanged."""
     with _LOCK:
-        _LRU[id(cached._jdf)] = cached
+        key = id(cached._jdf)
+        _LRU[key] = cached
+        # a re-registered frame is a RE-USE: move it to the MRU end so
+        # eviction order is true LRU, not first-insert FIFO (a frame
+        # re-used by a later operator call must outlive older entries)
+        _LRU.move_to_end(key)
         while len(_LRU) > MAX_CACHED:
             _, old = _LRU.popitem(last=False)
             try:

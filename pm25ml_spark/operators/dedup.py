@@ -253,7 +253,7 @@ def jaccard_pairs_between(
         F.col("h_arr").alias("arr_b"),
         F.col("n_sh").alias("nb"),
     )
-    return (
+    out = (
         cand.join(a, "new_id")
         .join(b, "corpus_id")
         .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")))
@@ -271,6 +271,12 @@ def jaccard_pairs_between(
             ).alias("jaccard"),
         )
     )
+    # the two internally persisted shingle frames go through the bounded
+    # LRU registry like every other multi-pass operator cache — without
+    # this, long-lived sessions leak two caches per call
+    from pm25ml_spark.operators.cache import release_with
+
+    return release_with(release_with(out, sh_new), sh_cor)
 
 
 def _ranked_prefix(

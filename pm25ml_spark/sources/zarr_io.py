@@ -498,6 +498,14 @@ def read_zarr_cube_distributed(spark, path: str, var_name: str = "pm25"):
     else:
         with open(os.path.join(var_dir, ".zarray")) as f:
             meta = json.load(f)
+    # same store validation as read_zarr_array — a foreign writer's
+    # v3/F-order/filtered store must fail loudly, not decode garbage
+    if meta.get("zarr_format") != _ZARR_FORMAT:
+        raise ValueError(f"unsupported zarr_format {meta.get('zarr_format')}")
+    if meta.get("filters"):
+        raise ValueError("zarr filters not supported")
+    if meta.get("order") != "C":
+        raise ValueError("only C order supported")
     comp = meta.get("compressor")
     if comp is not None and comp.get("id") != "zlib":
         raise ValueError(f"unsupported compressor {comp}")
@@ -506,6 +514,10 @@ def read_zarr_cube_distributed(spark, path: str, var_name: str = "pm25"):
     chunks = tuple(meta["chunks"])
     if len(shape) != 3:
         raise ValueError("read_zarr_cube_distributed expects a 3-d cube")
+    # the drop-mask comes from the STORE's declared fill, not an assumed
+    # NaN: int-dtype stores have no NaN, and a non-NaN-fill float store
+    # would otherwise silently return its fill cells as data
+    fill = _fill_from_json(meta.get("fill_value"), dt)
     # coordinate axes: driver-sized by the cube contract, broadcast
     ys, _ = read_zarr_array(os.path.join(path, "y"))
     xs, _ = read_zarr_array(os.path.join(path, "x"))
@@ -514,13 +526,16 @@ def read_zarr_cube_distributed(spark, path: str, var_name: str = "pm25"):
         for idx, _slc in chunk_grid(shape, chunks)
         if os.path.exists(os.path.join(var_dir, ".".join(map(str, idx))))
     ]
+    fill_token = (
+        "NaN" if (isinstance(fill, float) and np.isnan(fill)) else fill
+    )
     bc = spark.sparkContext.broadcast(
         (var_dir, shape, chunks, dt.str, comp is not None,
-         ys.tolist(), xs.tolist())
+         ys.tolist(), xs.tolist(), fill_token)
     )
 
     def decode(batches):
-        vdir, shp, cks, dts, zipped, ys_l, xs_l = bc.value
+        vdir, shp, cks, dts, zipped, ys_l, xs_l, fill_t = bc.value
         dtv = np.dtype(dts)
         ct, cy, cx = cks
         ya = np.asarray(ys_l, dtype=np.float64)
@@ -538,7 +553,15 @@ def read_zarr_cube_distributed(spark, path: str, var_name: str = "pm25"):
                 by = min(cy, shp[1] - yc * cy)
                 bx = min(cx, shp[2] - xc * cx)
                 block = block[:bt, :by, :bx]
-                ti, yi, xi = np.nonzero(~np.isnan(block))
+                if fill_t == "NaN":
+                    keep = ~np.isnan(block)
+                elif fill_t is None:
+                    # null fill_value: the store declares no fill — every
+                    # stored cell is real data
+                    keep = np.ones(block.shape, dtype=bool)
+                else:
+                    keep = block != fill_t
+                ti, yi, xi = np.nonzero(keep)
                 yield pd.DataFrame(
                     {
                         "t_idx": (ti + tc * ct).astype(np.int32),

@@ -156,11 +156,15 @@ def run_available_now(
     spark = stream_df.sparkSession
     prev = None
     if state_partitions is not None:
-        assert not spark.streams.active, (
-            "run_available_now(state_partitions=...) mutates the "
-            "session-wide shuffle-partition conf; refusing to overlap "
-            "with active streaming queries"
-        )
+        # runtime safety check, not a debug assertion: `assert` is
+        # stripped under `python -O`, which would silently re-enable the
+        # session-global shuffle-partition mutation race
+        if spark.streams.active:
+            raise RuntimeError(
+                "run_available_now(state_partitions=...) mutates the "
+                "session-wide shuffle-partition conf; refusing to overlap "
+                "with active streaming queries"
+            )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

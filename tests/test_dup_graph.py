@@ -175,3 +175,50 @@ def test_pq_codes_staged_once_and_exact(spark):
     assert got == want and got
     _pq_codes_staged(spark, SF).count()
     assert ART.BUILD_COUNTS.get("pq_codes", 0) == before + 1
+
+
+def test_cache_registry_is_true_lru():
+    """Re-registering an existing frame must move it to the MRU end —
+    eviction order is LRU, not first-insert FIFO."""
+    from pm25ml_spark.operators import cache as C
+
+    class Fake:
+        def __init__(self):
+            self._jdf = object()
+            self.unpersisted = False
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+
+    C.release_all()
+    old_max = C.MAX_CACHED
+    C.MAX_CACHED = 2
+    try:
+        a, b, c = Fake(), Fake(), Fake()
+        C.release_with(None, a)
+        C.release_with(None, b)
+        C.release_with(None, a)  # re-use: a becomes most-recent
+        C.release_with(None, c)  # must evict b (the true LRU), not a
+        assert b.unpersisted
+        assert not a.unpersisted and not c.unpersisted
+    finally:
+        C.MAX_CACHED = old_max
+        C.release_all()
+
+
+def test_jaccard_between_registers_internal_caches(spark):
+    """The asymmetric probe's two persisted shingle frames must enter the
+    bounded LRU registry (long-lived sessions would otherwise leak two
+    caches per call)."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import cache as C
+    from pm25ml_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    C.release_all()
+    out = D.jaccard_pairs_between(batch, corpus)
+    assert len(C._LRU) == 2
+    assert out.count() >= 0
+    C.release_all()

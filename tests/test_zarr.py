@@ -356,3 +356,93 @@ def test_distributed_read_skips_absent_chunks(spark, tmp_path):
     out = read_zarr_cube_distributed(spark, path)
     assert out.filter("t_idx = 1").count() == 0
     assert out.filter("t_idx = 0").count() == 5 * 7
+
+
+def test_distributed_read_int_store_with_int_fill(spark, tmp_path):
+    """A foreign int-dtype store has no NaN: the drop-mask must come from
+    the declared fill_value, not np.isnan (which crashes on ints)."""
+    from pm25ml_spark.sources.zarr_io import read_zarr_cube_distributed
+
+    data = np.arange(2 * 3 * 4, dtype=np.int32).reshape(2, 3, 4)
+    data[0, 0, 0] = -1  # fill holes the reader must drop
+    data[1, 2, 3] = -1
+    path = str(tmp_path / "istore")
+    write_zarr_array(
+        os.path.join(path, "pm25"), data, (1, 3, 4), ["time", "y", "x"],
+        fill_value=-1,
+    )
+    write_zarr_array(
+        os.path.join(path, "y"), np.array([10.0, 20.0, 30.0]), (3,), ["y"]
+    )
+    write_zarr_array(
+        os.path.join(path, "x"), np.array([1.0, 2.0, 3.0, 4.0]), (4,), ["x"]
+    )
+    got = {
+        (r.t_idx, r.y, r.x, r.value)
+        for r in read_zarr_cube_distributed(spark, path).collect()
+    }
+    assert len(got) == 24 - 2
+    assert (0, 10.0, 1.0, 0.0) not in got  # [0,0,0] overwritten with fill
+    assert (1, 30.0, 4.0, 23.0) not in got  # [1,2,3] overwritten with fill
+    assert (0, 10.0, 2.0, 1.0) in got
+
+
+def test_distributed_read_non_nan_float_fill(spark, tmp_path):
+    """A float store whose declared fill is NOT NaN must drop fill cells
+    by value equality, not assume NaN holes."""
+    from pm25ml_spark.sources.zarr_io import read_zarr_cube_distributed
+
+    data = np.array(
+        [[[1.5, 9999.0], [2.5, 3.5]]], dtype=np.float32
+    )  # (1, 2, 2)
+    path = str(tmp_path / "fstore")
+    write_zarr_array(
+        os.path.join(path, "pm25"), data, (1, 2, 2), ["time", "y", "x"],
+        fill_value=9999.0,
+    )
+    write_zarr_array(
+        os.path.join(path, "y"), np.array([0.0, 1.0]), (2,), ["y"]
+    )
+    write_zarr_array(
+        os.path.join(path, "x"), np.array([0.0, 1.0]), (2,), ["x"]
+    )
+    vals = sorted(
+        r.value
+        for r in read_zarr_cube_distributed(spark, path).collect()
+    )
+    assert vals == [1.5, 2.5, 3.5]
+
+
+@pytest.mark.parametrize(
+    "patch",
+    [
+        {"order": "F"},
+        {"filters": [{"id": "delta"}]},
+        {"zarr_format": 3},
+    ],
+)
+def test_distributed_read_rejects_foreign_store_variants(
+    spark, tmp_path, patch
+):
+    """F-order, filtered, or v3 stores must fail loudly (same validation
+    as read_zarr_array), never decode garbage."""
+    from pm25ml_spark.sources.zarr_io import read_zarr_cube_distributed
+
+    data = np.ones((1, 2, 2), dtype=np.float32)
+    path = str(tmp_path / "foreign")
+    write_zarr_array(
+        os.path.join(path, "pm25"), data, (1, 2, 2), ["time", "y", "x"]
+    )
+    write_zarr_array(
+        os.path.join(path, "y"), np.array([0.0, 1.0]), (2,), ["y"]
+    )
+    write_zarr_array(
+        os.path.join(path, "x"), np.array([0.0, 1.0]), (2,), ["x"]
+    )
+    zarray = os.path.join(path, "pm25", ".zarray")
+    meta = json.load(open(zarray))
+    meta.update(patch)
+    with open(zarray, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError):
+        read_zarr_cube_distributed(spark, path)
