@@ -194,6 +194,8 @@ def jaccard_pairs_between(
     n: int = 3,
     t_num: int = 3,
     t_den: int = 5,
+    sh_new: DataFrame | None = None,
+    sh_cor: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric exact n-gram-Jaccard join — the INCREMENTAL-INGEST
     probe: which incoming docs near-duplicate the existing corpus?
@@ -208,9 +210,21 @@ def jaccard_pairs_between(
     the UNION of the two shingle sets; the same ppjoin length and
     positional prunes apply, and candidates are exact-verified by JVM
     set intersection.
+
+    ``sh_new``/``sh_cor``: optional precomputed :func:`shingle_arrays`
+    frames (columns ``doc_id, h_arr, n_sh``) — the incremental-ingest
+    lifecycle stages the CORPUS shingles once next to the corpus and
+    probes them per batch, never re-shingling 100 TB of text per
+    refresh (``plans/dup_graph.py``). Only internally-created frames
+    are persisted and LRU-registered; a passed-in frame's lifetime
+    belongs to its owner.
     """
-    sh_new = shingle_arrays(new_docs, n=n)
-    sh_cor = shingle_arrays(corpus_docs, n=n)
+    own_new = sh_new is None
+    own_cor = sh_cor is None
+    if own_new:
+        sh_new = shingle_arrays(new_docs, n=n)
+    if own_cor:
+        sh_cor = shingle_arrays(corpus_docs, n=n)
     exploded = sh_new.select(F.explode("h_arr").alias("s")).unionAll(
         sh_cor.select(F.explode("h_arr").alias("s"))
     )
@@ -271,12 +285,16 @@ def jaccard_pairs_between(
             ).alias("jaccard"),
         )
     )
-    # the two internally persisted shingle frames go through the bounded
-    # LRU registry like every other multi-pass operator cache — without
-    # this, long-lived sessions leak two caches per call
+    # internally persisted shingle frames go through the bounded LRU
+    # registry like every other multi-pass operator cache — without
+    # this, long-lived sessions leak caches per call
     from pm25ml_spark.operators.cache import release_with
 
-    return release_with(release_with(out, sh_new), sh_cor)
+    if own_new:
+        out = release_with(out, sh_new)
+    if own_cor:
+        out = release_with(out, sh_cor)
+    return out
 
 
 def _ranked_prefix(
@@ -317,7 +335,11 @@ def _ranked_prefix(
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, t_num: int = 3, t_den: int = 5
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold = t_num/t_den) with PREFIX
     FILTERING — the ppjoin-family optimization that makes exact set-
@@ -336,8 +358,12 @@ def jaccard_pairs(
     shorten the prefix below the guarantee.
 
     Output: (doc_a, doc_b, shared, jaccard) with doc_a < doc_b.
+
+    ``sh``: optional precomputed :func:`shingle_arrays` frame — staged
+    shingle stores pass it so the corpus text is tokenized exactly once
+    per corpus version (see ``plans/dup_graph.py``).
     """
-    sh_arr = shingle_arrays(docs, n=n)
+    sh_arr = shingle_arrays(docs, n=n) if sh is None else sh
     # persisted: pa and pb below are two consumers of the same subtree
     prefix = _ranked_prefix(sh_arr, t_num, t_den).persist()
     pa = prefix.select(

@@ -27,8 +27,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# (applicationId, sf_dir, name, params) -> TxTable path
+# (applicationId, sf_dir, name, params, input_fingerprint) -> TxTable path
 _ARTIFACTS: dict[tuple, str] = {}
+# (applicationId, sf_dir, name, params) -> path of the LATEST staged
+# version (whatever input fingerprint it was built against) — the lookup
+# table-level verbs use, since handle callers don't re-derive inputs
+_LATEST: dict[tuple, str] = {}
 # observability + test pin: from-scratch builds per artifact name
 BUILD_COUNTS: dict[str, int] = {}
 # honest-bench accounting: wall seconds spent building each artifact
@@ -37,8 +41,50 @@ BUILD_COUNTS: dict[str, int] = {}
 BUILD_SECONDS: dict[str, float] = {}
 # concurrent consumers (e.g. parallel test workers sharing a session)
 # must not each pay the build: one lock serializes first-build races —
-# the loser re-checks the memo and reads the winner's table
-_LOCK = threading.Lock()
+# the loser re-checks the memo and reads the winner's table. REENTRANT:
+# a build step may itself stage a sub-artifact (the incremental edge
+# table's base build reads the staged corpus-shingle store), and a
+# plain Lock would self-deadlock on that nested acquisition.
+_LOCK = threading.RLock()
+
+
+def _input_fingerprint(sf_dir: str, inputs: tuple[str, ...] | None) -> str:
+    """Cheap snapshot-version fingerprint of the artifact's source data:
+    md5 over the sorted (path, size, mtime_ns) listing of each input
+    table (or of every table file under ``sf_dir`` when ``inputs`` is
+    None). Folding this into the memo key means an in-place mutation of
+    the corpus under the SAME path triggers a rebuild instead of serving
+    a stale artifact for the rest of the session.
+
+    At 100 TB the input is a lakehouse table and this is its snapshot/
+    version id — one metadata read from the transaction log, never a
+    full object listing; the stat-walk here is the local-parquet
+    stand-in (a handful of files per sf_dir)."""
+    import hashlib
+
+    if inputs is None:
+        paths = sorted(
+            os.path.join(sf_dir, f)
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    else:
+        paths = [
+            t if os.path.isabs(t) else os.path.join(sf_dir, f"{t}.parquet")
+            for t in inputs
+        ]
+    h = hashlib.md5()
+    for p in paths:
+        files = []
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(os.path.join(root, n) for n in names)
+        elif os.path.exists(p):
+            files.append(p)
+        for f in sorted(files):
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()
 
 
 def staged_table(
@@ -50,6 +96,7 @@ def staged_table(
     partition_col: str | None = None,
     range_col: str | None = None,
     stats_cols: list[str] | None = None,
+    inputs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Return the staged table for ``(sf_dir, name, params)``, building
     it with ``build()`` on first use. ``partition_col`` hash-partitions
@@ -58,7 +105,10 @@ def staged_table(
     that column TIGHT — the layout that turns ``stats_cols`` +
     ``TxTable.read_pruned`` into real data skipping (a hash layout puts
     the full key range in every file, so its stats prune nothing).
-    ``stats_cols`` records per-file min/max for pruned point lookups."""
+    ``stats_cols`` records per-file min/max for pruned point lookups.
+    ``inputs`` names the source tables whose content version is folded
+    into the memo key (see :func:`_input_fingerprint`); None fingerprints
+    every table under ``sf_dir``."""
     from pyspark.sql import functions as F
 
     from pm25ml_spark.sources.txlog import TxTable
@@ -68,6 +118,7 @@ def staged_table(
         os.path.abspath(sf_dir),
         name,
         params,
+        _input_fingerprint(sf_dir, inputs),
     )
     path = _ARTIFACTS.get(key)
     if path is None:
@@ -96,6 +147,75 @@ def staged_table(
                     BUILD_SECONDS.get(name, 0.0) + time.perf_counter() - t0
                 )
                 _ARTIFACTS[key] = path
+    _LATEST[key[:4]] = path
+    return TxTable(spark, path).read()
+
+
+def staged_incremental_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    params: tuple,
+    steps: list[tuple[str, Callable[[], DataFrame]]],
+    partition_col: str | None = None,
+    range_col: str | None = None,
+    stats_cols: list[str] | None = None,
+    inputs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """INCREMENTALLY-MAINTAINED staged artifact: each ``(step, build)``
+    appends one transaction-log commit on first use — the base build
+    plus ingest-refresh lifecycle a production corpus artifact runs
+    (full rebuilds only on bootstrap; every later refresh is an
+    append-only delta commit). The table's log therefore ends at
+    version ``len(steps)``, one commit per step, and
+    ``BUILD_COUNTS[f"{name}.{step}"]`` pins that each step ran exactly
+    once per (session, corpus-version, params) — the test hook proving
+    a delta refresh did NOT re-run the base build.
+
+    Same memo/locking/layout semantics as :func:`staged_table`; every
+    step's output is laid out with the shared ``range_col``/
+    ``partition_col`` policy so later commits keep the table's pruning
+    contract."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.sources.txlog import TxTable
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        params,
+        _input_fingerprint(sf_dir, inputs),
+    )
+    path = _ARTIFACTS.get(key)
+    if path is None:
+        with _LOCK:
+            path = _ARTIFACTS.get(key)
+            if path is None:
+                base = tempfile.mkdtemp(prefix=f"pm25ml_stage_{name}_")
+                atexit.register(shutil.rmtree, base, True)
+                path = os.path.join(base, name)
+                table = TxTable(spark, path)
+                nparts = spark.sparkContext.defaultParallelism
+                for step, build in steps:
+                    t0 = time.perf_counter()
+                    df = build()
+                    if range_col is not None:
+                        df = df.repartitionByRange(nparts, F.col(range_col))
+                    elif partition_col is not None:
+                        df = df.repartition(nparts, F.col(partition_col))
+                    table.append(df, stats_cols=stats_cols)
+                    skey = f"{name}.{step}"
+                    BUILD_COUNTS[skey] = BUILD_COUNTS.get(skey, 0) + 1
+                    BUILD_SECONDS[skey] = (
+                        BUILD_SECONDS.get(skey, 0.0)
+                        + time.perf_counter()
+                        - t0
+                    )
+                _ARTIFACTS[key] = path
+    _LATEST[key[:4]] = path
     return TxTable(spark, path).read()
 
 
@@ -104,8 +224,9 @@ def staged_table_handle(
 ):
     """The TxTable handle of an ALREADY-STAGED artifact — for consumers
     that need table-level verbs (``read_pruned`` point lookups) instead
-    of the full scan. Raises if the artifact was never built this
-    session (call the staging accessor first)."""
+    of the full scan. Resolves to the LATEST staged version for the
+    (sf_dir, name, params) triple. Raises if the artifact was never
+    built this session (call the staging accessor first)."""
     from pm25ml_spark.sources.txlog import TxTable
 
     key = (
@@ -114,7 +235,7 @@ def staged_table_handle(
         name,
         params,
     )
-    path = _ARTIFACTS.get(key)
+    path = _LATEST.get(key)
     if path is None:
         raise KeyError(
             f"staged artifact {name}{params} not built for {sf_dir} — "

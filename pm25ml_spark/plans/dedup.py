@@ -1976,3 +1976,33 @@ def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_corpus_dups"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# gr08 — the incrementally-MAINTAINED duplicate-pair graph: the artifact
+# lifecycle dd15 computes one step of. The staged edge table is built
+# from the pre-batch corpus (commit 1), then the ingest batch's delta —
+# batch-vs-corpus cross pairs (asymmetric prefix-filtered probe over the
+# STAGED corpus shingle store, O(batch × collisions)) plus batch-internal
+# pairs — is APPENDED as one transaction-log commit (commit 2). Spark
+# reads the incrementally-maintained artifact; the oracle recomputes the
+# FULL-corpus pair list brute-force from raw text, so the equality
+# "incremental maintenance ≡ from-scratch rebuild" is exactly what the
+# driver hash-checks. At refresh time the corpus is never re-shingled
+# and the corpus×corpus join never re-runs (BUILD_COUNTS pins in
+# tests/test_dup_graph.py). Reference analogue: the staged-artifact
+# refresh lifecycle of combiners/data_artifact.py:10-44.
+@query(
+    "gr08_incremental_edges",
+    f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
+    SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE shared * 5 >= 3 * (na + nb - shared)
+    """,
+)
+def gr08_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.dup_graph import dup_edges_incremental
+
+    return dup_edges_incremental(spark, sf_dir, n=3, t_num=3, t_den=5)

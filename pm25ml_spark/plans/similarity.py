@@ -450,6 +450,7 @@ def _pq_codes_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         range_col="cid",
         stats_cols=["cid"],
+        inputs=("embeddings",),
     )
 
 

@@ -1316,6 +1316,7 @@ def winnow_selection_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: winnow_selection(load_table(spark, sf_dir, "documents")),
         range_col="doc_id",
         stats_cols=["doc_id"],
+        inputs=("documents",),
     )
 
 

@@ -222,3 +222,87 @@ def test_jaccard_between_registers_internal_caches(spark):
     assert len(C._LRU) == 2
     assert out.count() >= 0
     C.release_all()
+
+
+def test_staged_artifact_rebuilds_on_input_mutation(spark, tmp_path):
+    """The memo key folds in the input's content fingerprint: mutating
+    the corpus under the SAME path mid-session must trigger a rebuild
+    (BUILD_COUNTS increments) instead of serving the stale artifact."""
+    import os
+    import shutil
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF, "documents.parquet"),
+        os.path.join(corpus, "documents.parquet"),
+    )
+    before = ART.BUILD_COUNTS.get("dup_edges", 0)
+    n1 = DG.dup_edges(spark, corpus).count()
+    assert ART.BUILD_COUNTS.get("dup_edges", 0) == before + 1
+    DG.dup_edges(spark, corpus).count()  # unchanged input: no rebuild
+    assert ART.BUILD_COUNTS.get("dup_edges", 0) == before + 1
+    # in-place mutation: same path, new content version
+    st = os.stat(os.path.join(corpus, "documents.parquet"))
+    os.utime(
+        os.path.join(corpus, "documents.parquet"),
+        ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000),
+    )
+    n2 = DG.dup_edges(spark, corpus).count()
+    assert ART.BUILD_COUNTS.get("dup_edges", 0) == before + 2
+    assert n1 == n2  # same bytes, so same content — only the key moved
+
+
+def test_incremental_edges_equal_full_rebuild(spark):
+    """The incrementally-maintained edge artifact (base commit + batch
+    delta commit) must equal a from-scratch rebuild over the full
+    corpus, with the lifecycle pins: exactly TWO log commits, the
+    corpus shingled exactly once (staged shingle store shared by base
+    and delta), and zero rebuilds on re-read."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+
+    b_sh = ART.BUILD_COUNTS.get("corpus_shingles", 0)
+    b_base = ART.BUILD_COUNTS.get("dup_edges_incr.base", 0)
+    b_delta = ART.BUILD_COUNTS.get("dup_edges_incr.delta_batch", 0)
+
+    inc = DG.dup_edges_incremental(spark, SF)
+    got = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in inc.collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    want = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).collect()
+    }
+    assert got == want and got
+
+    # one shingle store, one base build, one delta append — and the
+    # refresh provably did not re-shingle the corpus (still 1 build)
+    assert ART.BUILD_COUNTS.get("corpus_shingles", 0) == b_sh + 1
+    assert ART.BUILD_COUNTS.get("dup_edges_incr.base", 0) == b_base + 1
+    assert ART.BUILD_COUNTS.get("dup_edges_incr.delta_batch", 0) == b_delta + 1
+
+    # append-only txlog lifecycle: exactly two commits, and time travel
+    # to the pre-refresh snapshot shows ONLY corpus×corpus pairs
+    t = staged_table_handle(
+        spark, SF, "dup_edges_incr", (3, 3, 5, 10, 7)
+    )
+    vs = t.versions()
+    assert len(vs) == 2, vs
+    base_pairs = {
+        (r.doc_a, r.doc_b) for r in t.read(version=vs[0]).collect()
+    }
+    assert base_pairs == {
+        (a, b) for a, b, _s, _j in want if a % 10 != 7 and b % 10 != 7
+    }
+    delta_pairs = {(a, b) for a, b, _s, _j in want} - base_pairs
+    assert delta_pairs  # the batch really contributed edges
+    assert all(a % 10 == 7 or b % 10 == 7 for a, b in delta_pairs)
+
+    # re-read: memoized, zero rebuilds
+    DG.dup_edges_incremental(spark, SF).count()
+    assert ART.BUILD_COUNTS.get("corpus_shingles", 0) == b_sh + 1
+    assert ART.BUILD_COUNTS.get("dup_edges_incr.base", 0) == b_base + 1
