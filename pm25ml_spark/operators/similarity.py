@@ -309,6 +309,151 @@ def kmeans_codebook(
     return np.asarray(C, dtype=np.float64)
 
 
+def _ivf_codebook_arrays(
+    source: DataFrame,
+    centroid_stride: int,
+    centroid_offset: int,
+    codebook,
+    c_id: str,
+    c_vec: str,
+):
+    """(cen_ids, CM) coarse-quantizer arrays: an explicit trained
+    ``codebook`` or the deterministic strided selection collected from
+    ``source`` (contract-small — the bounded-collect precedent)."""
+    import numpy as np
+
+    if codebook is not None:
+        CM = np.asarray(codebook, dtype=np.float64)
+        return np.arange(len(CM), dtype=np.int64), CM
+    cent = source.filter(
+        (F.col(c_id) % centroid_stride) == centroid_offset
+    ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
+    crows = cent.collect()  # coarse codebook: small by construction
+    if not crows:
+        raise ValueError(
+            "ivf_topk: centroid selection (id % "
+            f"{centroid_stride} == {centroid_offset}) matched no candidates — "
+            "choose a stride/offset that hits the id space, or use "
+            "cosine_topk / lsh_bucket_topk"
+        )
+    cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
+    CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    return cen_ids, CM
+
+
+def ivf_assign(
+    candidates: DataFrame,
+    centroid_stride: int = 100,
+    centroid_offset: int = 7,
+    codebook=None,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """The INDEX-BUILD half of IVF: assign every candidate its nearest
+    coarse centroid by rounded cosine (ties: lower cen id) and return
+    the inverted-list table ``(c_id, c_vec, cen)`` — vectors stored in
+    their lists, the inverted-FILE layout a production ANN store
+    persists once per corpus version and serves every query from
+    (``plans/similarity.py`` stages it via ``plans/artifacts``). The
+    vectorized Arrow kernel lives HERE, in the one-time build — the
+    staged consumers' query-time plans carry zero Python stages."""
+    import numpy as np
+
+    sc = candidates.sparkSession.sparkContext
+    cen_ids_a, CM_a = _ivf_codebook_arrays(
+        candidates, centroid_stride, centroid_offset, codebook, c_id, c_vec
+    )
+    cn = np.sqrt((CM_a * CM_a).sum(axis=1))
+    bc = sc.broadcast((cen_ids_a, CM_a, cn))
+
+    def assign(batches):
+        cids, M, n = bc.value
+        order = np.argsort(cids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            S = np.round(
+                (V @ M.T) / np.outer(np.sqrt((V * V).sum(axis=1)), n), 6
+            )
+            # argmax by (score DESC, cen_id ASC): scan columns in
+            # ascending-id order, keep strict improvements only
+            best = np.full(len(V), -1)
+            best_s = np.full(len(V), -np.inf)
+            for j in order:
+                better = S[:, j] > best_s
+                best[better] = cids[j]
+                best_s[better] = S[better, j]
+            out = pdf[[c_id, c_vec]].copy()
+            out["cen"] = best
+            yield out
+
+    vec_type = dict(candidates.dtypes)[c_vec]
+    return candidates.select(c_id, c_vec).mapInPandas(
+        assign, f"{c_id} long, {c_vec} {vec_type}, cen long"
+    )
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    lists: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    centroid_stride: int = 100,
+    centroid_offset: int = 7,
+    codebook=None,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """The QUERY half of IVF over a pre-built inverted-list table
+    (:func:`ivf_assign` output, usually read back from the staged
+    artifact): probe selection is one driver-side numpy pass over the
+    contract-small query batch, and the plan is broadcast-join + JVM
+    ``zip_with``/``aggregate`` cosine + one top-k window — ZERO Python
+    stages at query time (the pin shape of the staged-PQ consumers).
+    Scores are rounded to 6 dp before ranking, which absorbs the
+    summation-order divergence between this ordered fold and the
+    BLAS-tile scorer in :func:`ivf_topk` (~1e-13, seven orders below
+    the rounding step)."""
+    import numpy as np
+
+    spark = lists.sparkSession
+    cen_ids, CM = _ivf_codebook_arrays(
+        lists, centroid_stride, centroid_offset, codebook, c_id, c_vec
+    )
+    cn = np.sqrt((CM * CM).sum(axis=1))
+    qrows = queries.select(q_id, q_vec).collect()  # probe batch: small
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        S = np.round((CM @ qv) / (cn * np.sqrt(qv @ qv)), 6)
+        order = sorted(range(len(cen_ids)), key=lambda j: (-S[j], cen_ids[j]))
+        probe_rows.extend(
+            (int(r[0]), int(cen_ids[j])) for j in order[:nprobe]
+        )
+    probes = spark.createDataFrame(probe_rows, f"{q_id} long, cen long")
+    qvecs = queries.select(q_id, q_vec)
+    score = F.round(
+        _dot(F.col(q_vec), F.col(c_vec))
+        / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+        6,
+    )
+    pairs = (
+        lists.join(F.broadcast(probes), "cen")
+        .join(F.broadcast(qvecs), q_id)
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, score.alias("score"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "score", "rk")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -352,65 +497,32 @@ def ivf_topk(
     spark = candidates.sparkSession
     sc = spark.sparkContext
 
-    if codebook is not None:
-        CM = np.asarray(codebook, dtype=np.float64)
-        cen_ids = np.arange(len(CM), dtype=np.int64)
-    else:
-        cent = candidates.filter(
-            (F.col(c_id) % centroid_stride) == centroid_offset
-        ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
-        crows = cent.collect()  # coarse codebook: small by construction
-        if not crows:
-            raise ValueError(
-                "ivf_topk: centroid selection (id % "
-                f"{centroid_stride} == {centroid_offset}) matched no candidates — "
-                "choose a stride/offset that hits the id space, or use "
-                "cosine_topk / lsh_bucket_topk"
-            )
-        cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
-        CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cen_ids, CM = _ivf_codebook_arrays(
+        candidates, centroid_stride, centroid_offset, codebook, c_id, c_vec
+    )
     cn = np.sqrt((CM * CM).sum(axis=1))
-    bc = sc.broadcast((cen_ids, CM, cn))
-
-    def nearest_centroids(V):
-        """Rounded-cosine scores against the codebook, engine-tie-broken."""
-        cids, M, n = bc.value
-        S = (V @ M.T) / np.outer(np.sqrt((V * V).sum(axis=1)), n)
-        return np.round(S, 6), cids
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
-            S, cids = nearest_centroids(V)
-            # argmax by (score DESC, cen_id ASC): scan columns in
-            # ascending-id order, keep strict improvements only
-            order = np.argsort(cids)
-            best = np.full(len(V), -1)
-            best_s = np.full(len(V), -np.inf)
-            for j in order:
-                better = S[:, j] > best_s
-                best[better] = cids[j]
-                best_s[better] = S[better, j]
-            out = pdf[[c_id, c_vec]].copy()
-            out["cen"] = best
-            yield out
-
-    vec_type = dict(candidates.dtypes)[c_vec]
-    assigned = candidates.select(c_id, c_vec).mapInPandas(
-        assign, f"{c_id} long, {c_vec} {vec_type}, cen long"
+    assigned = ivf_assign(
+        candidates,
+        centroid_stride,
+        centroid_offset,
+        codebook=codebook,
+        c_id=c_id,
+        c_vec=c_vec,
     )
 
     qrows = queries.select(q_id, q_vec).collect()  # probe batch: small
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    QS, cids = nearest_centroids(Q)
+    QS = np.round(
+        (Q @ CM.T) / np.outer(np.sqrt((Q * Q).sum(axis=1)), cn), 6
+    )
     probe_rows = []
     for qi in range(len(qids)):
-        order = sorted(range(len(cids)), key=lambda j: (-QS[qi, j], cids[j]))
+        order = sorted(
+            range(len(cen_ids)), key=lambda j: (-QS[qi, j], cen_ids[j])
+        )
         probe_rows.extend(
-            (int(qids[qi]), int(cids[j])) for j in order[:nprobe]
+            (int(qids[qi]), int(cen_ids[j])) for j in order[:nprobe]
         )
     probes = spark.createDataFrame(probe_rows, f"{q_id} long, cen long")
     bq = sc.broadcast((qids, Q, np.sqrt((Q * Q).sum(axis=1))))
@@ -890,57 +1002,17 @@ def ivfpq_topk(
     (64× compression at the defaults), the probe LUT is n_q·nprobe·m·K
     broadcast rows, and nothing quadratic materializes. Returns
     (q_id, c_id, adist, rk)."""
-    import numpy as np
-    import pandas as pd
-
-    spark = candidates.sparkSession
-    cent = candidates.filter(
-        (F.col(c_id) % coarse_stride) == coarse_offset
-    ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
-    crows = cent.collect()  # coarse codebook: contract-small
-    if not crows:
-        raise ValueError("ivfpq_topk: coarse centroid selection is empty")
-    cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
-    CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
-    order = np.argsort(cen_ids)
-    cen_ids, CM = cen_ids[order], CM[order]
-    bc = spark.sparkContext.broadcast((cen_ids, CM))
-
-    def _nearest(V):
-        """Rounded-L2 argmin with (d6 asc, cen_id asc) tie-break."""
-        ids, M = bc.value
-        D = np.round(
-            ((V[:, None, :] - M[None, :, :]) ** 2).sum(axis=-1), 6
-        )
-        # ids ascend, so the first strict minimum wins ties
-        return ids[D.argmin(axis=1)], D
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
-            best, _ = _nearest(V)
-            ids, M = bc.value
-            pos = {int(i): j for j, i in enumerate(ids)}
-            resid = V - M[[pos[int(b)] for b in best]]
-            yield pd.DataFrame(
-                {
-                    c_id: pdf[c_id].to_numpy(),
-                    "cen": best,
-                    "resid": list(resid),
-                }
-            )
+    cen_ids, CM = ivfpq_coarse_arrays(
+        candidates, coarse_stride, coarse_offset, c_id, c_vec
+    )
 
     # Persisted: the coarse-assign kernel is the full-corpus Python pass,
     # and four downstream consumers re-evaluate it otherwise (rsubs
     # collect, pq_encode's scan, the codes branch, the cen join). Cache
     # is LRU-evictable; one materialization instead of four.
-    assigned = (
-        candidates.select(c_id, c_vec)
-        .mapInPandas(assign, f"{c_id} long, cen long, resid array<double>")
-        .persist()
-    )
+    assigned = ivfpq_assign_residuals(
+        candidates, cen_ids, CM, c_id, c_vec
+    ).persist()
     # residual PQ codebook: residuals of the strided candidate ids
     rsubs = _subspaces(
         assigned.filter((F.col(c_id) % pq_stride) == pq_offset).select(
@@ -953,15 +1025,109 @@ def ivfpq_topk(
     ).withColumnRenamed("sub", "csub")
     codes = pq_encode(assigned, rsubs, m, sub_dim, c_id, "resid")
 
-    # driver-side probe selection + per-list query residual LUT rows
+    lut = ivfpq_lut(
+        queries, rsubs, cen_ids, CM, nprobe, m, sub_dim, q_id, q_vec
+    )
+    codes_cen = codes.join(assigned.select(c_id, "cen"), c_id)
+    from pm25ml_spark.operators.cache import release_with
+
+    return release_with(ivfpq_adc_rank(codes_cen, lut, k, q_id, c_id), assigned)
+
+
+def ivfpq_coarse_arrays(
+    candidates: DataFrame,
+    coarse_stride: int = 100,
+    coarse_offset: int = 7,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+):
+    """Sorted ``(cen_ids, CM)`` coarse-quantizer arrays for the IVFADC
+    family — the deterministic strided selection, collected driver-side
+    (contract-small, the bounded-collect precedent)."""
+    import numpy as np
+
+    cent = candidates.filter(
+        (F.col(c_id) % coarse_stride) == coarse_offset
+    ).select(F.col(c_id).alias("cen_id"), F.col(c_vec).alias("cen_vec"))
+    crows = cent.collect()  # coarse codebook: contract-small
+    if not crows:
+        raise ValueError("ivfpq_topk: coarse centroid selection is empty")
+    cen_ids = np.array([r[0] for r in crows], dtype=np.int64)
+    CM = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    order = np.argsort(cen_ids)
+    return cen_ids[order], CM[order]
+
+
+def ivfpq_assign_residuals(
+    candidates: DataFrame,
+    cen_ids,
+    CM,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """(c_id, cen, resid): nearest coarse centroid by rounded L2 (ties:
+    lower cen id) plus the float64 residual ``c − centroid`` — the
+    INDEX-BUILD Arrow kernel of IVFADC. Staged once per corpus version
+    by ``plans/similarity.py``; query-time consumers never run it."""
+    import numpy as np
+    import pandas as pd
+
+    bc = candidates.sparkSession.sparkContext.broadcast(
+        (np.asarray(cen_ids, dtype=np.int64), np.asarray(CM, dtype=np.float64))
+    )
+
+    def assign(batches):
+        ids, M = bc.value
+        pos = {int(i): j for j, i in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[c_vec].tolist(), dtype=np.float64)
+            D = np.round(
+                ((V[:, None, :] - M[None, :, :]) ** 2).sum(axis=-1), 6
+            )
+            # ids ascend, so the first strict minimum wins ties
+            best = ids[D.argmin(axis=1)]
+            resid = V - M[[pos[int(b)] for b in best]]
+            yield pd.DataFrame(
+                {
+                    c_id: pdf[c_id].to_numpy(),
+                    "cen": best,
+                    "resid": list(resid),
+                }
+            )
+
+    return candidates.select(c_id, c_vec).mapInPandas(
+        assign, f"{c_id} long, cen long, resid array<double>"
+    )
+
+
+def ivfpq_lut(
+    queries: DataFrame,
+    rsubs: DataFrame,
+    cen_ids,
+    CM,
+    nprobe: int = 4,
+    m: int = 16,
+    sub_dim: int = 4,
+    q_id: str = "qid",
+    q_vec: str = "qe",
+) -> DataFrame:
+    """Per-query ADC lookup table ``(q_id, cen, s, code, d6)``: probe
+    selection + query residuals are one driver-side numpy pass over the
+    contract-small query batch; the subspace distances are a JVM
+    broadcast join against the residual codebook — no Python stage."""
+    import numpy as np
+
+    spark = rsubs.sparkSession
     qrows = queries.select(q_id, q_vec).collect()  # contract-small
     lut_rows = []
     for r in qrows:
         qid = int(r[0])
         qv = np.array(list(r[1]), dtype=np.float64)
-        _, D = _nearest(qv[None, :])
+        D = np.round(((qv[None, :] - CM) ** 2).sum(axis=-1), 6)
         probe = sorted(
-            range(len(cen_ids)), key=lambda j: (D[0, j], cen_ids[j])
+            range(len(cen_ids)), key=lambda j: (D[j], cen_ids[j])
         )[:nprobe]
         for j in probe:
             qresid = qv - CM[j]
@@ -977,17 +1143,27 @@ def ivfpq_topk(
     qsub = spark.createDataFrame(
         lut_rows, f"{q_id} long, cen long, s int, qsub array<double>"
     )
-    lut = qsub.join(F.broadcast(rsubs), "s").select(
+    return qsub.join(F.broadcast(rsubs), "s").select(
         q_id,
         "cen",
         "s",
         F.col("cen_id").alias("code"),
         F.round(_sub_l2(F.col("qsub"), F.col("csub")), 6).alias("d6"),
     )
-    part = (
-        codes.join(assigned.select(c_id, "cen"), c_id)
-        .join(F.broadcast(lut), ["cen", "s", "code"])
-        .filter(F.col(q_id) != F.col(c_id))
+
+
+def ivfpq_adc_rank(
+    codes_cen: DataFrame,
+    lut: DataFrame,
+    k: int = 3,
+    q_id: str = "qid",
+    c_id: str = "cid",
+) -> DataFrame:
+    """ADC aggregate + top-k: broadcast-LUT join against the
+    ``(c_id, cen, s, code)`` code table, decimal-exact distance sum
+    (map-side combinable), rank window. Pure JVM."""
+    part = codes_cen.join(F.broadcast(lut), ["cen", "s", "code"]).filter(
+        F.col(q_id) != F.col(c_id)
     )
     agg = part.groupBy(q_id, c_id).agg(
         F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("adist")

@@ -215,12 +215,49 @@ def _cos_sql(av: str, bv: str) -> str:
     """,
 )
 def ss04_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, q, c = _qc(spark, sf_dir)
+    _, q, _ = _qc(spark, sf_dir)
     # nprobe=4 (was 2) from the measured sweep: recall@3 0.31 → 0.52 on
     # the isotropic sf0.1 corpus at 2× candidate cost. The strided
     # codebook keeps the static-SQL oracle; kmeans_codebook is the
     # production path (see test_similarity_ops + SCALING.md).
-    return S.ivf_topk(q, c, k=3, nprobe=4, centroid_stride=100, centroid_offset=7)
+    # Query-time plan reads the STAGED inverted-list table (vectors
+    # stored in their lists — the inverted-file layout): broadcast
+    # probes + JVM cosine + one window, zero Python stages; the assign
+    # kernel runs once per corpus version in the index build.
+    return S.ivf_probe_topk(
+        q,
+        _ivf_lists_staged(spark, sf_dir),
+        k=3,
+        nprobe=4,
+        centroid_stride=100,
+        centroid_offset=7,
+    )
+
+
+def _ivf_lists_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once staged IVF inverted-list table ``(cid, ce, cen)`` —
+    THE INDEX: a production IVF store assigns the corpus to its coarse
+    lists once and serves every query from the staged lists (the PQ
+    code index's lifecycle, ``plans/artifacts.py``). RANGE layout on
+    ``cen`` groups each list's vectors contiguously. The oracle
+    re-derives assignment from raw vectors, so a stale/wrong index
+    cannot hide behind the stage."""
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        return S.ivf_assign(c, centroid_stride=100, centroid_offset=7)
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "ivf_lists",
+        (100, 7),
+        build,
+        range_col="cen",
+        stats_cols=["cen"],
+        inputs=("embeddings",),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -680,18 +717,86 @@ def _resid_sql(e: str, cv: str, dim: int = 64) -> str:
     """,
 )
 def ss10_ivfpq_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Query-time IVFADC over the STAGED index (residual codebook +
+    # (cid, cen, s, code) code table): probe selection + query residuals
+    # are one driver numpy pass over the contract-small query batch, the
+    # LUT is a JVM broadcast join, and the ADC sum/rank is pure JVM —
+    # zero Python stages at query time. The coarse-assign and PQ-encode
+    # kernels run once per corpus version inside the staged builds; the
+    # oracle re-derives everything from raw vectors.
     _, q, c = _qc(spark, sf_dir)
-    return S.ivfpq_topk(
-        q,
-        c,
-        k=3,
-        nprobe=_IVFPQ_NPROBE,
-        coarse_stride=100,
-        coarse_offset=7,
-        m=_PQ_M,
-        sub_dim=_PQ_SD,
-        pq_stride=_PQ_STRIDE,
-        pq_offset=_PQ_OFFSET,
+    cen_ids, CM = S.ivfpq_coarse_arrays(c, 100, 7)
+    rsubs = _ivfpq_rcodebook_staged(spark, sf_dir)
+    codes_cen = _ivfpq_codes_staged(spark, sf_dir)
+    lut = S.ivfpq_lut(
+        q, rsubs, cen_ids, CM, _IVFPQ_NPROBE, _PQ_M, _PQ_SD
+    )
+    return S.ivfpq_adc_rank(codes_cen, lut, k=3)
+
+
+def _ivfpq_rcodebook_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged residual-PQ codebook ``(cen_id, s, csub)``: the coarse
+    residuals of the strided candidate ids, split into subspaces. Built
+    once per corpus version — the build's Arrow kernel only touches the
+    1/pq_stride strided slice of the corpus."""
+    from pm25ml_spark.operators.similarity import _subspaces
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        cen_ids, CM = S.ivfpq_coarse_arrays(c, 100, 7)
+        strided = c.filter((F.col("cid") % _PQ_STRIDE) == _PQ_OFFSET)
+        assigned = S.ivfpq_assign_residuals(strided, cen_ids, CM)
+        return _subspaces(
+            assigned.select(
+                F.col("cid").alias("cen_id"), F.col("resid").alias("cv")
+            ),
+            "cen_id",
+            "cv",
+            _PQ_M,
+            _PQ_SD,
+        ).withColumnRenamed("sub", "csub")
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "ivfpq_rcodebook",
+        (100, 7, _PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET),
+        build,
+        inputs=("embeddings",),
+    )
+
+
+def _ivfpq_codes_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged IVFADC code table ``(cid, cen, s, code)`` — the 64×-
+    compressed corpus with its coarse-list key, RANGE-laid-out on
+    ``cen`` (inverted-file locality). The full-corpus coarse-assign +
+    PQ-encode kernels run HERE, once per corpus version."""
+    from pm25ml_spark.operators.cache import release_with
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        cen_ids, CM = S.ivfpq_coarse_arrays(c, 100, 7)
+        # persisted: the PQ-encode scan and the cen join both read the
+        # full-corpus assignment; one materialization instead of two
+        assigned = S.ivfpq_assign_residuals(c, cen_ids, CM).persist()
+        rsubs = _ivfpq_rcodebook_staged(spark, sf_dir)
+        codes = S.pq_encode(assigned, rsubs, _PQ_M, _PQ_SD, "cid", "resid")
+        out = codes.join(assigned.select("cid", "cen"), "cid").select(
+            "cid", "cen", "s", "code"
+        )
+        return release_with(out, assigned)
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "ivfpq_codes",
+        (100, 7, _PQ_M, _PQ_SD, _PQ_STRIDE, _PQ_OFFSET),
+        build,
+        range_col="cen",
+        stats_cols=["cen"],
+        inputs=("embeddings",),
     )
 
 

@@ -765,3 +765,40 @@ def test_plan_census_is_fresh():
         n: c["error"] for n, c in doc["queries"].items() if "error" in c
     }
     assert not errs, f"census walk errored on: {errs}"
+
+
+def test_ss04_ivf_query_plan_is_python_free(spark, sf_dir):
+    """IVF over the STAGED inverted-list table (r10): the query-time
+    plan reads staged lists — zero Python kernels (the assign kernel
+    runs once in the index build), broadcast probe + query joins, JVM
+    cosine, no cartesian/sort-merge."""
+    df = QUERIES["ss04_ivf_top3"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the index BUILD is exactly the one Arrow assign kernel
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.plans.similarity import _qc
+
+    _, _, c = _qc(spark, sf_dir)
+    build_plan = physical_plan(
+        S.ivf_assign(c, centroid_stride=100, centroid_offset=7)
+    )
+    assert build_plan.count("MapInPandas") == 1
+
+
+def test_ss10_ivfpq_query_plan_is_python_free(spark, sf_dir):
+    """IVFADC over the STAGED residual codebook + code table (r10):
+    query-time is LUT broadcast join + decimal ADC aggregate + window —
+    zero Python kernels; the coarse-assign and PQ-encode kernels live in
+    the one-time staged builds."""
+    df = QUERIES["ss10_ivfpq_top3"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
