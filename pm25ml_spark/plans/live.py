@@ -50,6 +50,27 @@ _HOUR_US = 3_600_000_000
 _STATE_PARTITIONS = 8
 
 
+def _isolated(spark: SparkSession) -> SparkSession:
+    """Child session for a streaming drain. ``run_available_now`` sizes
+    the stateful shuffle via ``spark.sql.shuffle.partitions``, which is
+    SESSION-scoped — building the stream (and its memory sink) in a
+    fresh ``newSession()`` means the caller's session conf is never
+    mutated, and batch queries planned concurrently on the caller's
+    session can never pick up the drain's state-partition count (the
+    r9 documented caveat, now closed structurally). The child shares
+    the SparkContext; only SQL conf/temp-view state is fresh."""
+    from pm25ml_spark.session import ensure_runtime_confs
+
+    child = spark.newSession()
+    ensure_runtime_confs(child)  # timezone/nanos/Arrow on the fresh state
+    # match the parent's batch shuffle sizing for the non-stateful stages
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    return child
+
+
 def _drain(
     sess_df: DataFrame, tag: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -107,6 +128,7 @@ def _drain(
     """,
 )
 def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.streaming.events import (
         read_events_stream,
         session_windows,
@@ -140,6 +162,7 @@ def st01_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st02_stream_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.streaming.events import read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
@@ -235,6 +258,7 @@ def d12_txlog_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st03_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     import shutil
 
     from pm25ml_spark.streaming.events import (
@@ -645,6 +669,7 @@ def _stage_chronological_halves(
     """,
 )
 def st04_stateful_user_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.streaming.events import (
         read_events_stream,
         run_available_now,
@@ -796,6 +821,7 @@ def st05_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st06_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.streaming.events import (
         read_events_stream,
         view_purchase_attribution,
@@ -874,6 +900,7 @@ def d14_txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st07_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.streaming.events import read_events_stream
 
     stage = _stage_chronological_halves(spark, sf_dir, "st07")
@@ -957,6 +984,7 @@ _SLIDE_US = 3_600_000_000  # 1 hour; window = 2 slides
     """,
 )
 def st08_stream_sliding_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.streaming.events import read_events_stream
 
     stream = read_events_stream(spark, sf_dir)

@@ -145,14 +145,14 @@ def run_available_now(
     catalog drains want few (per-store fixed cost dominates measured
     BENCH streaming time otherwise).
 
-    SCOPE CAVEAT: ``spark.sql.shuffle.partitions`` is session-global, so
-    any BATCH query planned concurrently on the same session during the
-    drain would silently plan with ``state_partitions`` shuffles. The
-    setting can't be moved to a child session — ``stream_df`` and the
-    memory-sink table are bound to the session that built the plan — so
-    this helper requires (and asserts) drains are not stacked; callers
-    that interleave batch planning with a drain should build the stream
-    in a ``spark.newSession()`` of their own."""
+    SCOPE NOTE: ``spark.sql.shuffle.partitions`` is session-scoped; the
+    mutation targets ``stream_df``'s OWN session (the one that plans
+    every micro-batch). The catalog's drains build their streams in an
+    isolated ``spark.newSession()`` child (``plans/live.py:_isolated``),
+    so the caller's session conf is never touched and concurrent batch
+    planning cannot pick up the drain's state-partition count. Direct
+    callers that share one session with batch work should do the same;
+    the guard below still refuses stacked drains on one session."""
     spark = stream_df.sparkSession
     prev = None
     if state_partitions is not None:

@@ -464,3 +464,20 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
     }
     assert len(want) > 0  # the fixture data must actually produce matches
     assert got == want
+
+
+def test_catalog_drain_never_mutates_caller_session(spark):
+    """The st-family queries build their streams in an isolated child
+    session (plans/live._isolated): the caller's shuffle-partition conf
+    must be bit-identical before/after a drain, and no streaming query
+    may remain active on the caller's session."""
+    from pm25ml_spark.plans.registry import QUERIES, load_all_plans
+
+    load_all_plans()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = QUERIES["st02_stream_hourly_volume"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert not spark.streams.active  # drain ran on the child, not here
+    # the result frame is bound to the child session, proving isolation
+    assert out.sparkSession is not spark
