@@ -33,6 +33,8 @@ _MAGIC = 42
 _T_WIDTH, _T_LENGTH, _T_BITS, _T_COMP = 256, 257, 258, 259
 _T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_ROWS_PER_STRIP = 262, 273, 277, 278
 _T_STRIP_CNT, _T_SAMPLE_FMT = 279, 339
+_T_PREDICTOR = 317
+_T_TILE_W, _T_TILE_L, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS, _T_NODATA = 33550, 33922, 34735, 42113
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_ASCII, _TYPE_DOUBLE = 3, 4, 2, 12
@@ -171,11 +173,34 @@ def write_geotiff(
     return target
 
 
+def _undo_fp_predictor(raw: bytes, w: int, bps: int = 4) -> bytes:
+    """Undo the TIFF floating-point predictor (TechNote 3, predictor=3)
+    for one strip/tile of ``w``-sample float rows: each row's bytes were
+    split into big-endian byte planes then horizontally differenced —
+    decode is a mod-256 cumulative sum per row followed by plane
+    re-interleave back to little-endian sample order. Foreign GIS
+    writers (GDAL ``PREDICTOR=3`` deflate exports) use this layout."""
+    row_bytes = w * bps
+    if len(raw) % row_bytes:
+        raise ValueError(
+            "floating-point-predictor data is not a whole number of rows"
+        )
+    n_rows = len(raw) // row_bytes
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, row_bytes)
+    a = np.cumsum(a, axis=1, dtype=np.uint32).astype(np.uint8)  # mod 256
+    planes = a.reshape(n_rows, bps, w)
+    # plane 0 holds the MOST significant byte: reverse to little-endian
+    return np.transpose(planes[:, ::-1, :], (0, 2, 1)).tobytes()
+
+
 def read_geotiff(path: str) -> dict:
-    """Read a GeoTIFF written by :func:`write_geotiff` (and any
-    single-band, single-IFD, strip-organized float32 little-endian
-    TIFF with compression none/deflate). Returns ascending-y values +
-    coordinate axes + the declared EPSG code and nodata."""
+    """Read a GeoTIFF written by :func:`write_geotiff` — and foreign
+    single-band, single-IFD float32 little-endian TIFFs: strip- OR
+    tile-organized, compression none/deflate, with the floating-point
+    predictor (3) handled and the integer horizontal predictor (2)
+    cleanly rejected (it is not defined for IEEE float samples).
+    Returns ascending-y values + coordinate axes + the declared EPSG
+    code and nodata."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:2] != _II or struct.unpack("<H", buf[2:4])[0] != _MAGIC:
@@ -209,25 +234,61 @@ def read_geotiff(path: str) -> dict:
         raise ValueError(f"unsupported compression {comp}")
     if tags.get(_T_SAMPLE_FMT, [1])[0] != 3 or tags[_T_BITS][0] != 32:
         raise ValueError("only float32 samples supported")
-    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0]
-    if _T_STRIP_OFF not in tags or _T_STRIP_CNT not in tags:
+    predictor = tags.get(_T_PREDICTOR, [1])[0]
+    if predictor not in (1, 3):
+        # predictor 2 (horizontal integer differencing) is defined for
+        # integer samples only — applying it to IEEE floats would decode
+        # garbage, so reject loudly rather than guess
         raise ValueError(
-            "TIFF has no strip offsets/byte counts (tiled TIFFs are not "
-            "supported)"
+            f"unsupported TIFF predictor {predictor} for float32 samples "
+            "(only 1=none and 3=floating-point)"
         )
-    offsets, counts = tags[_T_STRIP_OFF], tags[_T_STRIP_CNT]
-    rows = []
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        raw = buf[off : off + cnt]
-        if comp == 8:
-            raw = zlib.decompress(raw)
-        n_rows = min(rows_per_strip, h - i * rows_per_strip)
-        rows.append(
-            np.frombuffer(raw, dtype="<f4", count=n_rows * w).reshape(
-                n_rows, w
+    if _T_TILE_OFF in tags:
+        # tiled organization (the GDAL -co TILED=YES export layout):
+        # fixed tile grid, edge tiles padded to full tile size
+        tw, tl = tags[_T_TILE_W][0], tags[_T_TILE_L][0]
+        offsets, counts = tags[_T_TILE_OFF], tags[_T_TILE_CNT]
+        tiles_across = -(-w // tw)
+        tiles_down = -(-h // tl)
+        if len(offsets) != tiles_across * tiles_down:
+            raise ValueError(
+                f"tile count {len(offsets)} does not cover the "
+                f"{tiles_down}x{tiles_across} tile grid"
             )
-        )
-    north_up = np.vstack(rows)
+        north_up = np.empty((h, w), dtype="<f4")
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = buf[off : off + cnt]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            if predictor == 3:
+                raw = _undo_fp_predictor(raw, tw)
+            tile = np.frombuffer(raw, dtype="<f4", count=tl * tw).reshape(
+                tl, tw
+            )
+            r0 = (t // tiles_across) * tl
+            c0 = (t % tiles_across) * tw
+            north_up[r0 : r0 + tl, c0 : c0 + tw] = tile[
+                : h - r0, : w - c0
+            ]
+    else:
+        rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0]
+        if _T_STRIP_OFF not in tags or _T_STRIP_CNT not in tags:
+            raise ValueError("TIFF has no strip or tile offsets")
+        offsets, counts = tags[_T_STRIP_OFF], tags[_T_STRIP_CNT]
+        rows = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = buf[off : off + cnt]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            if predictor == 3:
+                raw = _undo_fp_predictor(raw, w)
+            n_rows = min(rows_per_strip, h - i * rows_per_strip)
+            rows.append(
+                np.frombuffer(raw, dtype="<f4", count=n_rows * w).reshape(
+                    n_rows, w
+                )
+            )
+        north_up = np.vstack(rows)
     if 34264 in tags and _T_PIXEL_SCALE not in tags:
         raise ValueError(
             "GeoTIFF uses ModelTransformationTag (34264), which this "

@@ -135,3 +135,154 @@ def test_noncorner_tiepoint_honored(tmp_path):
     out = read_geotiff(str(p2))
     np.testing.assert_allclose(out["xs"], out0["xs"])
     np.testing.assert_allclose(out["ys"], out0["ys"])
+
+
+# ---------------------------------------------------------------------------
+# Foreign-writer variants: a hand-rolled TIFF builder (independent of
+# write_geotiff) produces the layouts real GIS exports use — tiled
+# organization (GDAL -co TILED=YES) and deflate with the floating-point
+# predictor (GDAL PREDICTOR=3) — plus the integer horizontal predictor
+# the reader must cleanly reject for float samples.
+
+import struct as _s
+import zlib as _zlib
+
+_TYPE_FMT = {3: "H", 4: "I", 12: "d"}
+_TYPE_SZ = {3: 2, 4: 4, 2: 1, 12: 8}
+
+
+def _pack_tag_raw(ttype, vals):
+    if ttype == 2:
+        return bytes(vals)
+    return _s.pack(f"<{len(vals)}{_TYPE_FMT[ttype]}", *vals)
+
+
+def _build_foreign_tiff(tag_values, blobs, off_tag, cnt_tag):
+    """Classic little-endian TIFF: header | IFD | out-of-line values |
+    data blobs, with blob offsets patched into ``off_tag``."""
+    tag_values = dict(tag_values)
+    tag_values[cnt_tag] = (4, [len(b) for b in blobs])
+    tag_values[off_tag] = (4, [0] * len(blobs))  # patched below
+    tags = sorted(tag_values)
+    pos = 8 + 2 + len(tags) * 12 + 4
+    off_positions = {}
+    for t in tags:
+        ttype, vals = tag_values[t]
+        if _TYPE_SZ[ttype] * len(vals) > 4:
+            off_positions[t] = pos
+            pos += _TYPE_SZ[ttype] * len(vals)
+    blob_offsets = []
+    for b in blobs:
+        blob_offsets.append(pos)
+        pos += len(b)
+    tag_values[off_tag] = (4, blob_offsets)
+    out = b"II" + _s.pack("<H", 42) + _s.pack("<I", 8)
+    out += _s.pack("<H", len(tags))
+    for t in tags:
+        ttype, vals = tag_values[t]
+        raw = _pack_tag_raw(ttype, vals)
+        out += _s.pack("<HHI", t, ttype, len(vals))
+        out += raw.ljust(4, b"\0") if len(raw) <= 4 else _s.pack(
+            "<I", off_positions[t]
+        )
+    out += _s.pack("<I", 0)
+    for t in tags:
+        ttype, vals = tag_values[t]
+        raw = _pack_tag_raw(ttype, vals)
+        if len(raw) > 4:
+            out += raw
+    for b in blobs:
+        out += b
+    return out
+
+
+def _fp_predict(rows):
+    """TIFF TechNote-3 floating-point predictor ENCODE for (n, w) <f4
+    rows: little-endian bytes -> big-endian byte planes -> horizontal
+    byte differencing."""
+    n, w = rows.shape
+    le = np.ascontiguousarray(rows, dtype="<f4").view(np.uint8).reshape(
+        n, w, 4
+    )
+    be_planes = le[:, :, ::-1].transpose(0, 2, 1).reshape(n, 4 * w)
+    diff = be_planes.astype(np.int16)
+    diff[:, 1:] = diff[:, 1:] - be_planes[:, :-1].astype(np.int16)
+    return (diff & 0xFF).astype(np.uint8).tobytes()
+
+
+_BASE_TAGS = {
+    258: (3, [32]),  # BitsPerSample
+    339: (3, [3]),  # SampleFormat IEEE float
+}
+
+
+def _fgrid(h, w):
+    return (np.arange(h * w, dtype="<f4").reshape(h, w) * 0.5) - 7.25
+
+
+def test_foreign_tiled_uncompressed(tmp_path):
+    h, w, tl, tw = 25, 20, 16, 16
+    north_up = _fgrid(h, w)
+    blobs = []
+    for r0 in range(0, h, tl):
+        for c0 in range(0, w, tw):
+            tile = np.zeros((tl, tw), dtype="<f4")
+            blk = north_up[r0 : r0 + tl, c0 : c0 + tw]
+            tile[: blk.shape[0], : blk.shape[1]] = blk
+            blobs.append(tile.tobytes())
+    tags = dict(_BASE_TAGS)
+    tags.update({256: (4, [w]), 257: (4, [h]), 259: (3, [1]),
+                 322: (4, [tw]), 323: (4, [tl])})
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(_build_foreign_tiff(tags, blobs, 324, 325))
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out["values"][::-1], north_up)
+
+
+def test_foreign_tiled_deflate_fp_predictor(tmp_path):
+    h, w, tl, tw = 10, 9, 4, 4
+    north_up = _fgrid(h, w)
+    blobs = []
+    for r0 in range(0, h, tl):
+        for c0 in range(0, w, tw):
+            tile = np.zeros((tl, tw), dtype="<f4")
+            blk = north_up[r0 : r0 + tl, c0 : c0 + tw]
+            tile[: blk.shape[0], : blk.shape[1]] = blk
+            blobs.append(_zlib.compress(_fp_predict(tile)))
+    tags = dict(_BASE_TAGS)
+    tags.update({256: (4, [w]), 257: (4, [h]), 259: (3, [8]),
+                 317: (3, [3]), 322: (4, [tw]), 323: (4, [tl])})
+    p = tmp_path / "tiled_pred.tif"
+    p.write_bytes(_build_foreign_tiff(tags, blobs, 324, 325))
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out["values"][::-1], north_up)
+
+
+def test_foreign_strips_deflate_fp_predictor(tmp_path):
+    h, w, rps = 10, 6, 7  # last strip is a partial (3 rows)
+    north_up = _fgrid(h, w)
+    blobs = [
+        _zlib.compress(_fp_predict(north_up[r0 : r0 + rps]))
+        for r0 in range(0, h, rps)
+    ]
+    tags = dict(_BASE_TAGS)
+    tags.update({256: (4, [w]), 257: (4, [h]), 259: (3, [8]),
+                 278: (4, [rps]), 317: (3, [3])})
+    p = tmp_path / "strip_pred.tif"
+    p.write_bytes(_build_foreign_tiff(tags, blobs, 273, 279))
+    out = read_geotiff(str(p))
+    np.testing.assert_array_equal(out["values"][::-1], north_up)
+
+
+def test_foreign_horizontal_predictor_rejected(tmp_path):
+    h, w = 4, 4
+    north_up = _fgrid(h, w)
+    tags = dict(_BASE_TAGS)
+    tags.update({256: (4, [w]), 257: (4, [h]), 259: (3, [1]),
+                 278: (4, [h]), 317: (3, [2])})
+    p = tmp_path / "pred2.tif"
+    p.write_bytes(
+        _build_foreign_tiff(tags, [north_up.tobytes()], 273, 279)
+    )
+    with pytest.raises(ValueError, match="predictor 2"):
+        read_geotiff(str(p))
