@@ -90,39 +90,17 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r9: the whole jaccard-pair consumer family now reads the
-        # build-once staged edge artifact (plans/dup_graph.py) — the
-        # physical plan changed for every one of these.
-        "dd03_jaccard_pairs",
-        "dd08_dup_clusters",
-        "dd11_canonical_selection",
-        "cp09_soft_dedup_weights",
-        "gr01_dupgraph_pagerank",
-        "gr02_dupgraph_triangles",
-        "gr03_kcore_members",
-        "gr04_bfs_hops",
-        "gr05_degree_assortativity",
-        # r9: KS cross-multiplication moved to DECIMAL(38,0) in both
-        # engines (overflow-safe at >3e9 events per arm).
-        "m10_ks_drift",
-        # r9: ordered_prefix_sum computes bucket offsets in-plan (no
-        # driver collect) — physical plan changed for every consumer.
-        "t13_sequence_packing",
-        "t14_chunk_language_mix",
-        "w08_decimate_100",
-        "m04_roc_auc",
-        "m06_lift_table",
-        "dd14_sorted_neighborhood",
-        # r9: winnowing selection is now a staged artifact shared by
-        # t20 + dd13.
-        "t20_winnowing_fingerprints",
-        "dd13_winnowing_pairs",
-        # r9: near-dup stage reads the staged edge artifact filtered to
-        # survivors instead of re-running the shingle join.
-        "cp01_corpus_curation",
-        # r9: ADC queries read the staged PQ code index.
-        "ss07_pq_adc_top3",
-        "ss08_pq_rerank_top3",
+        # r10: the IVF family reads build-once staged index artifacts
+        # (inverted lists for ss04; residual codebook + code table for
+        # ss10) — query-time physical plans changed to Python-free
+        # broadcast pipelines.
+        "ss04_ivf_top3",
+        "ss10_ivfpq_top3",
+        # r10: new incrementally-maintained dup-edge artifact query.
+        "gr08_incremental_edges",
+        # r10: jaccard_pairs_between gained precomputed-shingle inputs
+        # and LRU cache registration — same plan, re-verify anyway.
+        "dd15_incremental_dedup",
     }
     return sorted(
         names,
