@@ -96,8 +96,10 @@ def sample_order(names: list[str]) -> list[str]:
         # broadcast pipelines.
         "ss04_ivf_top3",
         "ss10_ivfpq_top3",
-        # r10: new incrementally-maintained dup-edge artifact query.
+        # r10: new incrementally-maintained artifact queries (dup-edge
+        # graph; IVF inverted lists).
         "gr08_incremental_edges",
+        "ss13_incremental_ivf_top2",
         # r10: jaccard_pairs_between gained precomputed-shingle inputs
         # and LRU cache registration — same plan, re-verify anyway.
         "dd15_incremental_dedup",

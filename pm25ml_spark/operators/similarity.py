@@ -348,20 +348,34 @@ def ivf_assign(
     codebook=None,
     c_id: str = "cid",
     c_vec: str = "ce",
+    cen_source: DataFrame | None = None,
 ) -> DataFrame:
     """The INDEX-BUILD half of IVF: assign every candidate its nearest
     coarse centroid by rounded cosine (ties: lower cen id) and return
-    the inverted-list table ``(c_id, c_vec, cen)`` — vectors stored in
-    their lists, the inverted-FILE layout a production ANN store
-    persists once per corpus version and serves every query from
-    (``plans/similarity.py`` stages it via ``plans/artifacts``). The
-    vectorized Arrow kernel lives HERE, in the one-time build — the
-    staged consumers' query-time plans carry zero Python stages."""
+    the inverted-list table ``(c_id, c_vec, cnorm, cen)`` — vectors
+    stored in their lists with their precomputed L2 norm, the
+    inverted-FILE layout a production ANN store persists once per
+    corpus version and serves every query from (``plans/similarity.py``
+    stages it via ``plans/artifacts``). The vectorized Arrow kernel
+    lives HERE, in the one-time build — the staged consumers'
+    query-time plans carry zero Python stages, and the stored ``cnorm``
+    saves a per-pair norm fold at query time.
+
+    ``cen_source``: optional frame the strided coarse quantizer is
+    collected from (defaults to ``candidates``). The INCREMENTAL-INGEST
+    refresh passes the established corpus here while assigning only the
+    new batch — a production store keeps its quantizer FIXED across
+    refreshes precisely so list assignments stay append-only."""
     import numpy as np
 
     sc = candidates.sparkSession.sparkContext
     cen_ids_a, CM_a = _ivf_codebook_arrays(
-        candidates, centroid_stride, centroid_offset, codebook, c_id, c_vec
+        cen_source if cen_source is not None else candidates,
+        centroid_stride,
+        centroid_offset,
+        codebook,
+        c_id,
+        c_vec,
     )
     cn = np.sqrt((CM_a * CM_a).sum(axis=1))
     bc = sc.broadcast((cen_ids_a, CM_a, cn))
@@ -385,12 +399,13 @@ def ivf_assign(
                 best[better] = cids[j]
                 best_s[better] = S[better, j]
             out = pdf[[c_id, c_vec]].copy()
+            out["cnorm"] = np.sqrt((V * V).sum(axis=1))
             out["cen"] = best
             yield out
 
     vec_type = dict(candidates.dtypes)[c_vec]
     return candidates.select(c_id, c_vec).mapInPandas(
-        assign, f"{c_id} long, {c_vec} {vec_type}, cen long"
+        assign, f"{c_id} long, {c_vec} {vec_type}, cnorm double, cen long"
     )
 
 
@@ -434,10 +449,19 @@ def ivf_probe_topk(
             (int(r[0]), int(cen_ids[j])) for j in order[:nprobe]
         )
     probes = spark.createDataFrame(probe_rows, f"{q_id} long, cen long")
-    qvecs = queries.select(q_id, q_vec)
+    # norms are projected ONCE per side (query norms on the tiny
+    # broadcast frame, candidate norms stored in the staged lists at
+    # build time) so the per-pair expression is a single dot fold. The
+    # numpy-vs-fold summation-order divergence (~1e-13) sits far below
+    # the 6-dp rounding on the final score, the module-wide contract.
+    qvecs = queries.select(q_id, q_vec).withColumn(
+        "__qnorm", _norm(F.col(q_vec))
+    )
+    cnorm = (
+        F.col("cnorm") if "cnorm" in lists.columns else _norm(F.col(c_vec))
+    )
     score = F.round(
-        _dot(F.col(q_vec), F.col(c_vec))
-        / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+        _dot(F.col(q_vec), F.col(c_vec)) / (F.col("__qnorm") * cnorm),
         6,
     )
     pairs = (

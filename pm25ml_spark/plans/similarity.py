@@ -261,6 +261,115 @@ def _ivf_lists_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ss13 — IVF over an INCREMENTALLY-MAINTAINED inverted-list index: the
+# vector-side twin of gr08's ingest-refresh lifecycle. A production ANN
+# store trains its coarse quantizer once and keeps it FIXED, exactly so
+# that a new ingest batch only APPENDS its own list assignments — the
+# established corpus is never re-assigned and the quantizer never
+# re-collected from moving data. Here the batch is vec_id % 10 == 3 (a
+# deterministic ~10% slice, disjoint from the % 100 == 7 centroid
+# stride, so the quantizer is identical whether trained on the
+# pre-batch corpus or the full set — which is what makes the
+# incremental index EQUAL a from-scratch rebuild, the equality the
+# oracle hash-checks by re-deriving every assignment from raw vectors).
+_IVF_BATCH_MOD, _IVF_BATCH_REM = 10, 3
+
+
+def _ivf_lists_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-commit inverted-list artifact: base = pre-batch corpus
+    assignments; delta = ONLY the ingest batch assigned against the
+    corpus-trained quantizer and appended (``plans/artifacts.
+    staged_incremental_table``). BUILD_COUNTS pins in
+    tests/test_similarity_ops.py prove the refresh re-assigned nothing."""
+    from pm25ml_spark.plans.artifacts import staged_incremental_table
+
+    is_batch = F.col("cid") % _IVF_BATCH_MOD == _IVF_BATCH_REM
+
+    def build_base() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        return S.ivf_assign(
+            c.filter(~is_batch), centroid_stride=100, centroid_offset=7
+        )
+
+    def build_delta() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        return S.ivf_assign(
+            c.filter(is_batch),
+            centroid_stride=100,
+            centroid_offset=7,
+            cen_source=c.filter(~is_batch),  # FIXED corpus quantizer
+        )
+
+    return staged_incremental_table(
+        spark,
+        sf_dir,
+        "ivf_lists_incr",
+        (100, 7, _IVF_BATCH_MOD, _IVF_BATCH_REM),
+        [("base", build_base), ("delta_batch", build_delta)],
+        range_col="cen",
+        stats_cols=["cen"],
+        inputs=("embeddings",),
+    )
+
+
+@query(
+    "ss13_incremental_ivf_top2",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 100 = 7
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT cid, cen_id,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY ROUND({{cos_cv}}, 6) DESC,
+                                           cen_id) AS r
+        FROM c, cent
+    ),
+    lists AS (SELECT cid, cen_id FROM assign WHERE r = 1),
+    probe AS (
+        SELECT qid, cen_id FROM (
+            SELECT qid, cen_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ROUND({{cos_qv}}, 6) DESC,
+                                               cen_id) AS r
+            FROM q, cent)
+        WHERE r <= 3
+    ),
+    scored AS (
+        SELECT p.qid, l.cid, ROUND({{cos_qc}}, 6) AS score
+        FROM probe p
+        JOIN lists l USING (cen_id)
+        JOIN q USING (qid)
+        JOIN c ON c.cid = l.cid
+        WHERE l.cid <> p.qid
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM scored)
+    WHERE rk <= 2
+    """.format(
+        cos_cv=_cos_sql("ce", "cv"),
+        cos_qv=_cos_sql("qe", "cv"),
+        cos_qc=_cos_sql("qe", "ce"),
+    ),
+)
+def ss13_incremental_ivf_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, _ = _qc(spark, sf_dir)
+    return S.ivf_probe_topk(
+        q,
+        _ivf_lists_incremental(spark, sf_dir),
+        k=2,
+        nprobe=3,
+        centroid_stride=100,
+        centroid_offset=7,
+    )
+
+
+# --------------------------------------------------------------------------
 # ss05 — per-label embedding centroids, long form (label, dim, centroid).
 # This is the k-means centroid UPDATE step; ivf_topk's assignment pass is
 # the ASSIGN step — together they form one distributed Lloyd iteration.

@@ -802,3 +802,15 @@ def test_ss10_ivfpq_query_plan_is_python_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ss13_incremental_ivf_query_plan_is_python_free(spark, sf_dir):
+    """IVF over the INCREMENTALLY-maintained staged lists (r10): same
+    Python-free broadcast query shape as ss04."""
+    df = QUERIES["ss13_incremental_ivf_top2"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

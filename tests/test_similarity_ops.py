@@ -426,3 +426,37 @@ def test_cosine_topk_grp_args_must_pair(spark):
     c = _vec_df(spark, "cid", "ce", [(2, [1.0, 0.0])])
     with pytest.raises(ValueError):
         cosine_topk(q, c, q_grp="ql")
+
+
+def test_incremental_ivf_lists_equal_full_rebuild(spark):
+    """The incrementally-maintained inverted-list artifact (base commit
+    over the pre-batch corpus + append-only batch delta against the
+    FIXED corpus quantizer) must equal a from-scratch full-corpus
+    assignment, with lifecycle pins: two log commits, the pre-refresh
+    snapshot holds only corpus rows, re-reads rebuild nothing."""
+    import pm25ml_spark.plans.artifacts as ART
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators.similarity import ivf_assign
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+    from pm25ml_spark.plans.similarity import _ivf_lists_incremental, _qc
+
+    SF = "/root/testdata/sf0.001"
+    b_base = ART.BUILD_COUNTS.get("ivf_lists_incr.base", 0)
+    b_delta = ART.BUILD_COUNTS.get("ivf_lists_incr.delta_batch", 0)
+    inc = _ivf_lists_incremental(spark, SF)
+    got = {(r.cid, r.cen) for r in inc.collect()}
+    _, _, c = _qc(spark, SF)
+    want = {
+        (r.cid, r.cen)
+        for r in ivf_assign(c, centroid_stride=100, centroid_offset=7).collect()
+    }
+    assert got == want and got
+    t = staged_table_handle(spark, SF, "ivf_lists_incr", (100, 7, 10, 3))
+    vs = t.versions()
+    assert len(vs) == 2, vs
+    base_rows = {r.cid for r in t.read(version=vs[0]).collect()}
+    assert base_rows == {cid for cid, _ in want if cid % 10 != 3}
+    assert {cid for cid, _ in want if cid % 10 == 3}  # delta non-empty
+    _ivf_lists_incremental(spark, SF).count()  # memoized: no rebuild
+    assert ART.BUILD_COUNTS.get("ivf_lists_incr.base", 0) == b_base + 1
+    assert ART.BUILD_COUNTS.get("ivf_lists_incr.delta_batch", 0) == b_delta + 1
