@@ -99,6 +99,7 @@ def sample_order(names: list[str]) -> list[str]:
         # r10: new incrementally-maintained artifact queries (dup-edge
         # graph; IVF inverted lists).
         "gr08_incremental_edges",
+        "gr09_ingest_batch_summary",
         "ss13_incremental_ivf_top2",
         # r10: jaccard_pairs_between gained precomputed-shingle inputs
         # and LRU cache registration — same plan, re-verify anyway.

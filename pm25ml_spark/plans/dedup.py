@@ -1980,18 +1980,20 @@ def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # gr08 — the incrementally-MAINTAINED duplicate-pair graph: the artifact
-# lifecycle dd15 computes one step of. The staged edge table is built
-# from the pre-batch corpus (commit 1), then the ingest batch's delta —
-# batch-vs-corpus cross pairs (asymmetric prefix-filtered probe over the
-# STAGED corpus shingle store, O(batch × collisions)) plus batch-internal
-# pairs — is APPENDED as one transaction-log commit (commit 2). Spark
-# reads the incrementally-maintained artifact; the oracle recomputes the
-# FULL-corpus pair list brute-force from raw text, so the equality
-# "incremental maintenance ≡ from-scratch rebuild" is exactly what the
-# driver hash-checks. At refresh time the corpus is never re-shingled
-# and the corpus×corpus join never re-runs (BUILD_COUNTS pins in
-# tests/test_dup_graph.py). Reference analogue: the staged-artifact
-# refresh lifecycle of combiners/data_artifact.py:10-44.
+# lifecycle dd15 computes one step of, now MULTI-BATCH. The staged edge
+# table bootstraps from the pre-batch corpus (commit 1), then each
+# ingest batch (doc_id % 10 == 5, then == 9, in arrival order) appends
+# ONLY its delta — batch-vs-EXISTING cross pairs via the asymmetric
+# prefix-filtered probe over a TIME-TRAVEL read of the incrementally-
+# maintained shingle store (earlier batches are probed too, no text
+# ever re-shingled), plus batch-internal pairs. Spark reads the
+# maintained artifact; the oracle recomputes the FULL-corpus pair list
+# brute-force from raw text, so the equality "incremental maintenance
+# ≡ from-scratch rebuild" is exactly what the driver hash-checks.
+# Lifecycle pins (commit count, time travel to pre-refresh snapshots,
+# BUILD_COUNTS) live in tests/test_dup_graph.py. Reference analogue:
+# the staged-artifact refresh lifecycle of
+# combiners/data_artifact.py:10-44.
 @query(
     "gr08_incremental_edges",
     f"""
@@ -2005,4 +2007,48 @@ def dd15_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gr08_incremental_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pm25ml_spark.plans.dup_graph import dup_edges_incremental
 
-    return dup_edges_incremental(spark, sf_dir, n=3, t_num=3, t_den=5)
+    return dup_edges_incremental(spark, sf_dir, n=3, t_num=3, t_den=5).select(
+        "doc_a", "doc_b", "shared", "jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# gr09 — per-ingest-batch dup summary, verifying the incremental
+# artifact's PROVENANCE itself: each edge commit is tagged with the
+# batch that produced it, and because the exact pair set partitions
+# over arrival order, the tag must equal GREATEST(arrival(doc_a),
+# arrival(doc_b)) — which the oracle recomputes from raw text with a
+# CASE classification. A wrong delta (a pair missed at arrival and
+# picked up later, or recomputed corpus work leaking into a batch
+# commit) shifts a count between groups and breaks the hash. This is
+# the per-ingest monitoring readout a production dedup pipeline
+# actually watches ("how duplicated was today's crawl against the
+# corpus?").
+@query(
+    "gr09_ingest_batch_summary",
+    f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+    qual AS (
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+        FROM pairs
+        WHERE shared * 5 >= 3 * (na + nb - shared)
+    )
+    SELECT GREATEST(
+             CASE doc_a % 10 WHEN 5 THEN 1 WHEN 9 THEN 2 ELSE 0 END,
+             CASE doc_b % 10 WHEN 5 THEN 1 WHEN 9 THEN 2 ELSE 0 END
+           ) AS src_batch,
+           COUNT(*) AS n_edges,
+           MAX(jaccard) AS max_jaccard
+    FROM qual
+    GROUP BY 1
+    """,
+)
+def gr09_ingest_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.dup_graph import dup_edges_incremental
+
+    edges = dup_edges_incremental(spark, sf_dir, n=3, t_num=3, t_den=5)
+    return edges.groupBy(F.col("src_batch").cast("int").alias("src_batch")).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -89,47 +89,62 @@ def dup_edges_pruned(
     return t.read_pruned("doc_a", lo, hi)
 
 
-# dd15's ingest-batch model: doc_id % 10 == 7 is the incoming slice,
-# everything else is the pre-existing corpus.
-_BATCH_MOD, _BATCH_REM = 10, 7
+# The ingest model for the incremental dup-graph lifecycle: the corpus
+# bootstraps without the ``_BATCH_REMS`` doc_id slices, then each slice
+# arrives as one ingest batch IN ORDER (batch 1 = % 10 == 5, batch 2 =
+# % 10 == 9), and each arrival appends exactly its delta.
+_BATCH_MOD = 10
+_BATCH_REMS = (5, 9)
 
 
-def corpus_shingles_staged(
+def shingle_store_incremental(
     spark: SparkSession,
     sf_dir: str,
     n: int = 3,
     batch_mod: int = _BATCH_MOD,
-    batch_rem: int = _BATCH_REM,
-) -> DataFrame:
-    """Build-once staged shingle store for the PRE-BATCH corpus
-    (``doc_id % batch_mod != batch_rem``): one row per doc with its
-    60-bit shingle-hash array (``operators.dedup.shingle_arrays``).
-    Production dedup keeps exactly this table next to the corpus so an
-    ingest refresh probes staged hashes instead of re-tokenizing 100 TB
-    of text — both the base edge build and every batch delta read it
-    (``BUILD_COUNTS['corpus_shingles'] == 1`` is the not-re-shingled
-    pin)."""
+    batch_rems: tuple[int, ...] = _BATCH_REMS,
+):
+    """INCREMENTALLY-MAINTAINED shingle store: one transaction-log
+    commit per ingest step (base corpus, then each batch), one row per
+    doc with its 60-bit shingle-hash array. Production dedup keeps
+    exactly this table next to the corpus so a refresh probes staged
+    hashes instead of re-tokenizing 100 TB of text; each doc's text is
+    shingled EXACTLY ONCE across the whole lifecycle, and the store's
+    log versions give the edge builds time-travel reads of "the corpus
+    as of batch k's arrival". Returns the TxTable handle."""
     from pm25ml_spark.operators import dedup as D
+    from pm25ml_spark.plans.artifacts import (
+        staged_incremental_table,
+        staged_table_handle,
+    )
 
-    def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % batch_mod != batch_rem
-        )
+    docs = load_table(spark, sf_dir, "documents")
+    rem = F.col("doc_id") % batch_mod
+
+    def shingles_of(flt) -> DataFrame:
         # .unpersist() immediately: the staged write materializes the
         # frame exactly once, so the operator's internal cache would
         # only hold memory past the build
-        return D.shingle_arrays(docs, n=n).unpersist()
+        return D.shingle_arrays(docs.filter(flt), n=n).unpersist()
 
-    return staged_table(
+    steps = [
+        ("base", lambda: shingles_of(~rem.isin(list(batch_rems))))
+    ] + [
+        (f"batch{r}", lambda r=r: shingles_of(rem == r))
+        for r in batch_rems
+    ]
+    params = (n, batch_mod, batch_rems)
+    staged_incremental_table(
         spark,
         sf_dir,
-        "corpus_shingles",
-        (n, batch_mod, batch_rem),
-        build,
+        "shingle_store",
+        params,
+        steps,
         range_col="doc_id",
         stats_cols=["doc_id"],
         inputs=("documents",),
     )
+    return staged_table_handle(spark, sf_dir, "shingle_store", params)
 
 
 def dup_edges_incremental(
@@ -139,71 +154,99 @@ def dup_edges_incremental(
     t_num: int = 3,
     t_den: int = 5,
     batch_mod: int = _BATCH_MOD,
-    batch_rem: int = _BATCH_REM,
+    batch_rems: tuple[int, ...] = _BATCH_REMS,
 ) -> DataFrame:
     """INCREMENTALLY-MAINTAINED duplicate-pair edge artifact — the
-    refresh lifecycle a 100 TB dedup pipeline actually runs, closing
-    the loop dd15 opened:
+    multi-refresh lifecycle a 100 TB dedup pipeline actually runs,
+    closing the loop dd15 opened:
 
-    - commit 1 (``base``): the corpus-only pair list
-      (:func:`pm25ml_spark.operators.dedup.jaccard_pairs` over the
-      pre-batch docs, consuming the staged shingle store).
-    - commit 2 (``delta_batch``): the ingest batch arrives; ONLY the
-      delta is computed — batch-vs-corpus cross pairs via the
-      asymmetric prefix-filtered probe (``jaccard_pairs_between``,
-      corpus side read from the staged shingles, O(batch × collisions))
-      plus the batch-internal pairs — and APPENDED as one
-      transaction-log commit.
+    - commit 1 (``base``): the bootstrap corpus's pair list
+      (:func:`pm25ml_spark.operators.dedup.jaccard_pairs` consuming the
+      staged shingle store — the text is never re-tokenized).
+    - commit 1+k (``delta<rem>``): ingest batch k arrives; ONLY its
+      delta is computed — batch-vs-EXISTING cross pairs via the
+      asymmetric prefix-filtered probe (``jaccard_pairs_between``;
+      "existing" is a TIME-TRAVEL read of the shingle store at the
+      version preceding this batch, so earlier batches are probed too,
+      O(batch × collisions)) plus the batch-internal pairs — and
+      APPENDED as one transaction-log commit tagged ``src_batch = k``.
 
-    The exact-Jaccard pair set partitions cleanly into corpus×corpus ∪
-    batch×corpus ∪ batch×batch, so the incrementally-maintained table
-    EQUALS a from-scratch rebuild over the full corpus — which is
-    exactly what the gr08 oracle recomputes. The corpus is never
-    re-shingled and the O(corpus × corpus) join never re-runs at
-    refresh time (pinned via BUILD_COUNTS in ``tests/test_dup_graph``).
+    The exact-Jaccard pair set partitions cleanly over arrival order
+    (a pair lands in the commit of its LATER-arriving endpoint), so the
+    incrementally-maintained table EQUALS a from-scratch rebuild over
+    the full corpus — which is exactly what the gr08 oracle recomputes
+    — and the ``src_batch`` provenance is itself oracle-checkable by
+    classifying each pair by GREATEST(arrival(doc_a), arrival(doc_b))
+    (gr09). No text is ever re-shingled and the O(existing × existing)
+    join never re-runs at refresh time (BUILD_COUNTS pins in
+    ``tests/test_dup_graph``).
 
-    Output columns match :func:`dup_edges`: ``(doc_a, doc_b, shared,
-    jaccard)`` with ``doc_a < doc_b``.
+    Output: ``(doc_a, doc_b, shared, jaccard, src_batch)`` with
+    ``doc_a < doc_b``; ``src_batch`` 0 = bootstrap, k ≥ 1 = k-th batch.
     """
     from pm25ml_spark.operators import dedup as D
     from pm25ml_spark.plans.artifacts import staged_incremental_table
 
     docs = load_table(spark, sf_dir, "documents")
-    is_batch = F.col("doc_id") % batch_mod == batch_rem
+    rem = F.col("doc_id") % batch_mod
+    sh_t = shingle_store_incremental(spark, sf_dir, n, batch_mod, batch_rems)
+    sh_versions = sh_t.versions()  # v[0]=base, v[k]=after batch k
 
     def build_base() -> DataFrame:
-        sh_cor = corpus_shingles_staged(spark, sf_dir, n, batch_mod, batch_rem)
+        sh = sh_t.read(version=sh_versions[0])
         return D.jaccard_pairs(
-            docs.filter(~is_batch), n=n, t_num=t_num, t_den=t_den, sh=sh_cor
-        )
-
-    def build_delta() -> DataFrame:
-        batch = docs.filter(is_batch)
-        sh_cor = corpus_shingles_staged(spark, sf_dir, n, batch_mod, batch_rem)
-        cross = D.jaccard_pairs_between(
-            batch,
-            docs.filter(~is_batch),
+            docs.filter(~rem.isin(list(batch_rems))),
             n=n,
             t_num=t_num,
             t_den=t_den,
-            sh_cor=sh_cor,
-        ).select(
-            F.least("new_id", "corpus_id").alias("doc_a"),
-            F.greatest("new_id", "corpus_id").alias("doc_b"),
-            "shared",
-            "jaccard",
-        )
-        internal = D.jaccard_pairs(
-            batch, n=n, t_num=t_num, t_den=t_den
-        ).select("doc_a", "doc_b", "shared", "jaccard")
-        return cross.unionByName(internal)
+            sh=sh,
+        ).withColumn("src_batch", F.lit(0))
 
+    def make_delta(k: int, r: int):
+        def build() -> DataFrame:
+            # the store AS OF this batch's arrival: base + batches < k
+            existing_sh = sh_t.read(version=sh_versions[k - 1])
+            batch_sh = sh_t.read(version=sh_versions[k]).filter(
+                F.col("doc_id") % batch_mod == r
+            )
+            batch_docs = docs.filter(rem == r)
+            earlier = [x for x in batch_rems[: k - 1]]
+            existing_docs = docs.filter(
+                ~rem.isin([x for x in batch_rems if x not in earlier])
+            )
+            cross = D.jaccard_pairs_between(
+                batch_docs,
+                existing_docs,
+                n=n,
+                t_num=t_num,
+                t_den=t_den,
+                sh_new=batch_sh,
+                sh_cor=existing_sh,
+            ).select(
+                F.least("new_id", "corpus_id").alias("doc_a"),
+                F.greatest("new_id", "corpus_id").alias("doc_b"),
+                "shared",
+                "jaccard",
+            )
+            internal = D.jaccard_pairs(
+                batch_docs, n=n, t_num=t_num, t_den=t_den, sh=batch_sh
+            ).select("doc_a", "doc_b", "shared", "jaccard")
+            return cross.unionByName(internal).withColumn(
+                "src_batch", F.lit(k)
+            )
+
+        return build
+
+    steps = [("base", build_base)] + [
+        (f"delta{r}", make_delta(k, r))
+        for k, r in enumerate(batch_rems, start=1)
+    ]
     return staged_incremental_table(
         spark,
         sf_dir,
         "dup_edges_incr",
-        (n, t_num, t_den, batch_mod, batch_rem),
-        [("base", build_base), ("delta_batch", build_delta)],
+        (n, t_num, t_den, batch_mod, batch_rems),
+        steps,
         range_col="doc_a",
         stats_cols=["doc_a", "doc_b"],
         inputs=("documents",),

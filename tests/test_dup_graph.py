@@ -254,23 +254,29 @@ def test_staged_artifact_rebuilds_on_input_mutation(spark, tmp_path):
 
 
 def test_incremental_edges_equal_full_rebuild(spark):
-    """The incrementally-maintained edge artifact (base commit + batch
-    delta commit) must equal a from-scratch rebuild over the full
-    corpus, with the lifecycle pins: exactly TWO log commits, the
-    corpus shingled exactly once (staged shingle store shared by base
-    and delta), and zero rebuilds on re-read."""
+    """The multi-batch incrementally-maintained edge artifact (base
+    commit + one delta commit per ingest batch, each probing a
+    time-travel read of the shingle store) must equal a from-scratch
+    rebuild over the full corpus, with the lifecycle pins: one log
+    commit per step on both artifacts, every doc shingled exactly once
+    across the whole lifecycle, correct per-commit provenance, and
+    zero rebuilds on re-read."""
     from pm25ml_spark.catalog import load_table
     from pm25ml_spark.operators import dedup as D
     from pm25ml_spark.plans.artifacts import staged_table_handle
 
-    b_sh = ART.BUILD_COUNTS.get("corpus_shingles", 0)
-    b_base = ART.BUILD_COUNTS.get("dup_edges_incr.base", 0)
-    b_delta = ART.BUILD_COUNTS.get("dup_edges_incr.delta_batch", 0)
+    def counts():
+        return {
+            k: v
+            for k, v in ART.BUILD_COUNTS.items()
+            if k.startswith(("shingle_store.", "dup_edges_incr."))
+        }
 
+    before = counts()
     inc = DG.dup_edges_incremental(spark, SF)
+    rows = inc.collect()
     got = {
-        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
-        for r in inc.collect()
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9)) for r in rows
     }
     docs = load_table(spark, SF, "documents")
     want = {
@@ -279,30 +285,56 @@ def test_incremental_edges_equal_full_rebuild(spark):
     }
     assert got == want and got
 
-    # one shingle store, one base build, one delta append — and the
-    # refresh provably did not re-shingle the corpus (still 1 build)
-    assert ART.BUILD_COUNTS.get("corpus_shingles", 0) == b_sh + 1
-    assert ART.BUILD_COUNTS.get("dup_edges_incr.base", 0) == b_base + 1
-    assert ART.BUILD_COUNTS.get("dup_edges_incr.delta_batch", 0) == b_delta + 1
+    # every lifecycle step built exactly once; nothing re-shingled,
+    # no corpus-pair join re-run
+    after = counts()
+    for step in (
+        "shingle_store.base",
+        "shingle_store.batch5",
+        "shingle_store.batch9",
+        "dup_edges_incr.base",
+        "dup_edges_incr.delta5",
+        "dup_edges_incr.delta9",
+    ):
+        assert after.get(step, 0) == before.get(step, 0) + 1, step
 
-    # append-only txlog lifecycle: exactly two commits, and time travel
-    # to the pre-refresh snapshot shows ONLY corpus×corpus pairs
+    # provenance: each edge is tagged with its later-arriving endpoint's
+    # batch (0 = bootstrap, 1 = %10==5, 2 = %10==9)
+    arrival = lambda d: {5: 1, 9: 2}.get(d % 10, 0)
+    for r in rows:
+        assert r.src_batch == max(arrival(r.doc_a), arrival(r.doc_b)), r
+
+    # append-only txlog lifecycle: one commit per step; time travel to
+    # the bootstrap snapshot shows ONLY pre-batch pairs, and to the
+    # post-batch-1 snapshot shows no batch-2 endpoints yet
     t = staged_table_handle(
-        spark, SF, "dup_edges_incr", (3, 3, 5, 10, 7)
+        spark, SF, "dup_edges_incr", (3, 3, 5, 10, (5, 9))
     )
     vs = t.versions()
-    assert len(vs) == 2, vs
+    assert len(vs) == 3, vs
     base_pairs = {
         (r.doc_a, r.doc_b) for r in t.read(version=vs[0]).collect()
     }
     assert base_pairs == {
-        (a, b) for a, b, _s, _j in want if a % 10 != 7 and b % 10 != 7
+        (a, b)
+        for a, b, _s, _j in want
+        if a % 10 not in (5, 9) and b % 10 not in (5, 9)
     }
-    delta_pairs = {(a, b) for a, b, _s, _j in want} - base_pairs
-    assert delta_pairs  # the batch really contributed edges
-    assert all(a % 10 == 7 or b % 10 == 7 for a, b in delta_pairs)
+    v2 = {(r.doc_a, r.doc_b) for r in t.read(version=vs[1]).collect()}
+    assert v2 == {
+        (a, b)
+        for a, b, _s, _j in want
+        if a % 10 != 9 and b % 10 != 9
+    }
+    assert {(a, b) for a, b, _s, _j in want} - v2  # batch 2 added edges
+
+    # the shingle store shingled each doc exactly once, in its own step
+    sh = staged_table_handle(spark, SF, "shingle_store", (3, 10, (5, 9)))
+    assert len(sh.versions()) == 3
+    all_ids = [r.doc_id for r in sh.read().select("doc_id").collect()]
+    assert len(all_ids) == len(set(all_ids))
+    assert len(all_ids) == docs.count()
 
     # re-read: memoized, zero rebuilds
     DG.dup_edges_incremental(spark, SF).count()
-    assert ART.BUILD_COUNTS.get("corpus_shingles", 0) == b_sh + 1
-    assert ART.BUILD_COUNTS.get("dup_edges_incr.base", 0) == b_base + 1
+    assert counts() == after
