@@ -338,3 +338,30 @@ def test_incremental_edges_equal_full_rebuild(spark):
     # re-read: memoized, zero rebuilds
     DG.dup_edges_incremental(spark, SF).count()
     assert counts() == after
+
+
+def test_incremental_artifact_compacts_without_content_change(spark):
+    """Maintenance close of the incremental lifecycle: after the
+    base + delta commits accrete small files, compact() must merge them
+    in one atomic commit with identical content, and time travel to the
+    pre-compact snapshots must still resolve (old files stay until
+    vacuum)."""
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+
+    DG.dup_edges_incremental(spark, SF).count()  # ensure staged
+    t = staged_table_handle(
+        spark, SF, "dup_edges_incr", (3, 3, 5, 10, (5, 9))
+    )
+    before_versions = t.versions()
+    before = {tuple(r) for r in t.read().collect()}
+    _v, live_before = t.snapshot()
+    v = t.compact(target_file_bytes=64 * 1024 * 1024)
+    assert v is not None and v == before_versions[-1] + 1
+    _v2, live_after = t.snapshot()
+    assert len(live_after) < len(live_before)
+    assert {tuple(r) for r in t.read().collect()} == before
+    # pre-compact snapshots still resolve through the original files
+    first = {
+        tuple(r) for r in t.read(version=before_versions[0]).collect()
+    }
+    assert first and first < before
