@@ -101,6 +101,7 @@ def sample_order(names: list[str]) -> list[str]:
         "gr08_incremental_edges",
         "gr09_ingest_batch_summary",
         "ss13_incremental_ivf_top2",
+        "st09_stream_dedup_graph",
         # r10: jaccard_pairs_between gained precomputed-shingle inputs
         # and LRU cache registration — same plan, re-verify anyway.
         "dd15_incremental_dedup",

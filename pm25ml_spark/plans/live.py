@@ -1074,3 +1074,68 @@ def d17_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.upsert(corrupted, "o_orderkey")
     table.restore(good)
     return table.read().select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# st09 — STREAMING maintenance of the duplicate-pair edge artifact: the
+# foreachBatch composition of the engine's streaming, dedup, and
+# storage layers, oracle-checked end-to-end. The documents table is
+# staged as two parquet halves and replayed as two real micro-batches;
+# each batch appends its shingles to the transaction-log shingle store
+# (one commit per batch, text shingled exactly once), probes the
+# store's PRE-batch snapshot with the asymmetric prefix-filtered join,
+# and appends its delta edges as one commit. The invariant the oracle
+# hash-checks: ANY split of the corpus drained through this sink yields
+# exactly the from-scratch full-corpus pair list — ingest order cannot
+# change an exact pair set. This is the ingest pipeline that keeps the
+# gr-family's staged artifact fresh at 100 TB (streaming/
+# dedup_maintain.py).
+def _st09_oracle() -> str:
+    from pm25ml_spark.plans.dedup import _JACCARD_PAIRS, _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
+    SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE shared * 5 >= 3 * (na + nb - shared)
+    """
+
+
+@query("st09_stream_dedup_graph", _st09_oracle())
+def st09_stream_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.dedup_maintain import (
+        maintain_dup_edges_stream,
+        read_documents_stream,
+    )
+
+    spark = _isolated(spark)
+    # stage two halves by doc_id parity with pinned mtimes (same
+    # driver-side pyarrow harness rationale as _stage_chronological_halves;
+    # the drained edge set is split-invariant)
+    stage = tempfile.mkdtemp(prefix="st09_src_")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    for i in (0, 1):
+        dst = f"{stage}/documents_{i}.parquet"
+        pq.write_table(tbl.filter(pc.equal(parity, i)), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = read_documents_stream(
+        spark, stage, max_files_per_trigger=1, glob="documents_*.parquet"
+    )
+    shingle_t = TxTable(spark, tempfile.mkdtemp(prefix="st09_sh_"))
+    edges_t = TxTable(spark, tempfile.mkdtemp(prefix="st09_ed_"))
+    maintain_dup_edges_stream(
+        stream,
+        shingle_t,
+        edges_t,
+        query_name=f"st09_{uuid.uuid4().hex[:8]}",
+        checkpoint_dir=tempfile.mkdtemp(prefix="st09_chk_"),
+    )
+    return edges_t.read().select("doc_a", "doc_b", "shared", "jaccard")

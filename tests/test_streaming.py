@@ -481,3 +481,79 @@ def test_catalog_drain_never_mutates_caller_session(spark):
     assert not spark.streams.active  # drain ran on the child, not here
     # the result frame is bound to the child session, proving isolation
     assert out.sparkSession is not spark
+
+
+def test_stream_maintained_dup_edges(spark, tmp_path):
+    """Streaming foreachBatch maintenance of the dup-edge artifact:
+    after draining a 3-way split of the corpus, the edge table equals
+    the from-scratch pair list; every edge's src_batch is the batch of
+    its later-arriving endpoint; one commit per micro-batch on both
+    tables; and restarting the drained query from its checkpoint is a
+    no-op (no duplicate appends)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.dedup_maintain import (
+        maintain_dup_edges_stream,
+        read_documents_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    tbl = pq.read_table(f"{sf}/documents.parquet")
+    # 3-way split by doc_id % 3, mtime-ordered
+    rem = pc.subtract(
+        tbl["doc_id"], pc.multiply(pc.divide(tbl["doc_id"], 3), 3)
+    )
+    for i in range(3):
+        dst = f"{stage}/documents_{i}.parquet"
+        pq.write_table(tbl.filter(pc.equal(rem, i)), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    shingle_t = TxTable(spark, str(tmp_path / "sh"))
+    edges_t = TxTable(spark, str(tmp_path / "ed"))
+    chk = str(tmp_path / "chk")
+    stream = read_documents_stream(
+        spark, stage, max_files_per_trigger=1, glob="documents_*.parquet"
+    )
+    maintain_dup_edges_stream(
+        stream, shingle_t, edges_t, query_name="maint_t", checkpoint_dir=chk
+    )
+
+    rows = edges_t.read().collect()
+    got = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9)) for r in rows
+    }
+    docs = load_table(spark, sf, "documents")
+    want = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).collect()
+    }
+    assert got == want and got
+
+    # provenance: batch of the later-arriving endpoint (batch = id % 3,
+    # arrival order = mtime order = 0,1,2)
+    for r in rows:
+        assert r.src_batch == max(r.doc_a % 3, r.doc_b % 3), r
+
+    # one commit per micro-batch on both tables
+    assert len(shingle_t.versions()) == 3
+    assert len(edges_t.versions()) == 3
+    # the store shingled each doc exactly once
+    ids = [r.doc_id for r in shingle_t.read().select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == docs.count()
+
+    # restart from the drained checkpoint: AvailableNow finds nothing
+    stream2 = read_documents_stream(
+        spark, stage, max_files_per_trigger=1, glob="documents_*.parquet"
+    )
+    maintain_dup_edges_stream(
+        stream2, shingle_t, edges_t, query_name="maint_t2", checkpoint_dir=chk
+    )
+    assert len(edges_t.versions()) == 3  # no duplicate appends
