@@ -1139,3 +1139,80 @@ def st09_stream_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="st09_chk_"),
     )
     return edges_t.read().select("doc_a", "doc_b", "shared", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# d18 — Z-ORDERED multi-column data skipping: events laid out on the
+# Morton interleave of (user_id, day) and box-queried through
+# TxTable.read_pruned_multi. A RANGE layout keeps tight per-file
+# min/max for ONE column only — its second predicate dimension spans
+# the full range in every file, so a (user, day-window) investigation
+# still opens the whole table. The z-key makes each file a compact
+# rectangle of the (user_id, day) plane, so the SAME stats machinery
+# skips files for box predicates on either or both dimensions (Delta's
+# OPTIMIZE ZORDER BY; `operators/zorder.py`). Layout is value-
+# invariant: the oracle filters the raw table and the hash compare
+# proves pruning moved bytes, never rows. tests/test_zorder.py pins the
+# skip itself (files opened < files total for user-only, day-only, and
+# box lookups) — the part a result hash cannot see.
+_D18_BITS = 10
+_D18_U = (3, 9)           # fixed literals valid at every sf
+_D18_DAYS = (19730, 19736)  # 2024-01-08 .. 2024-01-14 as epoch days
+
+
+def zorder_events_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once z-ordered projection of events: (user_id, day_int,
+    value) range-partitioned on the interleaved z-key with per-file
+    min/max on BOTH predicate columns. At 100 TB this is the clustered
+    analytics copy the ingest pipeline maintains next to the raw log."""
+    from pm25ml_spark.operators.zorder import zorder_key
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.unix_date(F.to_date("ts")).alias("day_int"),
+            "value",
+        )
+        return zorder_key(ev, ["user_id", "day_int"], bits=_D18_BITS)
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "events_zorder",
+        (_D18_BITS,),
+        build,
+        range_col="__z",
+        stats_cols=["user_id", "day_int"],
+        inputs=("events",),
+    )
+
+
+@query(
+    "d18_zorder_box_profile",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS first_day,
+           MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS last_day
+    FROM events
+    WHERE user_id BETWEEN {_D18_U[0]} AND {_D18_U[1]}
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY user_id
+    """,
+)
+def d18_zorder_box_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+
+    zorder_events_staged(spark, sf_dir)  # ensure the artifact is staged
+    t = staged_table_handle(spark, sf_dir, "events_zorder", (_D18_BITS,))
+    box = t.read_pruned_multi(
+        {"user_id": _D18_U, "day_int": _D18_DAYS}
+    )
+    return box.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("day_int").alias("first_day"),
+        F.max("day_int").alias("last_day"),
+    )

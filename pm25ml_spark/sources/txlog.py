@@ -276,6 +276,21 @@ class TxTable:
         read unconditionally; the exact row filter is applied on top,
         so the result equals ``read().filter(lo <= col <= hi)``
         regardless of how much pruning was possible."""
+        return self.read_pruned_multi({col: (lo, hi)}, version=version)
+
+    def read_pruned_multi(
+        self, preds: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Multi-column data skip: a file survives only if EVERY
+        predicate's [lo, hi] intersects that column's recorded min/max
+        (AND-of-ranges). With a Z-ORDER file layout (interleaved-bit
+        sort key over the predicate columns, ``operators/zorder.py``)
+        each file covers a compact rectangle of the key space, so a box
+        predicate on ANY subset of the z-columns skips files — the
+        multi-dimensional clustering a linear range layout cannot give
+        (its second column spans the full range in every file). Exact
+        row filters are applied on top, so the result always equals
+        ``read()`` + filters regardless of pruning."""
         v, live = self.snapshot(version)
         if not live:
             raise ValueError(f"table {self.path} is empty at version {v}")
@@ -285,10 +300,15 @@ class TxTable:
         stats = self.file_stats(v)
         kept = []
         for f in live:
-            st = stats.get(f, {}).get(col)
-            if st is None or st[0] is None or st[1] is None:
-                kept.append(f)  # unknowable: must read
-            elif not (st[1] < lo or st[0] > hi):
+            keep = True
+            for col, (lo, hi) in preds.items():
+                st = stats.get(f, {}).get(col)
+                if st is None or st[0] is None or st[1] is None:
+                    continue  # unknowable for this column: can't exclude
+                if st[1] < lo or st[0] > hi:
+                    keep = False
+                    break
+            if keep:
                 kept.append(f)
         if not kept:
             # every file provably excluded: empty frame, right schema
@@ -297,7 +317,9 @@ class TxTable:
         df = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in kept]
         )
-        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        for col, (lo, hi) in preds.items():
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        return df
 
     def overwrite(self, df: DataFrame, max_retries: int = 5) -> int:
         """Atomic replace: readers see the old snapshot until the single
