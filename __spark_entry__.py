@@ -105,6 +105,15 @@ def sample_order(names: list[str]) -> list[str]:
         # r10: jaccard_pairs_between gained precomputed-shingle inputs
         # and LRU cache registration — same plan, re-verify anyway.
         "dd15_incremental_dedup",
+        # r10: LSH postings staged (build-once index) — ss03/ss09
+        # query-time plans now read the staged table instead of
+        # re-hashing the corpus per query.
+        "ss03_lsh_bucket_top1",
+        "ss09_lsh_multitable_top1",
+        # r10: new z-ordered multi-column data-skip query.
+        "d18_zorder_box_profile",
+        # r10: new incremental LSH postings query (index triad complete).
+        "ss14_incremental_lsh_top1",
     }
     return sorted(
         names,

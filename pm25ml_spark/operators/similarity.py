@@ -643,16 +643,79 @@ def lsh_bucket_topk(
     Fully deterministic (hash-derived planes, enumerated masks), so
     oracle-checkable at any probe radius / table count.
     """
-    masks = probe_masks(n_planes, probe_hamming)
+    postings = lsh_postings(
+        candidates, n_planes=n_planes, dim=dim, n_tables=n_tables,
+        c_id=c_id, c_vec=c_vec,
+    )
+    return lsh_probe_topk(
+        queries, postings, k=k, n_planes=n_planes, dim=dim,
+        probe_hamming=probe_hamming, n_tables=n_tables,
+        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec,
+    )
 
-    def sig(vec, table: int) -> F.Column:
-        return hyperplane_signature(
-            vec, n_planes, dim, plane_offset=table * n_planes
+
+def lsh_postings(
+    candidates: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """The corpus side of the LSH index — one ``(tbl, bucket, cid, ce)``
+    posting per (item, table). THIS is the table a production deployment
+    stages once per corpus version and serves every query from (see
+    ``plans/similarity._lsh_postings_staged``): hashing 10^9 vectors
+    through L×n_planes hyperplanes is the expensive half of the bucket
+    join, and it depends only on the corpus, never on the query set.
+    Because the signature has no trained component, the postings table is
+    append-only under ingest — a new batch hashes and appends its own
+    rows without touching (or even reading) existing postings, the same
+    refresh-lifecycle shape as the frozen-quantizer IVF lists."""
+    entries = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            hyperplane_signature(
+                F.col(c_vec), n_planes, dim, plane_offset=t * n_planes
+            ).alias("bucket"),
         )
+        for t in range(n_tables)
+    ]
+    return candidates.withColumn("__c", F.explode(F.array(*entries))).select(
+        F.col("__c.tbl").alias("tbl"),
+        F.col("__c.bucket").alias("bucket"),
+        c_id,
+        c_vec,
+    )
 
+
+def lsh_probe_topk(
+    queries: DataFrame,
+    postings: DataFrame,
+    k: int = 1,
+    n_planes: int = 8,
+    dim: int = 64,
+    probe_hamming: int = 0,
+    n_tables: int = 1,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Query-time half of the LSH index: fan each query out to its probe
+    buckets (multi-probe masks × tables — small, broadcast), join the
+    postings table on ``(tbl, bucket)``, score matches with the exact
+    JVM cosine, and rank. Zero Python stages; with staged postings the
+    only corpus-shaped work is the bucket-join itself."""
+    masks = probe_masks(n_planes, probe_hamming)
     qs = queries
     for t in range(n_tables):
-        qs = qs.withColumn(f"__sig{t}", sig(F.col(q_vec), t))
+        qs = qs.withColumn(
+            f"__sig{t}",
+            hyperplane_signature(
+                F.col(q_vec), n_planes, dim, plane_offset=t * n_planes
+            ),
+        )
     probe_entries = [
         F.struct(
             F.lit(t).alias("tbl"),
@@ -667,14 +730,7 @@ def lsh_bucket_topk(
         qs.withColumn("__p", F.explode(F.array(*probe_entries)))
         .select(q_id, q_vec, F.col("__p.tbl").alias("tbl"), F.col("__p.bucket").alias("bucket"))
     )
-    cand_entries = [
-        F.struct(F.lit(t).alias("tbl"), sig(F.col(c_vec), t).alias("bucket"))
-        for t in range(n_tables)
-    ]
-    cs = candidates.withColumn(
-        "__c", F.explode(F.array(*cand_entries))
-    ).select(c_id, c_vec, F.col("__c.tbl").alias("tbl"), F.col("__c.bucket").alias("bucket"))
-    pairs = cs.join(F.broadcast(qs), ["tbl", "bucket"]).filter(
+    pairs = postings.join(F.broadcast(qs), ["tbl", "bucket"]).filter(
         F.col(q_id) != F.col(c_id)
     )
     score = F.round(

@@ -160,8 +160,49 @@ def _probe_values_sql(n_planes: int, probe_hamming: int) -> str:
     """,
 )
 def ss03_lsh_bucket_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, q, c = _qc(spark, sf_dir)
-    return S.lsh_bucket_topk(q, c, k=1, n_planes=6, dim=64, probe_hamming=2)
+    _, q, _ = _qc(spark, sf_dir)
+    # Query-time plan reads the STAGED postings table — the corpus is
+    # hashed through the 6 hyperplanes once per corpus version in the
+    # index build, not per query (r10; same lifecycle as the PQ/IVF
+    # stages). The oracle recomputes signatures from raw vectors, so a
+    # stale postings table cannot hide.
+    return S.lsh_probe_topk(
+        q,
+        _lsh_postings_staged(spark, sf_dir, n_planes=6, n_tables=1),
+        k=1,
+        n_planes=6,
+        dim=64,
+        probe_hamming=2,
+    )
+
+
+def _lsh_postings_staged(
+    spark: SparkSession, sf_dir: str, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Build-once staged LSH postings ``(tbl, bucket, cid, ce)`` — THE
+    hash-table index: a production LSH store signs the corpus once per
+    (plane-set, corpus-version) and serves every query from the staged
+    postings (``plans/artifacts.py`` lifecycle, like the PQ code table
+    and IVF lists). RANGE layout on ``bucket`` keeps each bucket's
+    postings contiguous with tight per-file min/max, so a small probe
+    set could prune files via ``read_pruned``; signatures have no
+    trained component, making the table append-only under ingest."""
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        return S.lsh_postings(c, n_planes=n_planes, dim=64, n_tables=n_tables)
+
+    return staged_table(
+        spark,
+        sf_dir,
+        f"lsh_postings_p{n_planes}x{n_tables}",
+        (n_planes, n_tables),
+        build,
+        range_col="bucket",
+        stats_cols=["tbl", "bucket"],
+        inputs=("embeddings",),
+    )
 
 
 def _cos_sql(av: str, bv: str) -> str:
@@ -366,6 +407,96 @@ def ss13_incremental_ivf_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         centroid_stride=100,
         centroid_offset=7,
+    )
+
+
+# --------------------------------------------------------------------------
+# ss14 — LSH over an INCREMENTALLY-MAINTAINED postings table, completing
+# the incremental-index triad (gr08: dup-edge graph, ss13: IVF lists,
+# ss14: LSH postings). LSH is the EASY case and the query proves it:
+# hyperplane signatures have no trained component at all, so an ingest
+# batch's postings are definitionally the rebuild's delta — no frozen
+# quantizer argument needed (contrast ss13's fixed-centroid
+# precondition). Base commit signs the pre-batch corpus; the refresh
+# signs ONLY the batch (vec_id % 10 == 3, the ss13 convention) and
+# appends. The oracle re-derives every signature from raw vectors, so
+# an incremental table that dropped or duplicated postings cannot
+# hash-match.
+_LSH_INCR_PLANES, _LSH_INCR_H = 7, 1
+
+
+def _lsh_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.plans.artifacts import staged_incremental_table
+
+    is_batch = F.col("cid") % _IVF_BATCH_MOD == _IVF_BATCH_REM
+
+    def build_base() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        return S.lsh_postings(
+            c.filter(~is_batch), n_planes=_LSH_INCR_PLANES, dim=64
+        )
+
+    def build_delta() -> DataFrame:
+        _, _, c = _qc(spark, sf_dir)
+        return S.lsh_postings(
+            c.filter(is_batch), n_planes=_LSH_INCR_PLANES, dim=64
+        )
+
+    return staged_incremental_table(
+        spark,
+        sf_dir,
+        "lsh_postings_incr",
+        (_LSH_INCR_PLANES, _IVF_BATCH_MOD, _IVF_BATCH_REM),
+        [("base", build_base), ("delta_batch", build_delta)],
+        range_col="bucket",
+        stats_cols=["tbl", "bucket"],
+        inputs=("embeddings",),
+    )
+
+
+@query(
+    "ss14_incremental_lsh_top1",
+    f"""
+    WITH q0 AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               {_plane_sql(_LSH_INCR_PLANES, 64, 'embedding')} AS sig
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+        SELECT qid, qe, xor(sig, m.m) AS bucket
+        FROM q0, (VALUES {_probe_values_sql(_LSH_INCR_PLANES, _LSH_INCR_H)}) m(m)
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce,
+               {_plane_sql(_LSH_INCR_PLANES, 64, 'embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+        FROM c JOIN q USING (bucket)
+        WHERE qid <> cid
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rk
+        FROM pairs)
+    WHERE rk <= 1
+    """,
+)
+def ss14_incremental_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, _ = _qc(spark, sf_dir)
+    return S.lsh_probe_topk(
+        q,
+        _lsh_postings_incremental(spark, sf_dir),
+        k=1,
+        n_planes=_LSH_INCR_PLANES,
+        dim=64,
+        probe_hamming=_LSH_INCR_H,
     )
 
 
@@ -714,10 +845,16 @@ def _mt_lsh_oracle() -> str:
 
 @query("ss09_lsh_multitable_top1", _mt_lsh_oracle())
 def ss09_lsh_multitable_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, q, c = _qc(spark, sf_dir)
-    return S.lsh_bucket_topk(
+    _, q, _ = _qc(spark, sf_dir)
+    # L-table postings staged once (r10): the corpus-side L×n_planes
+    # signature pass — the expensive half at 10^9 vectors — runs in the
+    # index build; query time is probe fan-out + bucket join + JVM
+    # cosine. Oracle re-derives both tables' signatures from raw text.
+    return S.lsh_probe_topk(
         q,
-        c,
+        _lsh_postings_staged(
+            spark, sf_dir, n_planes=_MT_PLANES, n_tables=_MT_TABLES
+        ),
         k=1,
         n_planes=_MT_PLANES,
         dim=64,

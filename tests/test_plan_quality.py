@@ -381,6 +381,32 @@ def test_ss09_multitable_join_is_bucket_equi(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_lsh_query_plans_read_staged_postings(spark, sf_dir):
+    """ss03/ss09 read the build-once staged postings table (r10): the
+    query-time plan must scan the raw embeddings parquet exactly ONCE
+    (the query side) — the corpus-side L×n_planes signature pass runs in
+    the index build, once per corpus version, never per query. Two plans
+    per query pin both halves: scan count at query time, and postings
+    built exactly once across repeated invocations."""
+    from pm25ml_spark.plans.artifacts import BUILD_COUNTS
+
+    for name, n_planes, n_tables in [
+        ("ss03_lsh_bucket_top1", 6, 1),
+        ("ss09_lsh_multitable_top1", 8, 2),
+    ]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = physical_plan(df)
+        # one scan of embeddings.parquet (queries) + one of the staged
+        # postings TxTable — never a second raw-corpus scan
+        assert plan.count("Scan parquet") == 2, name
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+        art = f"lsh_postings_p{n_planes}x{n_tables}"
+        builds_before = BUILD_COUNTS.get(art, 0)
+        assert builds_before >= 1, art
+        QUERIES[name](spark, sf_dir)  # re-plan: must hit the stage memo
+        assert BUILD_COUNTS.get(art, 0) == builds_before, art
+
+
 # ---- catalog-wide unpartitioned-window audit ------------------------------
 #
 # An unpartitioned WindowExec funnels its whole input through ONE task — a

@@ -428,19 +428,32 @@ def test_cosine_topk_grp_args_must_pair(spark):
         cosine_topk(q, c, q_grp="ql")
 
 
-def test_incremental_ivf_lists_equal_full_rebuild(spark):
+def test_incremental_ivf_lists_equal_full_rebuild(spark, tmp_path):
     """The incrementally-maintained inverted-list artifact (base commit
     over the pre-batch corpus + append-only batch delta against the
     FIXED corpus quantizer) must equal a from-scratch full-corpus
     assignment, with lifecycle pins: two log commits, the pre-refresh
-    snapshot holds only corpus rows, re-reads rebuild nothing."""
+    snapshot holds only corpus rows, re-reads rebuild nothing.
+
+    Runs against a PRIVATE copy of the corpus dir: the stage memo keys
+    on (applicationId, sf_dir, ...), so running after any other test
+    that touched ss13 at the shared sf_dir (e.g. the oracle-parity
+    sweep) would otherwise see an already-built artifact and break the
+    BUILD_COUNTS `+1` lifecycle pins."""
+    import shutil
+
     import pm25ml_spark.plans.artifacts as ART
     from pm25ml_spark.catalog import load_table
     from pm25ml_spark.operators.similarity import ivf_assign
     from pm25ml_spark.plans.artifacts import staged_table_handle
     from pm25ml_spark.plans.similarity import _ivf_lists_incremental, _qc
 
-    SF = "/root/testdata/sf0.001"
+    SF = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f"{SF}/embeddings.parquet",
+    )
     b_base = ART.BUILD_COUNTS.get("ivf_lists_incr.base", 0)
     b_delta = ART.BUILD_COUNTS.get("ivf_lists_incr.delta_batch", 0)
     inc = _ivf_lists_incremental(spark, SF)
@@ -460,3 +473,90 @@ def test_incremental_ivf_lists_equal_full_rebuild(spark):
     _ivf_lists_incremental(spark, SF).count()  # memoized: no rebuild
     assert ART.BUILD_COUNTS.get("ivf_lists_incr.base", 0) == b_base + 1
     assert ART.BUILD_COUNTS.get("ivf_lists_incr.delta_batch", 0) == b_delta + 1
+
+
+def test_lsh_postings_append_only_under_ingest(spark):
+    """The staged-postings refresh contract (r10): signatures have no
+    trained component, so an ingest batch's postings are EXACTLY the
+    from-scratch rebuild's delta — postings(A) ∪ postings(B) equals
+    postings(A ∪ B) row-for-row, for single- and multi-table indexes.
+    This is what makes the staged LSH artifact append-only (cheaper than
+    IVF/PQ, whose append-only-ness needs a frozen quantizer)."""
+    import random
+
+    from pm25ml_spark.operators.similarity import lsh_postings
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    corpus = _vec_df(spark, "cid", "ce", rows[:50])
+    batch = _vec_df(spark, "cid", "ce", rows[50:])
+    both = _vec_df(spark, "cid", "ce", rows)
+    for n_tables in (1, 2):
+        incr = (
+            lsh_postings(corpus, n_planes=5, dim=8, n_tables=n_tables)
+            .unionByName(
+                lsh_postings(batch, n_planes=5, dim=8, n_tables=n_tables)
+            )
+        )
+        full = lsh_postings(both, n_planes=5, dim=8, n_tables=n_tables)
+        key = lambda r: (r["tbl"], r["bucket"], r["cid"])
+        a = sorted((r.asDict() for r in incr.collect()), key=key)
+        b = sorted((r.asDict() for r in full.collect()), key=key)
+        assert a == b
+
+
+def test_incremental_lsh_postings_equal_full_rebuild(spark, tmp_path):
+    """ss14's incrementally-maintained postings artifact (base commit +
+    batch delta) must equal a from-scratch signing of the full corpus —
+    trivially true for LSH (no trained component) and pinned with the
+    same lifecycle checks as the IVF twin: two log commits, pre-refresh
+    snapshot is exactly the non-batch corpus, re-reads rebuild nothing.
+    Private corpus dir: see test_incremental_ivf_lists_equal_full_rebuild."""
+    import shutil
+
+    import pm25ml_spark.plans.artifacts as ART
+    from pm25ml_spark.operators.similarity import lsh_postings
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+    from pm25ml_spark.plans.similarity import (
+        _IVF_BATCH_MOD,
+        _IVF_BATCH_REM,
+        _LSH_INCR_PLANES,
+        _lsh_postings_incremental,
+        _qc,
+    )
+
+    SF = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f"{SF}/embeddings.parquet",
+    )
+    b_base = ART.BUILD_COUNTS.get("lsh_postings_incr.base", 0)
+    b_delta = ART.BUILD_COUNTS.get("lsh_postings_incr.delta_batch", 0)
+    inc = _lsh_postings_incremental(spark, SF)
+    got = {(r.tbl, r.bucket, r.cid) for r in inc.collect()}
+    _, _, c = _qc(spark, SF)
+    want = {
+        (r.tbl, r.bucket, r.cid)
+        for r in lsh_postings(c, n_planes=_LSH_INCR_PLANES, dim=64).collect()
+    }
+    assert got == want and got
+    t = staged_table_handle(
+        spark, SF, "lsh_postings_incr",
+        (_LSH_INCR_PLANES, _IVF_BATCH_MOD, _IVF_BATCH_REM),
+    )
+    vs = t.versions()
+    assert len(vs) == 2, vs
+    base_rows = {r.cid for r in t.read(version=vs[0]).collect()}
+    assert base_rows == {
+        cid for _, _, cid in want if cid % _IVF_BATCH_MOD != _IVF_BATCH_REM
+    }
+    assert {  # delta non-empty
+        cid for _, _, cid in want if cid % _IVF_BATCH_MOD == _IVF_BATCH_REM
+    }
+    _lsh_postings_incremental(spark, SF).count()  # memoized: no rebuild
+    assert ART.BUILD_COUNTS.get("lsh_postings_incr.base", 0) == b_base + 1
+    assert (
+        ART.BUILD_COUNTS.get("lsh_postings_incr.delta_batch", 0)
+        == b_delta + 1
+    )
