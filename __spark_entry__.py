@@ -114,6 +114,9 @@ def sample_order(names: list[str]) -> list[str]:
         "d18_zorder_box_profile",
         # r10: new incremental LSH postings query (index triad complete).
         "ss14_incremental_lsh_top1",
+        # r10: new filtered vector search over the shared postings
+        # artifact (label carried in the index).
+        "ss15_filtered_lsh_top2",
     }
     return sorted(
         names,

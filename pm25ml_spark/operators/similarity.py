@@ -661,6 +661,7 @@ def lsh_postings(
     n_tables: int = 1,
     c_id: str = "cid",
     c_vec: str = "ce",
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The corpus side of the LSH index — one ``(tbl, bucket, cid, ce)``
     posting per (item, table). THIS is the table a production deployment
@@ -671,7 +672,13 @@ def lsh_postings(
     Because the signature has no trained component, the postings table is
     append-only under ingest — a new batch hashes and appends its own
     rows without touching (or even reading) existing postings, the same
-    refresh-lifecycle shape as the frozen-quantizer IVF lists."""
+    refresh-lifecycle shape as the frozen-quantizer IVF lists.
+
+    ``meta_cols`` copies metadata columns (e.g. a label) into each
+    posting — the filtered-search layout: a metadata predicate then
+    evaluates on index rows inside the bucket join (pre-filter) with no
+    corpus fetch, and consumers that don't filter never pay for the
+    extra column (Catalyst prunes it out of their scan)."""
     entries = [
         F.struct(
             F.lit(t).alias("tbl"),
@@ -686,6 +693,7 @@ def lsh_postings(
         F.col("__c.bucket").alias("bucket"),
         c_id,
         c_vec,
+        *meta_cols,
     )
 
 
@@ -701,12 +709,22 @@ def lsh_probe_topk(
     c_id: str = "cid",
     q_vec: str = "qe",
     c_vec: str = "ce",
+    q_meta: tuple[str, ...] = (),
+    pair_filter=None,
 ) -> DataFrame:
     """Query-time half of the LSH index: fan each query out to its probe
     buckets (multi-probe masks × tables — small, broadcast), join the
     postings table on ``(tbl, bucket)``, score matches with the exact
     JVM cosine, and rank. Zero Python stages; with staged postings the
-    only corpus-shaped work is the bucket-join itself."""
+    only corpus-shaped work is the bucket-join itself.
+
+    FILTERED search: ``pair_filter`` (a Column over probe-side
+    ``q_meta`` columns and posting-side ``meta_cols``) is applied
+    inside the bucket join, BEFORE scoring and ranking — the pre-filter
+    strategy: a predicate like ``label == query.label`` evaluates on
+    index rows, rejected candidates are never scored, and top-k ranks
+    only true matches (a post-filter would rank first and could return
+    fewer than k survivors)."""
     masks = probe_masks(n_planes, probe_hamming)
     qs = queries
     for t in range(n_tables):
@@ -728,11 +746,19 @@ def lsh_probe_topk(
     ]
     qs = (
         qs.withColumn("__p", F.explode(F.array(*probe_entries)))
-        .select(q_id, q_vec, F.col("__p.tbl").alias("tbl"), F.col("__p.bucket").alias("bucket"))
+        .select(
+            q_id,
+            q_vec,
+            *q_meta,
+            F.col("__p.tbl").alias("tbl"),
+            F.col("__p.bucket").alias("bucket"),
+        )
     )
     pairs = postings.join(F.broadcast(qs), ["tbl", "bucket"]).filter(
         F.col(q_id) != F.col(c_id)
     )
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
     score = F.round(
         _dot(F.col(q_vec), F.col(c_vec)) / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
         6,

@@ -186,12 +186,29 @@ def _lsh_postings_staged(
     and IVF lists). RANGE layout on ``bucket`` keeps each bucket's
     postings contiguous with tight per-file min/max, so a small probe
     set could prune files via ``read_pruned``; signatures have no
-    trained component, making the table append-only under ingest."""
+    trained component, making the table append-only under ingest.
+
+    Postings carry the ``label`` metadata column (as ``cl``): the
+    filtered-search consumer (ss15) evaluates its predicate on index
+    rows inside the bucket join, and unfiltered consumers (ss03/ss09)
+    never pay for it — Catalyst prunes ``cl`` out of their scans, so
+    ONE artifact serves both probe shapes."""
     from pm25ml_spark.plans.artifacts import staged_table
 
     def build() -> DataFrame:
-        _, _, c = _qc(spark, sf_dir)
-        return S.lsh_postings(c, n_planes=n_planes, dim=64, n_tables=n_tables)
+        emb = load_table(spark, sf_dir, "embeddings")
+        c = emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("label").alias("cl"),
+        )
+        return S.lsh_postings(
+            c,
+            n_planes=n_planes,
+            dim=64,
+            n_tables=n_tables,
+            meta_cols=("cl",),
+        )
 
     return staged_table(
         spark,
@@ -498,6 +515,74 @@ def ss14_incremental_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         probe_hamming=_LSH_INCR_H,
     )
+
+
+# --------------------------------------------------------------------------
+# ss15 — FILTERED vector search over the SAME staged postings ss03
+# reads: top-2 SAME-LABEL neighbors, with the metadata predicate
+# evaluated on index rows inside the bucket join (pre-filter). The two
+# production strategies differ sharply at scale: post-filtering ranks
+# first and filters after, so a selective predicate can return far
+# fewer than k survivors; pre-filtering needs the metadata IN the index
+# but rejects candidates before any scoring work and ranks only true
+# matches. Storing `label` in the postings row costs unfiltered
+# consumers nothing — Catalyst prunes it from ss03/ss09's scans, so
+# one artifact serves both probe shapes (pinned in
+# tests/test_plan_quality.py). NULL labels match nothing (`ql = cl` is
+# null-rejecting in both engines). ss12 is the brute-force dual
+# (masked exact scan); ss15 is the index-accelerated form a 10^9-vector
+# store actually runs.
+@query(
+    "ss15_filtered_lsh_top2",
+    f"""
+    WITH q0 AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS ql,
+               {_plane_sql(6, 64, 'embedding')} AS sig
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+        SELECT qid, qe, ql, xor(sig, m.m) AS bucket
+        FROM q0, (VALUES {_probe_values_sql(6, 2)}) m(m)
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS ce, label AS cl,
+               {_plane_sql(6, 64, 'embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+        FROM c JOIN q USING (bucket)
+        WHERE qid <> cid AND ql = cl
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rk
+        FROM pairs)
+    WHERE rk <= 2
+    """,
+)
+def ss15_filtered_lsh_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    return S.lsh_probe_topk(
+        q,
+        _lsh_postings_staged(spark, sf_dir, n_planes=6, n_tables=1),
+        k=2,
+        n_planes=6,
+        dim=64,
+        probe_hamming=2,
+        q_meta=("ql",),
+        pair_filter=F.col("ql") == F.col("cl"),
+    ).select("qid", "cid", "score", "rk")
 
 
 # --------------------------------------------------------------------------

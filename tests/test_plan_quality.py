@@ -405,6 +405,40 @@ def test_lsh_query_plans_read_staged_postings(spark, sf_dir):
         assert builds_before >= 1, art
         QUERIES[name](spark, sf_dir)  # re-plan: must hit the stage memo
         assert BUILD_COUNTS.get(art, 0) == builds_before, art
+        # postings carry `cl` for the filtered consumer; unfiltered
+        # probes must not read it — Catalyst prunes it from the scan
+        read_schemas = [
+            seg.split("\n", 1)[0]
+            for seg in plan.split("ReadSchema:")[1:]
+        ]
+        assert read_schemas and not any("cl" in s for s in read_schemas), name
+
+
+def test_ss15_filtered_probe_shares_ss03_artifact(spark, sf_dir):
+    """Filtered search (ss15) must read the SAME staged postings build
+    as ss03 (one index, two probe shapes — no second corpus signing),
+    keep the label predicate inside the bucket join (pre-filter: a
+    Filter on ql = cl below the ranking window), and stay Python-free
+    with broadcast-only joins."""
+    from pm25ml_spark.plans.artifacts import BUILD_COUNTS
+
+    QUERIES["ss03_lsh_bucket_top1"](spark, sf_dir)
+    builds_before = BUILD_COUNTS.get("lsh_postings_p6x1", 0)
+    df = QUERIES["ss15_filtered_lsh_top2"](spark, sf_dir)
+    assert BUILD_COUNTS.get("lsh_postings_p6x1", 0) == builds_before
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 2
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the metadata predicate reaches the index: Catalyst folds ql = cl
+    # into the JOIN KEYS (candidates of the wrong label never leave the
+    # hash join) and pushes the implied isnotnull(cl) into the postings
+    # scan — the pre-filter evaluated at the index, not after ranking
+    import re
+
+    assert re.search(r"BroadcastHashJoin \[cl#\d+, tbl#", plan), plan[:600]
+    assert "isnotnull(cl#" in plan
 
 
 # ---- catalog-wide unpartitioned-window audit ------------------------------

@@ -560,3 +560,42 @@ def test_incremental_lsh_postings_equal_full_rebuild(spark, tmp_path):
         ART.BUILD_COUNTS.get("lsh_postings_incr.delta_batch", 0)
         == b_delta + 1
     )
+
+
+def test_lsh_probe_pair_filter_prefilters_before_ranking(spark):
+    """pair_filter must reject candidates BEFORE top-k ranking: with a
+    label filter, rank-1 is the best SAME-label match even when a
+    different-label candidate scores higher; an all-rejecting filter
+    yields an empty frame, not k arbitrary rows."""
+    from pm25ml_spark.operators.similarity import lsh_postings, lsh_probe_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.99, 0.1, 0.0, 0.0], "b"),   # best overall, wrong label
+        (3, [0.8, 0.5, 0.0, 0.0], "a"),    # best same-label
+        (4, [0.0, 1.0, 0.0, 0.0], "a"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cl"),
+    )
+    postings = lsh_postings(c, n_planes=3, dim=4, meta_cols=("cl",))
+    out = lsh_probe_topk(
+        q, postings, k=1, n_planes=3, dim=4, probe_hamming=2,
+        q_meta=("ql",), pair_filter=F.col("ql") == F.col("cl"),
+    ).collect()
+    assert [(r.qid, r.cid, r.rk) for r in out] == [(1, 3, 1)]
+    none = lsh_probe_topk(
+        q, postings, k=5, n_planes=3, dim=4, probe_hamming=2,
+        q_meta=("ql",), pair_filter=F.lit(False),
+    ).collect()
+    assert none == []
