@@ -734,7 +734,10 @@ class TxTable:
         return None
 
     def compact(
-        self, target_file_bytes: int = 128 * 1024 * 1024, max_retries: int = 5
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 5,
+        cluster_col: str | None = None,
     ) -> int | None:
         """Rewrite the snapshot's SMALL files into ~target-size files as
         one atomic commit — the small-files remedy every object-store
@@ -758,6 +761,18 @@ class TxTable:
         and bucketed small files may coexist (e.g. appends into an
         upsert table); each group compacts independently in the same
         single commit.
+
+        DATA-SKIPPING-PRESERVING: compaction must not silently destroy
+        the stats prune. The merged files' per-column min/max are
+        recomputed and recorded in the compact commit for every column
+        any removed file carried stats on — without this, merged files
+        read as "unknowable" and every post-maintenance point lookup
+        degrades to a full scan. Layout locality is preserved too: the
+        rewrite range-partitions on ``cluster_col`` when given (pass
+        the table's sort/z-key), else on the first inferred stats
+        column, so merged files keep contiguous key ranges and the
+        recomputed stats stay TIGHT (Delta's OPTIMIZE re-sorts for the
+        same reason); with neither, it falls back to round-robin.
 
         Concurrency: the commit is PINNED to the snapshot the plan was
         made against. Any interleaved commit fails the pin; if every
@@ -789,6 +804,17 @@ class TxTable:
             small = [fb for g in groups.values() for fb in g]
             if not groups:
                 return None
+            # stats inheritance: recompute per-file min/max on the
+            # merged output for every column any removed file tracked
+            snap_stats = self.file_stats(sv)
+            stat_cols = sorted(
+                {
+                    c
+                    for f, _ in small
+                    for c in snap_stats.get(f, {})
+                }
+            )
+            part_col = cluster_col or (stat_cols[0] if stat_cols else None)
             sub = f"part-{uuid.uuid4().hex}"
             files, n = [], 0
             for bucket, grp in sorted(
@@ -806,7 +832,13 @@ class TxTable:
                     sub,
                     "u" if bucket is None else f"__b={bucket}",
                 )
-                merged = self.spark.read.parquet(*paths).repartition(n_out)
+                merged = self.spark.read.parquet(*paths)
+                if part_col is not None and part_col in merged.columns:
+                    merged = merged.repartitionByRange(
+                        n_out, F.col(part_col)
+                    )
+                else:
+                    merged = merged.repartition(n_out)
                 merged.write.mode("errorifexists").parquet(out_dir)
                 for name in os.listdir(out_dir):
                     if name.endswith(".parquet"):
@@ -818,19 +850,19 @@ class TxTable:
                 n += self.spark.read.parquet(out_dir).count()
             files = sorted(files)
             removed = sorted(f for f, _ in small)
+            entry: dict = {
+                "op": "compact",
+                "added": files,
+                "removed": removed,
+                "n_rows": n,
+            }
+            if stat_cols:
+                entry["stats"] = self._file_stats(files, stat_cols)
             pin = sv
             try:
                 for _claim in range(max_retries):
                     try:
-                        v = self._commit(
-                            {
-                                "op": "compact",
-                                "added": files,
-                                "removed": removed,
-                                "n_rows": n,
-                            },
-                            at_version=pin + 1,
-                        )
+                        v = self._commit(entry, at_version=pin + 1)
                         files = []  # committed BEFORE checkpoint: nothing
                         # to clean up even if the checkpoint write fails
                         self._maybe_checkpoint(v)

@@ -913,3 +913,67 @@ def test_checkpoint_failure_after_commit_keeps_data_files(
     assert got == {(1, "NEW")} | {(i, f"v{i}") for i in range(8) if i not in (1, 2, 3)}
     # and the log itself is intact for time travel
     assert t.read(version=0).count() == 8
+
+
+def test_compact_inherits_and_tightens_stats(spark, tmp_path):
+    """Compaction must not destroy data skipping: merged files inherit
+    recomputed min/max for every column the removed files tracked, the
+    range re-partition keeps the merged files' key ranges tight, and a
+    post-compact read_pruned still skips files."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    # six stat-tracked appends with interleaved ranges (so round-robin
+    # merging WOULD produce full-range files)
+    for i in range(6):
+        t.append(
+            _df(spark, i * 10, i * 10 + 10, "a"), stats_cols=["id"]
+        )
+    pre_stats = t.file_stats()
+    assert pre_stats  # every live file tracked
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v is not None
+    _, live = t.snapshot()
+    post_stats = t.file_stats()
+    # EVERY live file still has id stats (nothing became unknowable)
+    assert set(post_stats) == set(live)
+    # correct bounds over the whole table
+    mins = [s["id"][0] for s in post_stats.values()]
+    maxs = [s["id"][1] for s in post_stats.values()]
+    assert min(mins) == 0 and max(maxs) == 59
+    # pruning still works after maintenance: a narrow range opens
+    # fewer files than the snapshot holds (only meaningful if >1 file)
+    if len(live) > 1:
+        kept = [
+            f
+            for f in live
+            if not (post_stats[f]["id"][1] < 5 or post_stats[f]["id"][0] > 5)
+        ]
+        assert len(kept) < len(live)
+    got = {r.id for r in t.read_pruned("id", 0, 5).collect()}
+    assert got == set(range(6))
+
+
+def test_compact_cluster_col_keeps_ranges_tight(spark, tmp_path):
+    """With cluster_col (or the inferred first stats column), merged
+    files are range-partitioned: their [min, max] spans must be
+    disjoint-ish rather than all covering the full key range."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(8):
+        t.append(_df(spark, i * 10, i * 10 + 10, "a"), stats_cols=["id"])
+    # force multiple output files: tiny target → n_out > 1
+    total = sum(
+        __import__("os").path.getsize(f"{t.path}/{f}")
+        for f in t.snapshot()[1]
+    )
+    v = t.compact(target_file_bytes=max(total // 3, 1024), cluster_col="id")
+    if v is None:  # every file already "big" under this target: skip
+        return
+    stats = t.file_stats()
+    spans = sorted(
+        (s["id"][0], s["id"][1]) for s in stats.values()
+    )
+    # ranges must not all be [0, 79]: range partitioning keeps them tight
+    full_span = [sp for sp in spans if sp[0] == 0 and sp[1] == 79]
+    assert len(full_span) == 0, spans
+    # and consecutive spans must not overlap (boundaries are splits)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 or lo1 == lo2, spans

@@ -122,3 +122,50 @@ def test_read_pruned_multi_empty_box_right_schema(spark):
     out = t.read_pruned_multi({"user_id": (10**9, 10**9 + 1)})
     assert out.count() == 0
     assert set(out.columns) == {"user_id", "day_int", "value", "__z"}
+
+
+def test_zorder_table_compaction_preserves_box_skip(spark, tmp_path):
+    """Maintenance must not undo clustering: a z-laid-out table
+    compacted with cluster_col='__z' keeps per-file rectangles, so box
+    predicates on either dimension still skip files afterwards — and
+    the stats are re-recorded (no file becomes unknowable)."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators.zorder import zorder_key
+    from pm25ml_spark.sources.txlog import TxTable
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int"), "value"
+    )
+    z = zorder_key(ev, ["user_id", "day_int"], bits=8)
+    t = TxTable(spark, str(tmp_path / "zt"))
+    # several small z-ranged appends (streaming-sink accretion shape)
+    for i in range(4):
+        part = z.filter(F.col("user_id") % 4 == i).repartitionByRange(
+            4, F.col("__z")
+        )
+        t.append(part, stats_cols=["user_id", "day_int"])
+    before = {
+        (r.user_id, r.day_int, r.value) for r in t.read().collect()
+    }
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(t.path, f)) for f in t.snapshot()[1]
+    )
+    # target ≈ total/4 → everything is "small", merged into ~4 z-ranged
+    # files (a 1-file merge would leave nothing to skip)
+    v = t.compact(target_file_bytes=total // 4, cluster_col="__z")
+    assert v is not None
+    _, live = t.snapshot()
+    stats = t.file_stats()
+    assert set(stats) == set(live)  # nothing unknowable post-compact
+    after = {(r.user_id, r.day_int, r.value) for r in t.read().collect()}
+    assert after == before
+    # both dimensions still skip
+    for col, lo, hi in (("user_id", 0, 3), ("day_int", 19730, 19733)):
+        kept = [
+            f
+            for f in live
+            if not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        ]
+        assert len(live) > 2 and len(kept) < len(live), (col, len(kept), len(live))
