@@ -117,6 +117,8 @@ def sample_order(names: list[str]) -> list[str]:
         # r10: new filtered vector search over the shared postings
         # artifact (label carried in the index).
         "ss15_filtered_lsh_top2",
+        # r10: new streaming z-order maintenance lifecycle query.
+        "st10_stream_zorder_maintain",
     }
     return sorted(
         names,

@@ -33,10 +33,14 @@ from pyspark.sql import functions as F
 
 def rank_scale(col: Column, lo: int, hi: int, bits: int) -> Column:
     """Map an integer column with known [lo, hi] bounds onto
-    ``[0, 2**bits)`` with exact long arithmetic (deterministic — no
-    float rounding): ``(x - lo) * (2^bits - 1) // max(hi - lo, 1)``.
-    Out-of-bounds values clamp, so late-arriving outliers degrade
-    pruning for their file instead of corrupting the key."""
+    ``[0, 2**bits)``: ``trunc((x - lo) * (2^bits - 1) / (hi - lo))``.
+    The product stays in LONG and the divide is double-precision —
+    exact whenever ``(hi - lo) * (2^bits - 1) < 2^53`` (every catalog
+    use: spans ≤ 2^33 at bits ≤ 12); beyond that the key degrades
+    smoothly (a neighboring cell), which moves file boundaries, never
+    rows — the z-key is layout-only. Out-of-bounds values clamp, so
+    late-arriving outliers degrade pruning for their file instead of
+    corrupting the key."""
     span = max(int(hi) - int(lo), 1)
     top = (1 << bits) - 1
     scaled = (
@@ -67,6 +71,24 @@ def interleave_bits(cols: list[Column], bits: int) -> Column:
     return out.cast("long")
 
 
+def zorder_key_fixed(
+    df: DataFrame,
+    bounds: dict[str, tuple[int, int]],
+    bits: int = 12,
+    key_col: str = "__z",
+) -> DataFrame:
+    """Z-key against FIXED per-column bounds — the streaming-ingest
+    form. A micro-batch must key against the SAME bounds as the
+    existing table (moving bounds would re-map every existing key and
+    demand a full clustering rewrite — the z-analogue of the frozen IVF
+    quantizer); late outliers clamp into the edge cells, degrading
+    pruning for their file only, never correctness."""
+    scaled = [
+        rank_scale(F.col(c), lo, hi, bits) for c, (lo, hi) in bounds.items()
+    ]
+    return df.withColumn(key_col, interleave_bits(scaled, bits))
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 12, key_col: str = "__z"
 ) -> DataFrame:
@@ -75,12 +97,9 @@ def zorder_key(
     scalars — the same bounded collect every range partitioner performs
     to sample split points); the per-row key itself is computed
     distributed, JVM-side."""
-    bounds = df.agg(
+    row = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
-    scaled = [
-        rank_scale(F.col(c), bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits)
-        for c in cols
-    ]
-    return df.withColumn(key_col, interleave_bits(scaled, bits))
+    bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    return zorder_key_fixed(df, bounds, bits=bits, key_col=key_col)

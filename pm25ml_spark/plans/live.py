@@ -1216,3 +1216,90 @@ def d18_zorder_box_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_int").alias("first_day"),
         F.max("day_int").alias("last_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# st10 — STREAMING maintenance of the z-ordered clustered copy: the
+# ingest lifecycle that keeps d18's layout fresh. Two chronological
+# micro-batches drain through foreachBatch (streaming/zorder_maintain):
+# each batch z-keys its rows against the table's FIXED bounds (the
+# frozen-quantizer analogue — moving bounds would re-map every existing
+# key), range-partitions on the key, and appends one stats-tracked
+# commit; a post-drain compact(cluster_col="__z") merges the per-batch
+# small files WITHOUT losing the stats prune (the round-10 compaction
+# guarantee). The oracle aggregates the RAW events table over the same
+# box, so batching, layout, and maintenance must move bytes, never
+# rows — and the final read goes through read_pruned_multi, so a
+# maintenance pass that broke the stats would surface as a wrong (or
+# unprunable) result in tests/test_zorder.py's lifecycle pin.
+_ST10_U = (2, 11)
+_ST10_DAYS = (19732, 19742)  # 2024-01-10 .. 2024-01-20
+
+
+def st10_maintained_table(spark: SparkSession, sf_dir: str):
+    """Drain the two-batch events stream into a fresh z-maintained
+    TxTable and compact it; returns the table handle (shared by the
+    catalog query and the lifecycle test)."""
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.events import read_events_stream
+    from pm25ml_spark.streaming.zorder_maintain import maintain_zorder_stream
+
+    stage = _stage_chronological_halves(spark, sf_dir, "st10")
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+    )
+    proj = stream.select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int"), "value"
+    )
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int")
+    )
+    row = base.agg(
+        F.min("user_id").alias("ul"),
+        F.max("user_id").alias("uh"),
+        F.min("day_int").alias("dl"),
+        F.max("day_int").alias("dh"),
+    ).collect()[0]
+    bounds = {
+        "user_id": (row.ul, row.uh),
+        "day_int": (row.dl, row.dh),
+    }
+    t = TxTable(spark, tempfile.mkdtemp(prefix="st10_z_"))
+    maintain_zorder_stream(
+        proj,
+        t,
+        bounds,
+        bits=_D18_BITS,
+        query_name=f"st10_{uuid.uuid4().hex[:8]}",
+        checkpoint_dir=tempfile.mkdtemp(prefix="st10_chk_"),
+    )
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(t.path, f)) for f in t.snapshot()[1]
+    )
+    # merge the per-batch accretion into ~4 clustered files
+    t.compact(target_file_bytes=max(total // 4, 1 << 20), cluster_col="__z")
+    return t
+
+
+@query(
+    "st10_stream_zorder_maintain",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN {_ST10_U[0]} AND {_ST10_U[1]}
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+    GROUP BY user_id
+    """,
+)
+def st10_stream_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
+    t = st10_maintained_table(spark, sf_dir)
+    box = t.read_pruned_multi({"user_id": _ST10_U, "day_int": _ST10_DAYS})
+    return box.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -169,3 +169,40 @@ def test_zorder_table_compaction_preserves_box_skip(spark, tmp_path):
             if not (stats[f][col][1] < lo or stats[f][col][0] > hi)
         ]
         assert len(live) > 2 and len(kept) < len(live), (col, len(kept), len(live))
+
+
+def test_st10_streaming_maintenance_lifecycle(spark):
+    """The maintained copy's commit log must show the real lifecycle:
+    one stats-tracked append per micro-batch, then one compact; box
+    pruning still skips files after maintenance; and re-running the
+    drain from the same checkpoint is a no-op (AvailableNow replay
+    protocol)."""
+    from pm25ml_spark.plans.live import (
+        _ST10_DAYS,
+        _ST10_U,
+        st10_maintained_table,
+    )
+
+    t = st10_maintained_table(spark, SF)
+    ops = [h["op"] for h in t.history()]
+    assert ops[:2] == ["append", "append"], ops  # one commit per batch
+    assert "compact" in ops, ops
+    _, live = t.snapshot()
+    stats = t.file_stats()
+    assert set(stats) == set(live)  # maintenance kept every file tracked
+    preds = {"user_id": _ST10_U, "day_int": _ST10_DAYS}
+    kept, live2 = _kept_files(t, preds)
+    if len(live2) > 2:  # sf0.001 may compact into very few files
+        assert len(kept) < len(live2)
+    # pruned read equals filtered full scan
+    got = sorted(
+        (r.user_id, r.day_int, float(r.value))
+        for r in t.read_pruned_multi(preds).collect()
+    )
+    full = t.read()
+    for col, (lo, hi) in preds.items():
+        full = full.filter(F.col(col).between(lo, hi))
+    want = sorted(
+        (r.user_id, r.day_int, float(r.value)) for r in full.collect()
+    )
+    assert got == want and got
