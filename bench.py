@@ -139,7 +139,7 @@ def main() -> None:
     # component only (data = queries[tag] - stfix[tag]) to stay inside
     # the driver's 2000-char stdout capture window.
     split_tags = {"st01", "st02", "st03", "st04", "st05", "st06", "st09",
-                  "d12", "d13", "d14"}
+                  "st10", "d12", "d13", "d14"}
     small_dir = "/root/testdata/sf0.01"
     streaming_split: dict[str, dict] = {}
     try:

@@ -832,7 +832,14 @@ class TxTable:
                     sub,
                     "u" if bucket is None else f"__b={bucket}",
                 )
-                merged = self.spark.read.parquet(*paths)
+                # mergeSchema: an additively-evolved table (d16 contract)
+                # holds files with and without later columns — a plain
+                # read samples ONE footer for the schema and would
+                # silently rewrite the merged files WITHOUT the newer
+                # columns (data loss disguised as maintenance)
+                merged = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(*paths)
                 if part_col is not None and part_col in merged.columns:
                     merged = merged.repartitionByRange(
                         n_out, F.col(part_col)

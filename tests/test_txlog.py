@@ -977,3 +977,25 @@ def test_compact_cluster_col_keeps_ranges_tight(spark, tmp_path):
     # and consecutive spans must not overlap (boundaries are splits)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2 or lo1 == lo2, spans
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    """Compacting an additively-evolved table must not lose the newer
+    columns: the rewrite reads with mergeSchema, so rows written before
+    the column existed merge as NULL and later rows keep their values —
+    the d16 add-column contract survives maintenance."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))  # old schema: (id, tag)
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id"), F.lit("b").alias("tag"), F.lit(7).alias("extra")
+        )
+    )
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v is not None
+    got = {
+        (r.id, r.tag, r.extra)
+        for r in t.read(merge_schema=True).collect()
+    }
+    assert {(i, "b", 7) for i in range(10, 20)} <= got  # values kept
+    assert {(i, "a", None) for i in range(10)} <= got  # old rows NULL
