@@ -71,6 +71,21 @@ def interleave_bits(cols: list[Column], bits: int) -> Column:
     return out.cast("long")
 
 
+def column_bounds(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[int, int]]:
+    """Driver-side [min, max] per column — ONE tiny aggregate
+    (2·len(cols) scalars, the same bounded collect every range
+    partitioner performs). Shared by the batch z-key (zorder_key) and
+    the streaming maintainer's fixed-bounds derivation so the two can
+    never diverge in bounds semantics."""
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    return {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+
+
 def zorder_key_fixed(
     df: DataFrame,
     bounds: dict[str, tuple[int, int]],
@@ -97,9 +112,5 @@ def zorder_key(
     scalars — the same bounded collect every range partitioner performs
     to sample split points); the per-row key itself is computed
     distributed, JVM-side."""
-    row = df.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in cols],
-        *[F.max(c).alias(f"hi_{c}") for c in cols],
-    ).collect()[0]
-    bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    bounds = column_bounds(df, cols)
     return zorder_key_fixed(df, bounds, bits=bits, key_col=key_col)

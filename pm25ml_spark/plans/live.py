@@ -39,6 +39,22 @@ _GAP_US = 1_800_000_000  # 30 minutes
 _HOUR_US = 3_600_000_000
 
 
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: lifecycle queries (txlog stores,
+    stream checkpoints, staged stream sources) create fresh dirs per
+    invocation — a bench run invokes each entry four times (two timing
+    passes at the benched sf + two for the fixed-cost split), so
+    uncleaned dirs accrete multiple copies of the events table per
+    run. Cleanup at process exit keeps the footprint bounded while the
+    dirs stay alive for any deferred job the returned plan still runs."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # State-store partition count for the catalog's streaming drains: every
 # stateful streaming operator creates/commits/snapshots one state store
 # PER state partition PER micro-batch (a stream-stream join: 4 per side),
@@ -84,7 +100,7 @@ def _drain(
     run_available_now(
         sess_df,
         name,
-        tempfile.mkdtemp(prefix=f"{tag}_chk_"),
+        _tmpdir(prefix=f"{tag}_chk_"),
         output_mode=output_mode,
         state_partitions=_STATE_PARTITIONS,
     )
@@ -228,7 +244,7 @@ def d12_txlog_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 20000.0).alias("price"),
         F.lit("b2").alias("src"),
     )
-    table = TxTable(spark, tempfile.mkdtemp(prefix="d12_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="d12_tx_"))
     table.overwrite(base)
     table.upsert(b1, "o_orderkey", n_buckets=16)
     table.upsert(b2, "o_orderkey", n_buckets=16)
@@ -267,7 +283,7 @@ def st03_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    stage = tempfile.mkdtemp(prefix="st03_src_")
+    stage = _tmpdir(prefix="st03_src_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events1.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events2.parquet")
     stream = read_events_stream(
@@ -276,7 +292,7 @@ def st03_stream_dedup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(stream, watermark="10 days", keys=("event_id",))
     name = f"st03_{uuid.uuid4().hex[:8]}"
     run_available_now(
-        deduped, name, tempfile.mkdtemp(prefix="st03_chk_"),
+        deduped, name, _tmpdir(prefix="st03_chk_"),
         output_mode="append",
         state_partitions=_STATE_PARTITIONS,
     )
@@ -641,7 +657,7 @@ def _stage_chronological_halves(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    stage = tempfile.mkdtemp(prefix=f"{prefix}_src_")
+    stage = _tmpdir(prefix=f"{prefix}_src_")
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     if event_types:
         tbl = tbl.filter(
@@ -683,7 +699,7 @@ def st04_stateful_user_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = stateful_user_checksums(stream)
     name = f"st04_{uuid.uuid4().hex[:8]}"
     run_available_now(
-        totals, name, tempfile.mkdtemp(prefix="st04_chk_"),
+        totals, name, _tmpdir(prefix="st04_chk_"),
         output_mode="update",
         state_partitions=_STATE_PARTITIONS,
     )
@@ -739,7 +755,7 @@ def d13_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 20000.0).alias("price"),
         F.lit("b2").alias("src"),
     )
-    table = TxTable(spark, tempfile.mkdtemp(prefix="d13_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="d13_tx_"))
     table.overwrite(base)
     v_mid = table.upsert(b1, "o_orderkey", n_buckets=16)
     table.upsert(b2, "o_orderkey", n_buckets=16)
@@ -775,14 +791,14 @@ def st05_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(
         spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
     ).select("user_id", "event_id", "event_type")
-    table = TxTable(spark, tempfile.mkdtemp(prefix="st05_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="st05_tx_"))
     q = sink_stream_upsert(
         stream,
         table,
         key_col="user_id",
         order_col="event_id",
         query_name=f"st05_{uuid.uuid4().hex[:8]}",
-        checkpoint_dir=tempfile.mkdtemp(prefix="st05_chk_"),
+        checkpoint_dir=_tmpdir(prefix="st05_chk_"),
         n_buckets=16,
     )
     if not q.awaitTermination(300):
@@ -864,7 +880,7 @@ def d14_txlog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     k = F.col("o_orderkey")
-    table = TxTable(spark, tempfile.mkdtemp(prefix="d14_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="d14_tx_"))
     table.append(orders.filter(k % 3 == 0))
     table.append(orders.filter(k % 6 == 1))
     table.append(orders.filter(k % 6 == 4))
@@ -943,7 +959,7 @@ def d15_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    table = TxTable(spark, tempfile.mkdtemp(prefix="d15_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="d15_tx_"))
     table.upsert(orders, "o_orderkey")
     doomed = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
     # absent keys (orderkeys are non-negative) — must be silent no-ops
@@ -1029,7 +1045,7 @@ def d16_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    table = TxTable(spark, tempfile.mkdtemp(prefix="d16_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="d16_tx_"))
     table.append(
         orders.filter(k % 2 == 0).select("o_orderkey", "o_totalprice")
     )
@@ -1065,7 +1081,7 @@ def d17_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    table = TxTable(spark, tempfile.mkdtemp(prefix="d17_tx_"))
+    table = TxTable(spark, _tmpdir(prefix="d17_tx_"))
     good = table.upsert(orders, "o_orderkey")
     corrupted = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
@@ -1119,7 +1135,7 @@ def st09_stream_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage two halves by doc_id parity with pinned mtimes (same
     # driver-side pyarrow harness rationale as _stage_chronological_halves;
     # the drained edge set is split-invariant)
-    stage = tempfile.mkdtemp(prefix="st09_src_")
+    stage = _tmpdir(prefix="st09_src_")
     tbl = pq.read_table(f"{sf_dir}/documents.parquet")
     parity = pc.bit_wise_and(tbl["doc_id"], 1)
     for i in (0, 1):
@@ -1129,14 +1145,14 @@ def st09_stream_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_documents_stream(
         spark, stage, max_files_per_trigger=1, glob="documents_*.parquet"
     )
-    shingle_t = TxTable(spark, tempfile.mkdtemp(prefix="st09_sh_"))
-    edges_t = TxTable(spark, tempfile.mkdtemp(prefix="st09_ed_"))
+    shingle_t = TxTable(spark, _tmpdir(prefix="st09_sh_"))
+    edges_t = TxTable(spark, _tmpdir(prefix="st09_ed_"))
     maintain_dup_edges_stream(
         stream,
         shingle_t,
         edges_t,
         query_name=f"st09_{uuid.uuid4().hex[:8]}",
-        checkpoint_dir=tempfile.mkdtemp(prefix="st09_chk_"),
+        checkpoint_dir=_tmpdir(prefix="st09_chk_"),
     )
     return edges_t.read().select("doc_a", "doc_b", "shared", "jaccard")
 
@@ -1251,27 +1267,20 @@ def st10_maintained_table(spark: SparkSession, sf_dir: str):
     proj = stream.select(
         "user_id", F.unix_date(F.to_date("ts")).alias("day_int"), "value"
     )
+    from pm25ml_spark.operators.zorder import column_bounds
+
     base = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_date(F.to_date("ts")).alias("day_int")
     )
-    row = base.agg(
-        F.min("user_id").alias("ul"),
-        F.max("user_id").alias("uh"),
-        F.min("day_int").alias("dl"),
-        F.max("day_int").alias("dh"),
-    ).collect()[0]
-    bounds = {
-        "user_id": (row.ul, row.uh),
-        "day_int": (row.dl, row.dh),
-    }
-    t = TxTable(spark, tempfile.mkdtemp(prefix="st10_z_"))
+    bounds = column_bounds(base, ["user_id", "day_int"])
+    t = TxTable(spark, _tmpdir("st10_z_"))
     maintain_zorder_stream(
         proj,
         t,
         bounds,
         bits=_D18_BITS,
         query_name=f"st10_{uuid.uuid4().hex[:8]}",
-        checkpoint_dir=tempfile.mkdtemp(prefix="st10_chk_"),
+        checkpoint_dir=_tmpdir(prefix="st10_chk_"),
     )
     import os as _os
 

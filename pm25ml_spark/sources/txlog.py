@@ -202,9 +202,12 @@ class TxTable:
         files — ONE Spark job over the new files only (never the
         table). Numeric and string columns only: their min/max
         round-trip JSON exactly; anything else raises rather than
-        storing lossy stats a prune would then trust."""
+        storing lossy stats a prune would then trust. mergeSchema:
+        compact feeds this files from per-bucket groups that may
+        diverge in schema (additive evolution) — a sampled-footer read
+        could drop a tracked column and fail the dtype check."""
         paths = [os.path.join(self.path, f) for f in files]
-        df = self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         self._check_stats_cols(dict(df.dtypes), stats_cols)
         aggs = []
         for c in stats_cols:
@@ -311,8 +314,11 @@ class TxTable:
             if keep:
                 kept.append(f)
         if not kept:
-            # every file provably excluded: empty frame, right schema
-            full = self.read(version)
+            # every file provably excluded: empty frame, right schema —
+            # read the RESOLVED version (re-resolving with the caller's
+            # None would race a concurrent commit, same as the stats
+            # comment above)
+            full = self.read(v)
             return full.filter(F.lit(False))
         df = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in kept]
@@ -857,16 +863,19 @@ class TxTable:
                 n += self.spark.read.parquet(out_dir).count()
             files = sorted(files)
             removed = sorted(f for f, _ in small)
-            entry: dict = {
-                "op": "compact",
-                "added": files,
-                "removed": removed,
-                "n_rows": n,
-            }
-            if stat_cols:
-                entry["stats"] = self._file_stats(files, stat_cols)
             pin = sv
             try:
+                # inside the cleanup scope: a stats failure must drop
+                # the uncommitted part- dir (it is referenced by no log
+                # entry, so vacuum would never reclaim it)
+                entry: dict = {
+                    "op": "compact",
+                    "added": files,
+                    "removed": removed,
+                    "n_rows": n,
+                }
+                if stat_cols:
+                    entry["stats"] = self._file_stats(files, stat_cols)
                 for _claim in range(max_retries):
                     try:
                         v = self._commit(entry, at_version=pin + 1)

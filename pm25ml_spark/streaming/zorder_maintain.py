@@ -25,9 +25,15 @@ box query over the maintained copy equals the same box aggregate over
 the raw table. Layout, batching, and maintenance move bytes, never
 rows.
 
-Exactly-once follows the same foreachBatch protocol as
-``streaming/dedup_maintain.py``: checkpointed deterministic batch ids,
-fully-drained AvailableNow restarts are no-ops.
+Delivery is AT-LEAST-ONCE, same caveat as
+``streaming/dedup_maintain.py``: the checkpoint makes batch ids
+deterministic and a fully-drained AvailableNow restart is a no-op, but
+a crash BETWEEN a batch's txlog append and its checkpoint record
+replays that batch on restart and duplicates its rows — true
+exactly-once would need (query, epoch) commit fencing in the table,
+which ``sink_stream_upsert`` implements for keyed sinks; an append-only
+clustered copy would carry the batch id and dedup on read, or accept
+the standard foreachBatch contract, as here.
 """
 
 from __future__ import annotations
