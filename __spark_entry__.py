@@ -90,35 +90,20 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r10: the IVF family reads build-once staged index artifacts
-        # (inverted lists for ss04; residual codebook + code table for
-        # ss10) — query-time physical plans changed to Python-free
-        # broadcast pipelines.
-        "ss04_ivf_top3",
-        "ss10_ivfpq_top3",
-        # r10: new incrementally-maintained artifact queries (dup-edge
-        # graph; IVF inverted lists).
-        "gr08_incremental_edges",
-        "gr09_ingest_batch_summary",
-        "ss13_incremental_ivf_top2",
-        "st09_stream_dedup_graph",
-        # r10: jaccard_pairs_between gained precomputed-shingle inputs
-        # and LRU cache registration — same plan, re-verify anyway.
-        "dd15_incremental_dedup",
-        # r10: LSH postings staged (build-once index) — ss03/ss09
-        # query-time plans now read the staged table instead of
-        # re-hashing the corpus per query.
-        "ss03_lsh_bucket_top1",
-        "ss09_lsh_multitable_top1",
-        # r10: new z-ordered multi-column data-skip query.
-        "d18_zorder_box_profile",
-        # r10: new incremental LSH postings query (index triad complete).
-        "ss14_incremental_lsh_top1",
-        # r10: new filtered vector search over the shared postings
-        # artifact (label carried in the index).
-        "ss15_filtered_lsh_top2",
-        # r10: new streaming z-order maintenance lifecycle query.
+        # r11: new typed z-dimension clustered copy (date + string
+        # Morton dims, ISO-encoded date file stats).
+        "d19_typed_zorder_box_profile",
+        # r11: new vacuum/retention lifecycle query (compact → vacuum →
+        # current-snapshot read, retirement recorded in the log).
+        "d20_vacuum_lifecycle",
+        # r11: the z-order streaming maintainer became EXACTLY-ONCE
+        # ((query, epoch)-stamped commits via sink_stream_exactly_once)
+        # and records per-commit drift counters — physical sink changed.
         "st10_stream_zorder_maintain",
+        # r11: the Morton rank expression gained an explicit NULL guard
+        # (NULL dim → NULL key instead of greatest/least's top-cell
+        # mapping) — layout-only, but the key expression changed.
+        "d18_zorder_box_profile",
     }
     return sorted(
         names,

@@ -401,12 +401,78 @@ def ivf_assign(
             out = pdf[[c_id, c_vec]].copy()
             out["cnorm"] = np.sqrt((V * V).sum(axis=1))
             out["cen"] = best
+            # assigned-list similarity: the quantization-quality signal
+            # the drift audit folds per commit (ivf_commit_audit) — a
+            # frozen quantizer that stops covering new ingest shows up
+            # as this column's distribution collapsing, commits before
+            # queries ever degrade
+            out["asim"] = best_s
             yield out
 
     vec_type = dict(candidates.dtypes)[c_vec]
     return candidates.select(c_id, c_vec).mapInPandas(
-        assign, f"{c_id} long, {c_vec} {vec_type}, cnorm double, cen long"
+        assign,
+        f"{c_id} long, {c_vec} {vec_type}, cnorm double, cen long, "
+        f"asim double",
     )
+
+
+def ivf_commit_audit(written: DataFrame) -> dict:
+    """Per-commit IVF assignment-quality counters for the txlog entry
+    (``TxTable.append(entry_extra=...)``): row count, mean assigned-
+    list cosine DISTANCE (1 − asim), and the fraction of vectors whose
+    assigned similarity is ≤ 0 (no centroid even in their half-space —
+    the out-of-list analogue of the z-order clamped counter). One tiny
+    aggregate over the commit's already-written files."""
+    r = written.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.lit(1.0) - F.col("asim")).alias("md"),
+        F.avg(F.when(F.col("asim") <= 0.0, 1.0).otherwise(0.0)).alias("oo"),
+    ).collect()[0]
+    return {
+        "ivf_drift": {
+            "n_rows": int(r["n"]),
+            "mean_dist": float(r["md"]) if r["md"] is not None else None,
+            "out_of_halfspace_frac": float(r["oo"] or 0.0),
+        }
+    }
+
+
+def ivf_drift_report(
+    table, ratio_threshold: float = 1.5, halfspace_threshold: float = 0.1
+) -> dict:
+    """Fold a maintained IVF index's per-commit ``ivf_drift`` audits
+    into a RETRAIN signal — the vector-store dual of
+    ``zorder_drift_report``: the coarse quantizer is frozen across
+    refreshes (that is what keeps them append-only), so ingest drift
+    shows up as later commits' mean assigned-list distance growing
+    relative to the BASE commit's. ``retrain`` fires when any refresh
+    commit's mean distance exceeds ``ratio_threshold ×`` the base's, or
+    its out-of-halfspace fraction crosses ``halfspace_threshold``.
+    Reads the commit LOG only — results stay oracle-green regardless
+    (assignment to the nearest FROZEN centroid is still exact); the
+    signal is about recall economics, not correctness."""
+    audits = [
+        (e["version"], e["ivf_drift"])
+        for e in table.history()
+        if e.get("ivf_drift")
+    ]
+    if not audits:
+        return {"commits": 0, "retrain": False, "worst_ratio": 0.0}
+    base = audits[0][1]["mean_dist"] or 1e-12
+    worst = 0.0
+    worst_oo = 0.0
+    for _v, a in audits[1:]:
+        if a["mean_dist"] is not None:
+            worst = max(worst, a["mean_dist"] / max(base, 1e-12))
+        worst_oo = max(worst_oo, a["out_of_halfspace_frac"])
+    return {
+        "commits": len(audits),
+        "base_mean_dist": base,
+        "worst_ratio": worst,
+        "worst_out_of_halfspace_frac": worst_oo,
+        "retrain": worst > ratio_threshold or worst_oo > halfspace_threshold,
+    }
 
 
 def ivf_probe_topk(

@@ -27,8 +27,26 @@ multi-predicate analytics at 100 TB.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _clamp(scaled: Column, col: Column, top: int) -> Column:
+    """Clamp ``scaled`` into [0, top], PROPAGATING NULL: Spark's
+    greatest/least skip NULL arguments, so a bare
+    greatest(0, least(top, NULL)) would silently map a NULL input to
+    the TOP cell — skewing edge-file stats. A NULL in any z-dimension
+    instead yields a NULL rank (and, through interleave_bits' NULL
+    arithmetic, a NULL key), so NULL-dim rows cluster into the
+    nulls-first files of the range layout; their columns' file stats
+    ignore NULLs and the exact row filter excludes them from box
+    results either way — placement is documented, never accidental."""
+    clamped = F.greatest(F.lit(0), F.least(F.lit(top), scaled))
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def rank_scale(col: Column, lo: int, hi: int, bits: int) -> Column:
@@ -40,7 +58,7 @@ def rank_scale(col: Column, lo: int, hi: int, bits: int) -> Column:
     smoothly (a neighboring cell), which moves file boundaries, never
     rows — the z-key is layout-only. Out-of-bounds values clamp, so
     late-arriving outliers degrade pruning for their file instead of
-    corrupting the key."""
+    corrupting the key; NULLs yield a NULL rank (see :func:`_clamp`)."""
     span = max(int(hi) - int(lo), 1)
     top = (1 << bits) - 1
     scaled = (
@@ -48,7 +66,7 @@ def rank_scale(col: Column, lo: int, hi: int, bits: int) -> Column:
         * F.lit(top)
         / F.lit(span)
     ).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit(top), scaled))
+    return _clamp(scaled, col, top)
 
 
 def interleave_bits(cols: list[Column], bits: int) -> Column:
@@ -98,6 +116,13 @@ def zorder_key_fixed(
     demand a full clustering rewrite — the z-analogue of the frozen IVF
     quantizer); late outliers clamp into the edge cells, degrading
     pruning for their file only, never correctness."""
+    for c, (lo, hi) in bounds.items():
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order bounds for '{c}' are ({lo}, {hi}) — the bounds "
+                f"aggregate saw only NULLs. An all-NULL dimension cannot "
+                f"be rank-scaled; drop it from the key or backfill it."
+            )
     scaled = [
         rank_scale(F.col(c), lo, hi, bits) for c, (lo, hi) in bounds.items()
     ]
@@ -114,3 +139,184 @@ def zorder_key(
     distributed, JVM-side."""
     bounds = column_bounds(df, cols)
     return zorder_key_fixed(df, bounds, bits=bits, key_col=key_col)
+
+
+# --------------------------------------------------------------------------
+# TYPED z-dimensions. Production clustered copies key on whatever the
+# dominant predicates use — the reference's long-term predicate columns
+# are dates and strings (month/date/grid_id hive keys,
+# ``combiners/combined_storage.py:130-144``), not pre-converted ints.
+# Each adapter maps a typed column to a bounded integer rank with a
+# JVM-only expression, so interleave_bits stays inside whole-stage
+# codegen regardless of dimension type. The rank SPEC is plain JSON
+# (storable in a txlog commit, reusable by a streaming maintainer) and
+# frozen exactly like integer bounds: late values outside it clamp into
+# edge cells — layout drift, never row wrongness.
+
+# string dictionaries are embedded as a literal CASE/map expression;
+# past this cardinality the expression itself becomes the bottleneck
+# and the scale path is a broadcast dictionary join instead
+STRING_DICT_MAX = 256
+# double dimensions rank by quantile cut points (robust to skew where
+# a linear scale would collapse a heavy-tailed column into one cell);
+# the per-row rank is an O(cuts) fold, so cuts stay modest and the
+# rank is left-shifted up to the full bit width
+DOUBLE_QUANTILE_CELLS = 64
+
+
+def typed_bounds(df: DataFrame, cols: list[str]) -> dict[str, dict]:
+    """Derive a JSON-able rank spec per column from its Spark type:
+
+    - int types → ``{"kind": "int", "lo", "hi"}`` (min/max aggregate);
+    - date → ``{"kind": "date", "lo", "hi"}`` as epoch days;
+    - timestamp → ``{"kind": "timestamp", "lo", "hi"}`` as epoch
+      seconds (second resolution is a LAYOUT choice: finer would only
+      move file boundaries);
+    - float/double → ``{"kind": "double", "cuts": [...]}`` — quantile
+      cut points from ``approxQuantile`` (one bounded driver collect,
+      the same sampling every range partitioner does);
+    - string → ``{"kind": "string", "dict": [...]}`` — the sorted
+      distinct values, capped at :data:`STRING_DICT_MAX` (raises past
+      it: a high-cardinality string dim should be hashed or
+      dictionary-joined, not literal-mapped).
+
+    Cost: one aggregate over df for min/max dims + one approxQuantile
+    pass per double dim + one capped distinct per string dim — all
+    driver results are O(cells), never O(rows)."""
+    dtypes = dict(df.dtypes)
+    intish = ("tinyint", "smallint", "int", "bigint")
+    mm_cols = [
+        c for c in cols
+        if dtypes[c] in intish or dtypes[c] in ("date", "timestamp")
+    ]
+    row = None
+    if mm_cols:
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in mm_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in mm_cols],
+        ).collect()[0]
+    spec: dict[str, dict] = {}
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt in intish:
+            spec[c] = {"kind": "int", "lo": row[f"lo_{c}"], "hi": row[f"hi_{c}"]}
+        elif dt == "date":
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            spec[c] = {
+                "kind": "date",
+                "lo": None if lo is None else (lo - _EPOCH).days,
+                "hi": None if hi is None else (hi - _EPOCH).days,
+            }
+        elif dt == "timestamp":
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            spec[c] = {
+                "kind": "timestamp",
+                "lo": None if lo is None else int(lo.timestamp()),
+                "hi": None if hi is None else int(hi.timestamp()),
+            }
+        elif dt in ("float", "double"):
+            n = DOUBLE_QUANTILE_CELLS
+            cuts = df.approxQuantile(c, [i / n for i in range(1, n)], 0.001)
+            spec[c] = {"kind": "double", "cuts": sorted(set(cuts))}
+        elif dt == "string":
+            vals = [
+                r[c]
+                for r in df.select(c).distinct().limit(
+                    STRING_DICT_MAX + 1
+                ).collect()
+                if r[c] is not None
+            ]
+            if len(vals) > STRING_DICT_MAX:
+                raise ValueError(
+                    f"string z-dimension '{c}' exceeds {STRING_DICT_MAX} "
+                    f"distinct values — use a broadcast dictionary join "
+                    f"or hash the column instead of a literal rank map"
+                )
+            spec[c] = {"kind": "string", "dict": sorted(vals)}
+        else:
+            raise ValueError(
+                f"unsupported z-dimension type for '{c}': {dt}"
+            )
+    return spec
+
+
+def _typed_rank(c: str, s: dict, bits: int) -> Column:
+    """The JVM rank expression for one typed dimension (NULL → NULL
+    rank, out-of-spec values clamp — identical contracts to
+    :func:`rank_scale`)."""
+    col = F.col(c)
+    top = (1 << bits) - 1
+    kind = s["kind"]
+    if kind == "int":
+        return rank_scale(col, s["lo"], s["hi"], bits)
+    if kind == "date":
+        return rank_scale(F.unix_date(col), s["lo"], s["hi"], bits)
+    if kind == "timestamp":
+        return rank_scale(col.cast("long"), s["lo"], s["hi"], bits)
+    if kind == "double":
+        cuts = s["cuts"]
+        if not cuts:  # constant column: every row in cell 0
+            return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        # rank = #cuts ≤ x, an O(cuts) JVM fold; spread the ≤cells
+        # quantile rank across the full 2^bits key space so mixed-type
+        # interleaves stay balanced
+        rank = F.aggregate(
+            F.array(*[F.lit(float(q)) for q in cuts]),
+            F.lit(0).cast("long"),
+            lambda acc, q: acc
+            + F.when(col >= q, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        stretch = max(top // len(cuts), 1)
+        return _clamp(rank * F.lit(stretch), col, top)
+    if kind == "string":
+        d = s["dict"]
+        if not d:
+            return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        # dictionary rank pre-scaled into the key space at build time;
+        # unseen values (ingest drift) clamp via coalesce to the top
+        # cell — same edge-cell degradation as numeric outliers
+        step = max(top // max(len(d) - 1, 1), 1) if len(d) > 1 else 0
+        pairs = []
+        for i, v in enumerate(d):
+            pairs += [F.lit(v), F.lit(min(i * step, top) if step else 0)]
+        looked = F.element_at(F.create_map(*pairs), col)
+        mapped = F.coalesce(looked, F.lit(top)).cast("long")
+        return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(mapped)
+    raise ValueError(f"unknown z-dimension kind: {kind}")
+
+
+def typed_zorder_key_fixed(
+    df: DataFrame,
+    spec: dict[str, dict],
+    bits: int = 10,
+    key_col: str = "__z",
+) -> DataFrame:
+    """Z-key against a FIXED typed rank spec (the streaming-ingest
+    form — same frozen-bounds contract as :func:`zorder_key_fixed`,
+    generalized to date/timestamp/double/string dimensions)."""
+    for c, s in spec.items():
+        if s["kind"] in ("int", "date", "timestamp") and (
+            s.get("lo") is None or s.get("hi") is None
+        ):
+            raise ValueError(
+                f"z-order spec for '{c}' has NULL bounds — the bounds "
+                f"aggregate saw only NULLs; drop the dimension or "
+                f"backfill it."
+            )
+    ranks = [_typed_rank(c, s, bits) for c, s in spec.items()]
+    return df.withColumn(key_col, interleave_bits(ranks, bits))
+
+
+def typed_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 10, key_col: str = "__z"
+) -> tuple[DataFrame, dict[str, dict]]:
+    """Derive the typed spec from ``df`` and key it; returns
+    ``(keyed_df, spec)`` so callers can persist the spec (txlog commit
+    metadata) and hand it to a streaming maintainer unchanged."""
+    spec = typed_bounds(df, cols)
+    return typed_zorder_key_fixed(df, spec, bits=bits, key_col=key_col), spec
+

@@ -161,6 +161,7 @@ def staged_incremental_table(
     range_col: str | None = None,
     stats_cols: list[str] | None = None,
     inputs: tuple[str, ...] | None = None,
+    entry_extra=None,
 ) -> DataFrame:
     """INCREMENTALLY-MAINTAINED staged artifact: each ``(step, build)``
     appends one transaction-log commit on first use — the base build
@@ -175,7 +176,11 @@ def staged_incremental_table(
     Same memo/locking/layout semantics as :func:`staged_table`; every
     step's output is laid out with the shared ``range_col``/
     ``partition_col`` policy so later commits keep the table's pruning
-    contract."""
+    contract. ``entry_extra`` (``written_df -> dict``) is forwarded to
+    every step's :meth:`TxTable.append` — the hook maintained indices
+    use to record per-commit drift audits (e.g.
+    ``operators.similarity.ivf_commit_audit``) so a retrain signal can
+    be read from the log alone."""
     import time
 
     from pyspark.sql import functions as F
@@ -206,7 +211,9 @@ def staged_incremental_table(
                         df = df.repartitionByRange(nparts, F.col(range_col))
                     elif partition_col is not None:
                         df = df.repartition(nparts, F.col(partition_col))
-                    table.append(df, stats_cols=stats_cols)
+                    table.append(
+                        df, stats_cols=stats_cols, entry_extra=entry_extra
+                    )
                     skey = f"{name}.{step}"
                     BUILD_COUNTS[skey] = BUILD_COUNTS.get(skey, 0) + 1
                     BUILD_SECONDS[skey] = (

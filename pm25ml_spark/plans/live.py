@@ -1312,3 +1312,139 @@ def st10_stream_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# d19 — TYPED z-dimensions: the clustered copy keyed directly on a
+# DATE and a STRING column, the predicate types a production deployment
+# actually clusters on (the reference's long-term predicate dimensions
+# are month/date/grid_id hive keys — combiners/combined_storage.py:
+# 130-144 — not pre-converted ints). The date dim ranks by epoch day,
+# the string dim by a frozen dictionary rank; both are pure JVM
+# expressions inside whole-stage codegen (operators/zorder.py
+# typed_zorder_key), file stats record the TYPED columns (ISO-encoded
+# date min/max, plain string min/max), and read_pruned_multi takes the
+# typed bounds directly. tests/test_zorder.py pins the skip (files
+# opened < files total on date-only, string-only, and box predicates);
+# the oracle filters the raw table — layout moves bytes, never rows.
+_D19_BITS = 10
+_D19_TYPES = ("error", "purchase")   # lexicographic range over the dict
+_D19_DATES = ("2024-01-08", "2024-01-14")
+
+
+def zorder_events_typed_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once typed-z-ordered projection of events: (day DATE,
+    event_type STRING, value) range-partitioned on the typed Morton
+    key with per-file min/max on BOTH typed predicate columns."""
+    from pm25ml_spark.operators.zorder import typed_zorder_key
+    from pm25ml_spark.plans.artifacts import staged_table
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"), "event_type", "value"
+        )
+        keyed, _spec = typed_zorder_key(
+            ev, ["day", "event_type"], bits=_D19_BITS
+        )
+        return keyed
+
+    return staged_table(
+        spark,
+        sf_dir,
+        "events_zorder_typed",
+        (_D19_BITS,),
+        build,
+        range_col="__z",
+        stats_cols=["day", "event_type"],
+        inputs=("events",),
+    )
+
+
+@query(
+    "d19_typed_zorder_box_profile",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MIN(CAST(ts AS DATE)) AS first_day,
+           MAX(CAST(ts AS DATE)) AS last_day
+    FROM events
+    WHERE event_type BETWEEN '{_D19_TYPES[0]}' AND '{_D19_TYPES[1]}'
+      AND CAST(ts AS DATE) BETWEEN DATE '{_D19_DATES[0]}'
+                               AND DATE '{_D19_DATES[1]}'
+    GROUP BY event_type
+    """,
+)
+def d19_typed_zorder_box_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+
+    zorder_events_typed_staged(spark, sf_dir)  # ensure staged
+    t = staged_table_handle(spark, sf_dir, "events_zorder_typed", (_D19_BITS,))
+    d0 = dt.date.fromisoformat(_D19_DATES[0])
+    d1 = dt.date.fromisoformat(_D19_DATES[1])
+    box = t.read_pruned_multi(
+        {"day": (d0, d1), "event_type": _D19_TYPES}
+    )
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# d20 — VACUUM/RETENTION lifecycle, end-to-end: ingest accretes three
+# appends, compact rewrites the small files (old versions keep
+# resolving to the originals — time travel), vacuum retires the files
+# no live snapshot references and RECORDS the retirement as a log
+# entry, and the query aggregates the post-vacuum CURRENT snapshot. If
+# vacuum deleted a live file the read breaks; if compaction lost or
+# duplicated rows the hash mismatches — the oracle is the raw events
+# table, so the whole retention lifecycle must be row-invariant.
+# tests/test_txlog.py pins the boundary semantics a result hash cannot
+# see: time travel to a vacuumed version raises VacuumedSnapshotError
+# (a documented error, never a silent partial read), the current
+# snapshot stays readable, and the vacuum entry lists the retired
+# files.
+@query(
+    "d20_vacuum_lifecycle",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def d20_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.sources.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 3).alias("__part")
+    )
+    t = TxTable(spark, _tmpdir("d20_vac_"))
+    for i in range(3):  # ingest accretion: three small commits
+        t.append(ev.filter(F.col("__part") == i).drop("__part"))
+    pre_compact = t.latest_version()
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(t.path, f)) for f in t.snapshot()[1]
+    )
+    t.compact(target_file_bytes=max(total, 1 << 20))
+    dead = t.vacuum()
+    # lifecycle sanity (cheap metadata checks, not data reads): vacuum
+    # retired the pre-compact files and logged the retirement — real
+    # guards, not asserts, so -O runs keep them
+    if not dead:
+        raise RuntimeError("compact left nothing for vacuum to retire")
+    if t.history()[-1]["op"] != "vacuum":
+        raise RuntimeError("vacuum did not record its retirement entry")
+    _ = pre_compact  # boundary semantics pinned in tests/test_txlog.py
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

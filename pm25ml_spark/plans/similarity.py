@@ -364,6 +364,9 @@ def _ivf_lists_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_lists_incr",
         (100, 7, _IVF_BATCH_MOD, _IVF_BATCH_REM),
         [("base", build_base), ("delta_batch", build_delta)],
+        # per-commit assignment-quality audit → ivf_drift_report's
+        # retrain signal (frozen-quantizer drift monitoring, r11 ask)
+        entry_extra=S.ivf_commit_audit,
         range_col="cen",
         stats_cols=["cen"],
         inputs=("embeddings",),

@@ -43,6 +43,16 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-resolve and retry."""
 
 
+class VacuumedSnapshotError(ValueError):
+    """Time travel requested a snapshot whose data files were vacuumed.
+
+    Raised INSTEAD of letting the parquet reader fail file-by-file (or,
+    worse, a partially-vacuumed snapshot silently reading fewer rows if
+    a caller globbed): the version is resolvable from the log forever,
+    but its bytes are gone past the retention boundary — the documented
+    Delta/Iceberg contract for reads behind VACUUM."""
+
+
 _LOG_DIR = "_txlog"
 # append/overwrite auto-checkpoint when the claimed version crosses this
 # stride, so snapshot resolution stays O(tail) even for writers that
@@ -187,13 +197,30 @@ class TxTable:
 
     @staticmethod
     def _check_stats_cols(dtypes: dict[str, str], stats_cols: list[str]) -> None:
-        ok = ("tinyint", "smallint", "int", "bigint", "float", "double", "string")
+        ok = (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "string", "date", "timestamp",
+        )
         for c in stats_cols:
             if dtypes.get(c) not in ok:
                 raise ValueError(
-                    f"stats_cols supports numeric/string columns; "
-                    f"'{c}' is {dtypes.get(c)}"
+                    f"stats_cols supports numeric/string/date/timestamp "
+                    f"columns; '{c}' is {dtypes.get(c)}"
                 )
+
+    @staticmethod
+    def _stat_value(v):
+        """JSON-able, ORDER-PRESERVING encoding of a stat scalar.
+        Dates/timestamps become ISO-8601 strings, whose lexicographic
+        order equals temporal order (fixed-width prefix through seconds;
+        a fractional suffix only extends, never reorders) — so the
+        prune's string comparison against an encoded predicate bound is
+        exactly the temporal comparison."""
+        import datetime as _dt
+
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return v.isoformat()
+        return v
 
     def _file_stats(
         self, files: list[str], stats_cols: list[str]
@@ -226,7 +253,11 @@ class TxTable:
             local = unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
             rel = os.path.relpath(local, self.path)
             out[rel] = {
-                c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stats_cols
+                c: [
+                    self._stat_value(r[f"mn_{c}"]),
+                    self._stat_value(r[f"mx_{c}"]),
+                ]
+                for c in stats_cols
             }
         return out
 
@@ -235,16 +266,32 @@ class TxTable:
         df: DataFrame,
         max_retries: int = 5,
         stats_cols: list[str] | None = None,
+        entry_extra=None,
     ) -> int:
         """Atomic append: new files become visible all-or-nothing.
         ``stats_cols`` records per-file min/max in the commit entry so
-        :meth:`read_pruned` can skip files at resolution time."""
+        :meth:`read_pruned` can skip files at resolution time.
+        ``entry_extra`` (optional, ``written_df -> dict``) merges audit
+        metadata (e.g. index-drift counters) into the commit entry; it
+        receives a frame over the just-written files (no lineage
+        recompute) and may not override reserved commit keys."""
         if stats_cols:
             self._check_stats_cols(dict(df.dtypes), stats_cols)
         files, n = self._write_files(df)
         entry: dict = {"op": "append", "added": files, "n_rows": n}
         if stats_cols:
             entry["stats"] = self._file_stats(files, stats_cols)
+        if entry_extra is not None:
+            written = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+            extra = entry_extra(written)
+            clash = set(extra) & set(entry)
+            if clash:
+                raise ValueError(
+                    f"entry_extra may not override commit keys: {clash}"
+                )
+            entry.update(extra)
         for _ in range(max_retries):
             try:
                 v = self._commit(entry)
@@ -269,7 +316,12 @@ class TxTable:
         return out
 
     def read_pruned(
-        self, col: str, lo, hi, version: int | None = None
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read with DATA SKIPPING: live files whose recorded
         [min, max] of ``col`` cannot intersect [lo, hi] are never
@@ -279,10 +331,15 @@ class TxTable:
         read unconditionally; the exact row filter is applied on top,
         so the result equals ``read().filter(lo <= col <= hi)``
         regardless of how much pruning was possible."""
-        return self.read_pruned_multi({col: (lo, hi)}, version=version)
+        return self.read_pruned_multi(
+            {col: (lo, hi)}, version=version, merge_schema=merge_schema
+        )
 
     def read_pruned_multi(
-        self, preds: dict[str, tuple], version: int | None = None
+        self,
+        preds: dict[str, tuple],
+        version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Multi-column data skip: a file survives only if EVERY
         predicate's [lo, hi] intersects that column's recorded min/max
@@ -293,10 +350,29 @@ class TxTable:
         multi-dimensional clustering a linear range layout cannot give
         (its second column spans the full range in every file). Exact
         row filters are applied on top, so the result always equals
-        ``read()`` + filters regardless of pruning."""
+        ``read()`` + filters regardless of pruning.
+
+        ``merge_schema=True`` mirrors :meth:`read` and goes one step
+        further: on an additively-evolved table the kept-file set
+        depends on the predicate, so even a mergeSchema read of the
+        KEPT files would make the result schema vary with the predicate
+        (a box that keeps only pre-evolution files cannot see the new
+        column in any footer). The reader is therefore pinned to the
+        SNAPSHOT's union schema — derived from the live files' footers,
+        the same planning cost ``read(merge_schema=True)`` pays — so
+        the result equals ``read(merge_schema=True)`` + filters for
+        every predicate, absent columns reading as NULL.
+
+        Date/timestamp predicate bounds are accepted directly: recorded
+        stats for temporal columns are ISO-8601 strings (see
+        ``_stat_value``), so bounds are encoded the same way before the
+        min/max comparison while the exact row filter uses the original
+        typed values."""
         v, live = self.snapshot(version)
         if not live:
             raise ValueError(f"table {self.path} is empty at version {v}")
+        if version is not None:
+            self._check_not_vacuumed(v, live)
         # pass the RESOLVED version: re-resolving with the caller's
         # (often None) would race a concurrent commit and mismatch the
         # stats set against the file list being pruned
@@ -308,7 +384,8 @@ class TxTable:
                 st = stats.get(f, {}).get(col)
                 if st is None or st[0] is None or st[1] is None:
                     continue  # unknowable for this column: can't exclude
-                if st[1] < lo or st[0] > hi:
+                elo, ehi = self._stat_value(lo), self._stat_value(hi)
+                if st[1] < elo or st[0] > ehi:
                     keep = False
                     break
             if keep:
@@ -318,11 +395,17 @@ class TxTable:
             # read the RESOLVED version (re-resolving with the caller's
             # None would race a concurrent commit, same as the stats
             # comment above)
-            full = self.read(v)
+            full = self.read(v, merge_schema=merge_schema)
             return full.filter(F.lit(False))
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in kept]
-        )
+        reader = self.spark.read
+        if merge_schema:
+            union = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, f) for f in live])
+                .schema
+            )
+            reader = reader.schema(union).option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(self.path, f) for f in kept])
         for col, (lo, hi) in preds.items():
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
@@ -386,10 +469,18 @@ class TxTable:
         NULL — the Delta/Iceberg add-column semantics). It costs one
         footer read per live file at planning time, so the default
         stays single-schema; old snapshots read through time travel are
-        unaffected either way (their file set pins their schema)."""
+        unaffected either way (their file set pins their schema).
+
+        Time travel to a version whose files were vacuumed raises
+        :class:`VacuumedSnapshotError` (checked only for EXPLICIT
+        version requests — the latest snapshot's files are live by
+        definition, and per-file existence probes against an object
+        store are not free)."""
         v, live = self.snapshot(version)
         if not live:
             raise ValueError(f"table {self.path} is empty at version {v}")
+        if version is not None:
+            self._check_not_vacuumed(v, live)
         paths = [os.path.join(self.path, f) for f in live]
         reader = self.spark.read
         if merge_schema:
@@ -905,12 +996,36 @@ class TxTable:
                     )
         raise CommitConflict(f"compact lost {max_retries} races")
 
-    def vacuum(self) -> list[str]:
+    def _check_not_vacuumed(self, version: int, live: list[str]) -> None:
+        """Raise :class:`VacuumedSnapshotError` if any of the snapshot's
+        files no longer exists on disk (retired by a later vacuum) —
+        the loud failure the time-travel contract promises instead of
+        a reader-dependent path error or partial read."""
+        missing = [
+            f for f in live
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise VacuumedSnapshotError(
+                f"version {version} of {self.path} is behind the vacuum "
+                f"retention boundary: {len(missing)} of its {len(live)} "
+                f"files were deleted (e.g. {missing[0]}). Time travel is "
+                f"only valid for versions whose files a vacuum has not "
+                f"retired."
+            )
+
+    def vacuum(self, max_retries: int = 5) -> list[str]:
         """Delete data files no live snapshot references... in THIS
         minimal implementation, files unreferenced by the LATEST
         snapshot that are also older than every retained version —
         i.e. safe only once readers of old versions are done. Returns
-        the deleted paths (relative)."""
+        the deleted paths (relative).
+
+        The deletion is RECORDED as a ``vacuum`` commit entry (no
+        added/removed — the live set is untouched) so the retention
+        boundary is auditable from the log alone: history shows which
+        files died and when, and :class:`VacuumedSnapshotError` can
+        point at a cause instead of a mystery."""
         _, live = self.snapshot()
         live_set = set(live)
         referenced: set[str] = set()
@@ -923,6 +1038,16 @@ class TxTable:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
                 os.remove(p)
+        if dead:
+            for _ in range(max_retries):
+                try:
+                    self._commit({"op": "vacuum", "vacuumed": dead})
+                    break
+                except CommitConflict:
+                    continue
+            # a lost race beyond the retries leaves the deletion
+            # unrecorded but the table state correct — the audit entry
+            # is best-effort, the file removal is the operation
         return dead
 
 
@@ -960,6 +1085,9 @@ def sink_stream_exactly_once(
     query_name: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    transform=None,
+    stats_cols: list[str] | None = None,
+    entry_extra=None,
 ):
     """Exactly-once streaming sink into a TxTable via ``foreachBatch``.
 
@@ -980,6 +1108,23 @@ def sink_stream_exactly_once(
     the last scanned version are opened), so a long-lived stream pays
     O(new commits) per epoch, not O(history).
 
+    ``transform`` (optional, ``batch_df -> DataFrame``) is applied to
+    each micro-batch BEFORE the write — the hook that lets maintenance
+    sinks (z-keying + range partitioning, ``streaming/zorder_maintain``)
+    reuse this stamp machinery instead of re-implementing it as
+    at-least-once. It must be deterministic per batch: a replayed epoch
+    re-runs it, and the stamp only guarantees the COMMIT is not
+    duplicated, not that side effects inside transform are.
+
+    ``stats_cols`` records per-file min/max in the stamped commit (same
+    contract as :meth:`TxTable.append`), so data skipping survives the
+    exactly-once path. ``entry_extra`` (optional,
+    ``written_df -> dict``) merges audit metadata (e.g. drift counters)
+    into the commit entry; reserved keys are protected. It is handed a
+    frame over the batch's ALREADY-WRITTEN files, so its aggregate
+    re-reads micro-batch-sized parquet rather than re-executing the
+    transform lineage.
+
     Returns the StreamingQuery (caller awaits termination).
     """
 
@@ -989,18 +1134,32 @@ def sink_stream_exactly_once(
         stamp = (query_name, int(batch_id))
         if cache.seen(stamp):
             return
-        files, n = table._write_files(batch_df)
+        out = transform(batch_df) if transform is not None else batch_df
+        if stats_cols:
+            table._check_stats_cols(dict(out.dtypes), stats_cols)
+        files, n = table._write_files(out)
+        entry = {
+            "op": "stream-append",
+            "added": files,
+            "n_rows": n,
+            "stream_batch": list(stamp),
+        }
+        if stats_cols:
+            entry["stats"] = table._file_stats(files, stats_cols)
+        if entry_extra is not None:
+            written = table.spark.read.parquet(
+                *[os.path.join(table.path, f) for f in files]
+            )
+            extra = entry_extra(written)
+            clash = set(extra) & set(entry)
+            if clash:
+                raise ValueError(
+                    f"entry_extra may not override commit keys: {clash}"
+                )
+            entry.update(extra)
         while True:
             try:
-                v = table._commit(
-                    {
-                        "op": "stream-append",
-                        "added": files,
-                        "n_rows": n,
-                        "stream_batch": list(stamp),
-                    },
-                    at_version=cache.scanned + 1,
-                )
+                v = table._commit(entry, at_version=cache.scanned + 1)
                 cache.record(stamp, v)
                 return
             except CommitConflict:

@@ -25,15 +25,24 @@ box query over the maintained copy equals the same box aggregate over
 the raw table. Layout, batching, and maintenance move bytes, never
 rows.
 
-Delivery is AT-LEAST-ONCE, same caveat as
-``streaming/dedup_maintain.py``: the checkpoint makes batch ids
-deterministic and a fully-drained AvailableNow restart is a no-op, but
-a crash BETWEEN a batch's txlog append and its checkpoint record
-replays that batch on restart and duplicates its rows — true
-exactly-once would need (query, epoch) commit fencing in the table,
-which ``sink_stream_upsert`` implements for keyed sinks; an append-only
-clustered copy would carry the batch id and dedup on read, or accept
-the standard foreachBatch contract, as here.
+Delivery is EXACTLY-ONCE: each append carries the (query, epoch) stamp
+through ``sink_stream_exactly_once``'s pinned-commit protocol, so a
+crash BETWEEN a batch's txlog append and its checkpoint record replays
+the batch but the replayed commit is recognized and skipped — the
+clustered copy can never double-count a micro-batch
+(``tests/test_zorder.py`` re-drains a partially-checkpointed stream to
+pin this).
+
+DRIFT MONITORING: the fixed bounds are a frozen model of the key
+distribution. Values outside them still land correctly (clamped into
+edge cells — layout-only degradation), but a growing clamped fraction
+means the edge files' stat rectangles are widening and the box skip is
+silently eroding. Each commit therefore records
+``zorder_drift = {n_rows, clamped, nulls}`` (one micro-batch-sized
+aggregate over the batch's already-written files), and
+:func:`zorder_drift_report` folds the log into a recluster signal a
+deployment would alert on — results stay oracle-green either way; the
+signal is about PRUNING health, not correctness.
 """
 
 from __future__ import annotations
@@ -41,46 +50,82 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# clamped fraction (across the commits inspected) above which
+# zorder_drift_report recommends re-deriving bounds + reclustering
+DRIFT_RECLUSTER_THRESHOLD = 0.05
+
+
+def _drift_counters(bounds: dict[str, tuple[int, int]]):
+    """Aggregates over a keyed batch: rows whose ANY z-dim fell outside
+    its fixed bound (clamped into an edge cell) and rows whose ANY
+    z-dim was NULL (key NULL → nulls-first files). Pure JVM exprs."""
+    oob = F.lit(False)
+    nul = F.lit(False)
+    for c, (lo, hi) in bounds.items():
+        oob = oob | (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
+        nul = nul | F.col(c).isNull()
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(nul, 0).otherwise(F.when(oob, 1).otherwise(0))).alias(
+            "clamped"
+        ),
+        F.sum(F.when(nul, 1).otherwise(0)).alias("nulls"),
+    ]
+
 
 def maintain_zorder_stream(
     stream_df: DataFrame,
     table,
     bounds: dict[str, tuple[int, int]],
+    checkpoint_dir: str,
     bits: int = 10,
     key_col: str = "__z",
     query_name: str = "zorder_maintain",
-    checkpoint_dir: str | None = None,
     timeout_s: int = 300,
 ):
     """Drain ``stream_df`` with AvailableNow, appending z-keyed,
-    stats-tracked commits to ``table`` (a TxTable). ``bounds`` are the
-    table's fixed per-column key bounds (insertion order = interleave
-    order). Returns the finished StreamingQuery."""
-    import tempfile
-
+    stats-tracked, (query, epoch)-stamped commits to ``table`` (a
+    TxTable). ``bounds`` are the table's fixed per-column key bounds
+    (insertion order = interleave order). ``checkpoint_dir`` is
+    REQUIRED: the stamp protocol is defined relative to the epoch ids
+    the checkpoint makes deterministic, and an implicit temp dir would
+    silently break restart semantics (and accrete dirs across bench
+    invocations). Returns the finished StreamingQuery."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "maintain_zorder_stream requires an explicit checkpoint_dir: "
+            "epoch ids (and therefore exactly-once stamps) are only "
+            "stable relative to one checkpoint location"
+        )
     from pm25ml_spark.operators.zorder import zorder_key_fixed
+    from pm25ml_spark.sources.txlog import sink_stream_exactly_once
 
     nparts = stream_df.sparkSession.sparkContext.defaultParallelism
     stats_cols = list(bounds)
+    counters = _drift_counters(bounds)
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def transform(batch_df: DataFrame) -> DataFrame:
         keyed = zorder_key_fixed(batch_df, bounds, bits=bits, key_col=key_col)
-        table.append(
-            keyed.repartitionByRange(nparts, F.col(key_col)),
-            stats_cols=stats_cols,
-        )
+        return keyed.repartitionByRange(nparts, F.col(key_col))
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply)
-        .queryName(query_name)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix=f"{query_name}_chk_"),
-        )
-        .trigger(availableNow=True)
-        .start()
+    def drift(written: DataFrame) -> dict:
+        r = written.agg(*counters).collect()[0]
+        return {
+            "zorder_drift": {
+                "n_rows": int(r["n"]),
+                "clamped": int(r["clamped"] or 0),
+                "nulls": int(r["nulls"] or 0),
+            }
+        }
+
+    q = sink_stream_exactly_once(
+        stream_df,
+        table,
+        query_name=query_name,
+        checkpoint_dir=checkpoint_dir,
+        transform=transform,
+        stats_cols=stats_cols,
+        entry_extra=drift,
     )
     if not q.awaitTermination(timeout_s):
         q.stop()
@@ -89,3 +134,38 @@ def maintain_zorder_stream(
             f"{timeout_s}s"
         )
     return q
+
+
+def zorder_drift_report(
+    table, threshold: float = DRIFT_RECLUSTER_THRESHOLD
+) -> dict:
+    """Fold the table's ``zorder_drift`` commit stats into a health
+    signal: total/clamped/null row counts across maintenance commits,
+    the worst single-commit clamped fraction, and ``recluster`` — True
+    when the cumulative clamped fraction crosses ``threshold``, i.e.
+    the frozen bounds have drifted enough that a bounds re-derivation +
+    full recluster (the z analogue of IVF retraining) is worth its
+    cost. Reads the commit LOG only — never the data."""
+    total = clamped = nulls = 0
+    worst = 0.0
+    commits = 0
+    for e in table.history():
+        d = e.get("zorder_drift")
+        if not d:
+            continue
+        commits += 1
+        total += d["n_rows"]
+        clamped += d["clamped"]
+        nulls += d["nulls"]
+        if d["n_rows"]:
+            worst = max(worst, d["clamped"] / d["n_rows"])
+    frac = (clamped / total) if total else 0.0
+    return {
+        "commits": commits,
+        "n_rows": total,
+        "clamped": clamped,
+        "nulls": nulls,
+        "clamped_frac": frac,
+        "worst_commit_frac": worst,
+        "recluster": frac > threshold,
+    }

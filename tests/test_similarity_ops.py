@@ -599,3 +599,79 @@ def test_lsh_probe_pair_filter_prefilters_before_ranking(spark):
         q_meta=("ql",), pair_filter=F.lit(False),
     ).collect()
     assert none == []
+
+
+def test_ivf_drift_audit_and_retrain_signal(spark, tmp_path):
+    """Frozen-quantizer drift monitoring (r11 ask #6): every maintained-
+    index commit records assignment-quality counters, and a refresh
+    batch the quantizer no longer covers raises the RETRAIN flag from
+    the log alone — while assignments stay exact (each vector still
+    goes to its true nearest frozen centroid, so query results remain
+    oracle-green; the signal is recall economics, not correctness)."""
+    from pm25ml_spark.operators.similarity import (
+        ivf_assign,
+        ivf_commit_audit,
+        ivf_drift_report,
+    )
+    from pm25ml_spark.sources.txlog import TxTable
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "cid long, ce array<double>")
+
+    # base corpus: tight around two centroid directions (cids 0 and 10
+    # are the stride-10 codebook)
+    base = vecs(
+        [(i, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(0, 9)]
+        + [(10 + i, [0.0, 0.0, 1.0, 0.05 * i]) for i in range(0, 9)]
+    )
+    t = TxTable(spark, str(tmp_path / "ivf"))
+    assigned = ivf_assign(base, centroid_stride=10, centroid_offset=0)
+    t.append(assigned, entry_extra=ivf_commit_audit)
+
+    # healthy refresh: same distribution, assigned against the SAME
+    # frozen quantizer → no flag
+    fresh = vecs([(100 + i, [1.0, 0.04 * i, 0.0, 0.0]) for i in range(5)])
+    t.append(
+        ivf_assign(fresh, centroid_stride=10, centroid_offset=0,
+                   cen_source=base),
+        entry_extra=ivf_commit_audit,
+    )
+    rep = ivf_drift_report(t)
+    assert rep["commits"] == 2 and rep["retrain"] is False, rep
+
+    # drifted refresh: vectors orthogonal-to-negative vs both frozen
+    # centroids → mean distance blows past the base ratio and some
+    # fall outside every centroid's half-space
+    drift = vecs(
+        [(200 + i, [-1.0, 0.0, -1.0, 1.0 + 0.1 * i]) for i in range(5)]
+    )
+    t.append(
+        ivf_assign(drift, centroid_stride=10, centroid_offset=0,
+                   cen_source=base),
+        entry_extra=ivf_commit_audit,
+    )
+    rep2 = ivf_drift_report(t)
+    assert rep2["commits"] == 3 and rep2["retrain"] is True, rep2
+
+    # audit lives IN the commit entries (log-only monitoring)
+    audited = [e for e in t.history() if "ivf_drift" in e]
+    assert len(audited) == 3
+    assert all(a["ivf_drift"]["n_rows"] > 0 for a in audited)
+
+    # correctness unaffected: every drifted vector still sits in its
+    # true nearest frozen centroid's list
+    import numpy as np
+
+    C = {0: np.array([1.0, 0.05 * 0, 0.0, 0.0]),
+         10: np.array([0.0, 0.0, 1.0, 0.05 * 0])}
+    got = {r.cid: r.cen for r in t.read().filter("cid >= 200").collect()}
+    for r in drift.collect():
+        v = np.array(r.ce)
+        best = max(
+            sorted(C),
+            key=lambda k: round(
+                float(v @ C[k] / (np.linalg.norm(v) * np.linalg.norm(C[k]))),
+                6,
+            ),
+        )
+        assert got[r.cid] == best

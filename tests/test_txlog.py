@@ -999,3 +999,130 @@ def test_compact_preserves_evolved_columns(spark, tmp_path):
     }
     assert {(i, "b", 7) for i in range(10, 20)} <= got  # values kept
     assert {(i, "a", None) for i in range(10)} <= got  # old rows NULL
+
+
+def test_time_travel_to_vacuumed_version_raises_documented_error(
+    spark, tmp_path
+):
+    """Round-11 ask #5 boundary pin: after compact + vacuum, the CURRENT
+    snapshot reads fine, but time travel to a version whose files were
+    retired raises VacuumedSnapshotError — a documented loud failure,
+    never a reader-dependent path error or silent partial read. The
+    vacuum itself is auditable: its commit entry lists the retired
+    files."""
+    from pm25ml_spark.sources.txlog import VacuumedSnapshotError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))
+    t.append(_df(spark, 10, 20, "b"))
+    pre = t.latest_version()
+    total = sum(
+        os.path.getsize(os.path.join(t.path, f)) for f in t.snapshot()[1]
+    )
+    t.compact(target_file_bytes=max(total * 2, 1 << 20))
+    dead = t.vacuum()
+    assert dead, "compact should have retired the small files"
+
+    # audit trail: the retirement is a log entry listing exactly the dead files
+    last = t.history()[-1]
+    assert last["op"] == "vacuum" and sorted(last["vacuumed"]) == dead
+
+    # current snapshot unaffected
+    assert t.read().count() == 20
+
+    # time travel behind the retention boundary: documented loud error
+    with pytest.raises(VacuumedSnapshotError, match="vacuum retention"):
+        t.read(version=pre)
+    with pytest.raises(VacuumedSnapshotError, match="vacuum retention"):
+        t.read_pruned("id", 0, 5, version=pre)
+
+    # versions at/after the compact still time-travel fine
+    compact_v = next(
+        h["version"] for h in t.history() if h["op"] == "compact"
+    )
+    assert t.read(version=compact_v).count() == 20
+
+    # and restore to the vacuumed version still refuses loudly
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(pre)
+
+
+def test_vacuum_noop_records_no_entry(spark, tmp_path):
+    """A vacuum with nothing to retire must not pollute the log."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))
+    assert t.vacuum() == []
+    assert [h["op"] for h in t.history()] == ["append"]
+
+
+def test_read_pruned_multi_merge_schema_stable_under_predicate(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): on an additively-evolved table the pruned
+    read's schema must NOT depend on which files survive pruning.
+    merge_schema=True pins it to the union schema — equal to
+    read(merge_schema=True) + filters for every predicate, including
+    ones that keep only old-schema or only new-schema files."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    old = spark.range(0, 10).select(F.col("id"))
+    t.append(old, stats_cols=["id"])
+    new = spark.range(100, 110).select(
+        F.col("id"), (F.col("id") * 2).alias("extra")
+    )
+    t.append(new, stats_cols=["id"])
+
+    # keeps ONLY the old-schema file: without mergeSchema 'extra' would
+    # silently vanish from the schema
+    lo = t.read_pruned("id", 0, 5, merge_schema=True)
+    assert set(lo.columns) == {"id", "extra"}
+    assert all(r.extra is None for r in lo.collect())
+
+    # keeps ONLY the new-schema file
+    hi = t.read_pruned("id", 100, 105, merge_schema=True)
+    assert set(hi.columns) == {"id", "extra"}
+    assert all(r.extra is not None for r in hi.collect())
+
+    # equals the unpruned merged read + filter, schema and rows
+    for lo_b, hi_b in ((0, 5), (100, 105), (0, 200)):
+        got = t.read_pruned("id", lo_b, hi_b, merge_schema=True)
+        want = t.read(merge_schema=True).filter(
+            F.col("id").between(lo_b, hi_b)
+        )
+        assert set(got.columns) == set(want.columns)
+        key = lambda r: (r["id"], r["extra"])
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, want.collect())
+        )
+
+
+def test_date_stats_prune_and_filter(spark, tmp_path):
+    """Date columns are first-class stats/prune dimensions: recorded as
+    ISO strings (order-preserving), pruned against date bounds, and the
+    exact row filter still applies typed date semantics."""
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    jan = spark.sql(
+        "SELECT sequence(DATE '2024-01-01', DATE '2024-01-10') AS ds"
+    ).select(F.explode("ds").alias("d"))
+    feb = spark.sql(
+        "SELECT sequence(DATE '2024-02-01', DATE '2024-02-10') AS ds"
+    ).select(F.explode("ds").alias("d"))
+    t.append(jan.coalesce(1), stats_cols=["d"])
+    t.append(feb.coalesce(1), stats_cols=["d"])
+
+    stats = t.file_stats()
+    assert all(isinstance(s["d"][0], str) for s in stats.values())
+
+    preds = {"d": (dt.date(2024, 1, 3), dt.date(2024, 1, 7))}
+    # the feb file is provably excluded by its ISO-string stats
+    _v, live = t.snapshot()
+    kept = [
+        f for f in live
+        if not (
+            stats[f]["d"][1] < "2024-01-03" or stats[f]["d"][0] > "2024-01-07"
+        )
+    ]
+    assert len(kept) == 1 and len(live) == 2
+    got = sorted(r.d for r in t.read_pruned_multi(preds).collect())
+    assert got == [dt.date(2024, 1, 3 + i) for i in range(5)]

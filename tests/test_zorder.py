@@ -44,6 +44,35 @@ def test_rank_scale_bounds_and_clamp(spark):
     assert 0 < got[50] < 255
 
 
+def test_rank_scale_null_propagates_not_top_cell(spark):
+    """greatest/least skip NULLs in Spark — without the explicit guard
+    a NULL input would silently rank as the TOP cell and skew edge-file
+    stats. NULL must stay NULL through rank and interleaved key."""
+    from pm25ml_spark.operators.zorder import interleave_bits, rank_scale
+
+    df = spark.createDataFrame(
+        [(None, 3), (7, None), (7, 3)], "x long, y long"
+    )
+    ranked = df.select(
+        rank_scale(F.col("x"), 0, 10, 4).alias("rx"),
+        rank_scale(F.col("y"), 0, 10, 4).alias("ry"),
+    ).withColumn("z", interleave_bits([F.col("rx"), F.col("ry")], 4))
+    rows = ranked.collect()
+    assert rows[0].rx is None and rows[0].z is None
+    assert rows[1].ry is None and rows[1].z is None
+    assert rows[2].rx is not None and rows[2].z is not None
+
+
+def test_zorder_key_fixed_rejects_all_null_bounds(spark):
+    import pytest
+
+    from pm25ml_spark.operators.zorder import zorder_key_fixed
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="all-NULL|NULL"):
+        zorder_key_fixed(df, {"a": (None, None), "b": (0, 5)}, bits=4)
+
+
 def test_zorder_key_is_deterministic_and_jvm_only(spark):
     """Same input → same keys across invocations, and the key plan has
     no Python stages (pure shift/and arithmetic)."""
@@ -185,7 +214,14 @@ def test_st10_streaming_maintenance_lifecycle(spark):
 
     t = st10_maintained_table(spark, SF)
     ops = [h["op"] for h in t.history()]
-    assert ops[:2] == ["append", "append"], ops  # one commit per batch
+    # one STAMPED commit per micro-batch (exactly-once protocol), each
+    # carrying its drift audit counters
+    assert ops[:2] == ["stream-append", "stream-append"], ops
+    for h in t.history():
+        if h["op"] == "stream-append":
+            assert h.get("stream_batch"), h
+            d = h.get("zorder_drift")
+            assert d and d["n_rows"] > 0 and d["clamped"] == 0, d
     assert "compact" in ops, ops
     _, live = t.snapshot()
     stats = t.file_stats()
@@ -206,3 +242,264 @@ def test_st10_streaming_maintenance_lifecycle(spark):
         (r.user_id, r.day_int, float(r.value)) for r in full.collect()
     )
     assert got == want and got
+
+
+def _drain(spark, stage, t, bounds, chk, qname):
+    import time
+
+    from pm25ml_spark.streaming.events import read_events_stream
+    from pm25ml_spark.streaming.zorder_maintain import maintain_zorder_stream
+
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+    )
+    proj = stream.select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int"), "value"
+    )
+    q = maintain_zorder_stream(
+        proj, t, bounds, checkpoint_dir=chk, bits=8, query_name=qname
+    )
+    # a terminated AvailableNow query deregisters from the session's
+    # active list ASYNCHRONOUSLY; a restart on the same checkpoint
+    # before that lands trips Spark's concurrent-checkpoint guard
+    for _ in range(100):
+        if all(a.name != qname for a in spark.streams.active):
+            break
+        time.sleep(0.1)
+    return q
+
+
+def test_zorder_maintainer_exactly_once_under_replay(spark, tmp_path):
+    """THE crash-replay pin (round-11 ask #1): a failure between a
+    batch's txlog append and its checkpoint record replays that batch
+    on restart — the (query, epoch) stamp must recognize the replay and
+    skip the append, so the clustered copy never double-counts.
+    Simulated by deleting the checkpoint's LAST commit marker after a
+    full drain (exactly the partially-checkpointed crash state), then
+    re-draining with the same query name; a fully-checkpointed restart
+    must likewise be a no-op; and the final table must still equal the
+    staged source rows."""
+    import os
+
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators.zorder import column_bounds
+    from pm25ml_spark.plans.live import _stage_chronological_halves
+    from pm25ml_spark.sources.txlog import TxTable
+
+    stage = _stage_chronological_halves(spark, SF, "zx1")
+    base = load_table(spark, SF, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int")
+    )
+    bounds = column_bounds(base, ["user_id", "day_int"])
+    chk = str(tmp_path / "chk")
+    t = TxTable(spark, str(tmp_path / "zt"))
+    qname = "zx1_maintain"
+
+    _drain(spark, stage, t, bounds, chk, qname)
+    n_full = t.read().count()
+    appends = [h for h in t.history() if h["op"] == "stream-append"]
+    assert len(appends) == 2 and n_full > 0
+
+    # crash state: offsets/1 exists, commits/1 deleted → restart
+    # replays epoch 1 with the same deterministic batch content
+    last_commit = os.path.join(chk, "commits", "1")
+    assert os.path.exists(last_commit), os.listdir(os.path.join(chk, "commits"))
+    os.remove(last_commit)
+    # the local checksum FS leaves a stale .crc sidecar; a rename onto
+    # it reads as a concurrent-writer conflict, not a crash restart
+    crc = os.path.join(chk, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _drain(spark, stage, t, bounds, chk, qname)
+    # the engine restores commits/1 ONLY by re-running epoch 1 end-to-
+    # end — its reappearance proves the replay actually happened (the
+    # pin is not vacuous)
+    assert os.path.exists(last_commit), "replay never happened — vacuous pin"
+    assert t.read().count() == n_full, "replayed epoch duplicated rows"
+    assert (
+        len([h for h in t.history() if h["op"] == "stream-append"]) == 2
+    ), "replayed epoch committed a second stamped append"
+
+    # fully-checkpointed restart: no batches at all, still a no-op
+    _drain(spark, stage, t, bounds, chk, qname)
+    assert t.read().count() == n_full
+
+    # and the maintained copy still equals the staged source exactly
+    src = spark.read.parquet(f"{stage}/events_*.parquet").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int"), "value"
+    )
+    key = lambda r: (r["user_id"], r["day_int"], float(r["value"]))
+    assert sorted(
+        map(key, t.read().drop("__z").collect())
+    ) == sorted(map(key, src.collect()))
+
+
+def test_zorder_drift_flag_on_out_of_bounds_ingest(spark, tmp_path):
+    """Frozen-bounds drift monitoring (round-11 ask #6): an ingest
+    whose values fall outside the fixed bounds must raise the recluster
+    flag through the per-commit clamped counters while the table's ROWS
+    stay exactly right (drift is a pruning-health signal, never a
+    correctness event)."""
+    from pm25ml_spark.plans.live import _stage_chronological_halves
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.zorder_maintain import zorder_drift_report
+
+    stage = _stage_chronological_halves(spark, SF, "zx2")
+    # bounds frozen on a user range far narrower than the data: a large
+    # clamped fraction is guaranteed
+    bounds = {"user_id": (0, 1), "day_int": (19700, 19800)}
+    chk = str(tmp_path / "chk2")
+    t = TxTable(spark, str(tmp_path / "zt2"))
+    _drain(spark, stage, t, bounds, chk, "zx2_maintain")
+
+    rep = zorder_drift_report(t)
+    assert rep["commits"] == 2 and rep["n_rows"] > 0
+    assert rep["clamped"] > 0 and rep["recluster"] is True
+    # correctness unaffected by drift: every staged row is present once
+    src = spark.read.parquet(f"{stage}/events_*.parquet")
+    assert t.read().count() == src.count()
+
+    # healthy-bounds control: report stays quiet
+    t2 = TxTable(spark, str(tmp_path / "zt3"))
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators.zorder import column_bounds
+
+    base = load_table(spark, SF, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day_int")
+    )
+    ok = column_bounds(base, ["user_id", "day_int"])
+    _drain(spark, stage, t2, ok, str(tmp_path / "chk3"), "zx3_maintain")
+    rep2 = zorder_drift_report(t2)
+    assert rep2["clamped"] == 0 and rep2["recluster"] is False
+
+
+def test_typed_zorder_date_and_string_dims(spark):
+    """Typed z-dims (round-11 ask #2): date + string columns key
+    directly — the rank spec is JSON-able, the key expression stays
+    JVM-only, dictionary rank preserves lexicographic order, and NULLs
+    in either dim produce NULL keys."""
+    import datetime as dt
+    import json
+
+    from pm25ml_spark.operators.zorder import (
+        typed_zorder_key,
+        typed_zorder_key_fixed,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 1), "click", 1.0),
+        (dt.date(2024, 1, 15), "login", 2.0),
+        (dt.date(2024, 1, 30), "view", 3.0),
+        (None, "click", 4.0),
+        (dt.date(2024, 1, 10), None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "d date, et string, v double")
+    keyed, spec = typed_zorder_key(df, ["d", "et"], bits=8)
+    # spec is plain JSON (storable in a txlog commit entry)
+    json.dumps(spec)
+    assert spec["d"]["kind"] == "date" and spec["et"]["kind"] == "string"
+    got = {r.v: r["__z"] for r in keyed.collect()}
+    assert got[4.0] is None and got[5.0] is None  # NULL dim → NULL key
+    assert None not in (got[1.0], got[2.0], got[3.0])
+    # JVM-only plan
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # fixed-spec form reproduces identical keys (streaming contract)
+    again = typed_zorder_key_fixed(df, spec, bits=8)
+    assert {r.v: r["__z"] for r in again.collect()} == got
+    # dictionary rank preserves lexicographic order on the string dim:
+    # for a fixed date, earlier strings get smaller keys
+    one_day = spark.createDataFrame(
+        [(dt.date(2024, 1, 15), s, 0.0) for s in ("click", "login", "view")],
+        "d date, et string, v double",
+    )
+    ks = [
+        r["__z"]
+        for r in typed_zorder_key_fixed(one_day, spec, bits=8)
+        .orderBy("et")
+        .collect()
+    ]
+    assert ks == sorted(ks)
+
+
+def test_typed_zorder_double_quantile_and_timestamp(spark):
+    """Double dims rank by quantile cuts (skew-robust) and timestamp
+    dims by epoch seconds; unseen string values clamp to the top cell
+    instead of erroring (ingest drift is layout-only)."""
+    import datetime as dt
+
+    from pm25ml_spark.operators.zorder import (
+        typed_bounds,
+        typed_zorder_key_fixed,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 0, 0), float(x), "a" if x < 50 else "b")
+            for x in range(100)
+        ],
+        "ts timestamp, x double, s string",
+    )
+    spec = typed_bounds(base, ["ts", "x", "s"])
+    assert spec["x"]["kind"] == "double" and len(spec["x"]["cuts"]) >= 1
+    assert spec["ts"]["kind"] == "timestamp"
+    keyed = typed_zorder_key_fixed(base, spec, bits=8)
+    assert keyed.filter(F.col("__z").isNull()).count() == 0
+    # quantile rank is monotone in x (same ts/s ⇒ key ordered by x)
+    sub = keyed.filter(F.col("s") == "a").orderBy("x").collect()
+    zs = [r["__z"] for r in sub]
+    assert zs == sorted(zs)
+    # unseen dictionary value → top cell, not an error
+    drift = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0, "zzz-new")], "ts timestamp, x double, s string"
+    )
+    assert typed_zorder_key_fixed(drift, spec, bits=8).collect()[0]["__z"] is not None
+
+
+def test_d19_typed_zorder_prunes_on_date_and_string(spark):
+    """d19's payoff pin: the typed z-layout (date × string dims) skips
+    files for date-only, string-only, and box predicates — and the
+    pruned read equals the filtered full scan."""
+    import datetime as dt
+
+    from pm25ml_spark.plans.artifacts import staged_table_handle
+    from pm25ml_spark.plans.live import _D19_BITS, zorder_events_typed_staged
+
+    zorder_events_typed_staged(spark, SF)
+    t = staged_table_handle(spark, SF, "events_zorder_typed", (_D19_BITS,))
+
+    d0, d1 = dt.date(2024, 1, 8), dt.date(2024, 1, 14)
+    for preds in (
+        {"day": (d0, d1)},
+        {"event_type": ("error", "purchase")},
+        {"day": (d0, d1), "event_type": ("error", "purchase")},
+    ):
+        _v, live = t.snapshot()
+        # date bounds must be ISO-encoded for the raw stat compare here
+        kept = []
+        stats = t.file_stats()
+        for f in live:
+            ok = True
+            for col, (lo, hi) in preds.items():
+                st = stats.get(f, {}).get(col)
+                if st is None or st[0] is None:
+                    continue
+                elo = lo.isoformat() if isinstance(lo, dt.date) else lo
+                ehi = hi.isoformat() if isinstance(hi, dt.date) else hi
+                if st[1] < elo or st[0] > ehi:
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        assert len(live) > 4, "not enough files to demonstrate pruning"
+        assert len(kept) < len(live), (
+            f"no skip for {preds}: {len(kept)}/{len(live)} files kept"
+        )
+        got = t.read_pruned_multi(preds)
+        full = t.read()
+        for col, (lo, hi) in preds.items():
+            full = full.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        key = lambda r: (r["day"], r["event_type"], r["value"])
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, full.collect())
+        )

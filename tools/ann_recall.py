@@ -1,0 +1,228 @@
+"""Measured ANN recall-vs-cost curves for the catalog's index-backed
+vector-search plans (round-11 ask #3).
+
+The catalog queries (ss04/ss09/ss10/ss13/ss14) are hash-exact against
+their DuckDB oracles — that proves the ENGINE computes the declared
+approximation correctly, not that the approximation finds the true
+neighbors. A 100 TB deployment tunes nprobe / probe radius / table
+count against MEASURED recall; this tool runs the REAL Spark operators
+(the same staged-index + broadcast-probe plans the catalog serves)
+against the ss01 brute-force ground truth and records recall@k and
+wall seconds for a knob sweep, writing RECALL.md + RECALL.json.
+
+Unlike tools/ann_recall_sweep.py (a numpy mirror used to choose the
+defaults quickly), everything here is the Spark path end-to-end —
+staged index builds included, itemized separately so query-time cost
+is not laundered into build cost or vice versa.
+
+Usage:
+    python tools/ann_recall.py [--sf-dir /root/testdata/sf0.1] \
+        [--out RECALL.md] [--json RECALL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 3  # recall@3 unless the variant's catalog k is smaller
+
+
+def truth_topk(spark, sf_dir: str, k: int):
+    """Brute-force cosine top-k per query (the ss01 operator) — the
+    ground truth every approximate variant is scored against."""
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.plans.similarity import _qc
+
+    _, q, c = _qc(spark, sf_dir)
+    rows = S.cosine_topk(q, c, k=k).collect()
+    out: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rk"])):
+        out.setdefault(r["qid"], []).append(r["cid"])
+    return out
+
+
+def recall_at(pred_rows, truth: dict[int, list[int]], k: int) -> float:
+    """Mean over queries of |pred∩truth_k| / k. Queries the variant
+    returned nothing for count as 0 — an index that loses a query in
+    an empty probe set must pay for it in the metric."""
+    pred: dict[int, set[int]] = {}
+    for r in pred_rows:
+        if r["rk"] <= k:
+            pred.setdefault(r["qid"], set()).add(r["cid"])
+    if not truth:
+        return 0.0
+    total = 0.0
+    for qid, tk in truth.items():
+        total += len(pred.get(qid, set()) & set(tk[:k])) / min(k, len(tk))
+    return total / len(truth)
+
+
+def timed(df):
+    t0 = time.perf_counter()
+    rows = df.collect()
+    return rows, time.perf_counter() - t0
+
+
+def run(spark, sf_dir: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from pm25ml_spark.operators import similarity as S
+    from pm25ml_spark.plans import similarity as P
+    from pm25ml_spark.plans.artifacts import BUILD_SECONDS
+    from pm25ml_spark.plans.similarity import _qc
+
+    _, q, _ = _qc(spark, sf_dir)
+    results: dict[str, list[dict]] = {}
+
+    truth3 = truth_topk(spark, sf_dir, K)
+
+    def record(family, cfg, rows, secs, k, truth, default=False):
+        results.setdefault(family, []).append(
+            {
+                "config": cfg,
+                "k": k,
+                "recall": round(recall_at(rows, truth, k), 4),
+                "sec": round(secs, 3),
+                "default": default,
+            }
+        )
+
+    # --- IVF (ss04 plan shape): staged inverted lists, nprobe sweep
+    lists = P._ivf_lists_staged(spark, sf_dir)
+    for nprobe in (1, 2, 4, 8, 16):
+        rows, secs = timed(
+            S.ivf_probe_topk(q, lists, k=K, nprobe=nprobe,
+                             centroid_stride=100, centroid_offset=7)
+        )
+        record("ivf_ss04", f"nprobe={nprobe}", rows, secs, K, truth3,
+               default=(nprobe == 4))
+
+    # --- incremental IVF (ss13): same probe plan over the two-commit
+    # base+delta index — recall must MATCH the from-scratch index at
+    # equal nprobe (the incremental-equals-rebuild claim, measured)
+    lists_incr = P._ivf_lists_incremental(spark, sf_dir)
+    truth2 = {qid: tk[:2] for qid, tk in truth3.items()}
+    for nprobe in (1, 3, 8):
+        rows, secs = timed(
+            S.ivf_probe_topk(q, lists_incr, k=2, nprobe=nprobe,
+                             centroid_stride=100, centroid_offset=7)
+        )
+        record("ivf_incr_ss13", f"nprobe={nprobe}", rows, secs, 2, truth2,
+               default=(nprobe == 3))
+
+    # --- LSH multi-table (ss09 plan shape): staged postings,
+    # (tables × probe radius) sweep. Each table count is its own staged
+    # artifact (a production store sizes its table set up front).
+    truth1 = {qid: tk[:1] for qid, tk in truth3.items()}
+    for n_tables in (1, 2, 4):
+        postings = P._lsh_postings_staged(
+            spark, sf_dir, n_planes=8, n_tables=n_tables
+        )
+        for h in (0, 1, 2):
+            rows, secs = timed(
+                S.lsh_probe_topk(q, postings, k=1, n_planes=8, dim=64,
+                                 probe_hamming=h, n_tables=n_tables)
+            )
+            record("lsh_ss09", f"tables={n_tables},h={h}", rows, secs, 1,
+                   truth1, default=(n_tables == 2 and h == 1))
+
+    # --- incremental LSH (ss14): base+delta postings, radius sweep
+    postings_incr = P._lsh_postings_incremental(spark, sf_dir)
+    for h in (0, 1, 2):
+        rows, secs = timed(
+            S.lsh_probe_topk(q, postings_incr, k=1,
+                             n_planes=P._LSH_INCR_PLANES, dim=64,
+                             probe_hamming=h)
+        )
+        record("lsh_incr_ss14", f"h={h}", rows, secs, 1, truth1,
+               default=(h == P._LSH_INCR_H))
+
+    # --- IVFADC (ss10): staged residual codebook + code table, nprobe
+    # sweep through the LUT builder (rank is compressed-domain ADC, so
+    # recall is bounded by quantization error, not just probe coverage)
+    cen_ids, CM = S.ivfpq_coarse_arrays(
+        _qc(spark, sf_dir)[2], 100, 7
+    )
+    rsubs = P._ivfpq_rcodebook_staged(spark, sf_dir)
+    codes_cen = P._ivfpq_codes_staged(spark, sf_dir)
+    for nprobe in (2, 4, 8):
+        lut = S.ivfpq_lut(q, rsubs, cen_ids, CM, nprobe, P._PQ_M, P._PQ_SD)
+        rows, secs = timed(S.ivfpq_adc_rank(codes_cen, lut, k=K))
+        record("ivfpq_ss10", f"nprobe={nprobe}", rows, secs, K, truth3,
+               default=(nprobe == P._IVFPQ_NPROBE))
+
+    return {
+        "sf_dir": sf_dir,
+        "n_queries": len(truth3),
+        "results": results,
+        "stage_build_sec": {
+            k: round(v, 3) for k, v in sorted(BUILD_SECONDS.items())
+        },
+    }
+
+
+def render_md(payload: dict) -> str:
+    lines = [
+        "# RECALL — measured ANN recall vs cost (real Spark plans)",
+        "",
+        f"Corpus: `{payload['sf_dir']}` — {payload['n_queries']} queries "
+        f"(`vec_id % 50 = 0`), ground truth = ss01 brute-force cosine "
+        f"top-k. Wall seconds are query-time only; one-time staged index "
+        f"builds are itemized at the bottom. Generated by "
+        f"`tools/ann_recall.py`; the floor at the catalog defaults is "
+        f"pinned in `tests/test_ann_recall.py`.",
+        "",
+    ]
+    titles = {
+        "ivf_ss04": "IVF inverted-list probe (ss04 plan, recall@3)",
+        "ivf_incr_ss13": "IVF over the incrementally-maintained index "
+        "(ss13 plan, recall@2)",
+        "lsh_ss09": "Multi-table hyperplane LSH (ss09 plan, recall@1)",
+        "lsh_incr_ss14": "Incremental LSH postings (ss14 plan, recall@1)",
+        "ivfpq_ss10": "IVFADC compressed-domain rank (ss10 plan, recall@3)",
+    }
+    for fam, rows in payload["results"].items():
+        lines += [f"## {titles.get(fam, fam)}", "",
+                  "| config | recall@k | query sec |", "|---|---|---|"]
+        for r in rows:
+            mark = " **(catalog default)**" if r["default"] else ""
+            lines.append(
+                f"| {r['config']}{mark} | {r['recall']:.4f} | {r['sec']:.2f} |"
+            )
+        lines.append("")
+    lines += ["## One-time staged index builds (sec)", ""]
+    for k, v in payload["stage_build_sec"].items():
+        lines.append(f"- {k}: {v}")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="RECALL.md")
+    ap.add_argument("--json", default="RECALL.json")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
+    from pm25ml_spark.session import get_spark
+
+    spark = get_spark("ann_recall")
+    payload = run(spark, args.sf_dir)
+    with open(args.json, "w") as f:
+        json.dump(payload, f, indent=1)
+    with open(args.out, "w") as f:
+        f.write(render_md(payload))
+    print(f"wrote {args.out} and {args.json}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
