@@ -104,6 +104,9 @@ def sample_order(names: list[str]) -> list[str]:
         # (NULL dim → NULL key instead of greatest/least's top-cell
         # mapping) — layout-only, but the key expression changed.
         "d18_zorder_box_profile",
+        # r11: new typed streaming z-order maintenance lifecycle query
+        # (frozen typed spec + exactly-once stamps + typed drift).
+        "st11_stream_typed_zorder",
     }
     return sorted(
         names,

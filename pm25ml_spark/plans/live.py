@@ -1448,3 +1448,93 @@ def d20_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# st11 — STREAMING maintenance of the TYPED clustered copy: d19's
+# (day DATE, event_type STRING) layout kept fresh from a real
+# Structured Streaming source with the exactly-once stamp protocol.
+# Each micro-batch ranks its rows against the FROZEN typed spec (epoch-
+# day rank for the date dim, dictionary rank for the string dim — both
+# pure JVM), range-partitions on the Morton key, and lands one stamped,
+# stats-tracked commit carrying typed drift counters; a post-drain
+# clustered compact merges the per-batch files without losing the ISO-
+# encoded date stats. The oracle aggregates the RAW events table over
+# the same typed box — batching, typed ranking, layout, exactly-once
+# stamping, and compaction must all be row-invariant.
+_ST11_TYPES = ("purchase", "view")
+_ST11_DATES = ("2024-01-05", "2024-01-25")
+
+
+def st11_maintained_table(spark: SparkSession, sf_dir: str):
+    """Drain the two-batch events stream into a typed z-maintained
+    TxTable and compact it; returns the table handle (shared by the
+    catalog query and any lifecycle test)."""
+    from pm25ml_spark.operators.zorder import typed_bounds
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.events import read_events_stream
+    from pm25ml_spark.streaming.zorder_maintain import maintain_zorder_stream
+
+    stage = _stage_chronological_halves(spark, sf_dir, "st11")
+    stream = read_events_stream(
+        spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+    )
+    proj = stream.select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    # spec frozen from the raw corpus — the production posture: bounds/
+    # dictionaries derive from the established table, never from the
+    # incoming batch (a batch-derived spec would re-map existing keys)
+    base = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    spec = typed_bounds(base, ["day", "event_type"])
+    t = TxTable(spark, _tmpdir("st11_z_"))
+    maintain_zorder_stream(
+        proj,
+        t,
+        spec=spec,
+        bits=_D19_BITS,
+        query_name=f"st11_{uuid.uuid4().hex[:8]}",
+        checkpoint_dir=_tmpdir(prefix="st11_chk_"),
+    )
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(t.path, f)) for f in t.snapshot()[1]
+    )
+    t.compact(target_file_bytes=max(total // 4, 1 << 20), cluster_col="__z")
+    return t
+
+
+@query(
+    "st11_stream_typed_zorder",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MIN(CAST(ts AS DATE)) AS first_day,
+           MAX(CAST(ts AS DATE)) AS last_day
+    FROM events
+    WHERE event_type BETWEEN '{_ST11_TYPES[0]}' AND '{_ST11_TYPES[1]}'
+      AND CAST(ts AS DATE) BETWEEN DATE '{_ST11_DATES[0]}'
+                               AND DATE '{_ST11_DATES[1]}'
+    GROUP BY event_type
+    """,
+)
+def st11_stream_typed_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    spark = _isolated(spark)  # drain confs never touch the caller's session
+    t = st11_maintained_table(spark, sf_dir)
+    d0 = dt.date.fromisoformat(_ST11_DATES[0])
+    d1 = dt.date.fromisoformat(_ST11_DATES[1])
+    box = t.read_pruned_multi(
+        {"day": (d0, d1), "event_type": _ST11_TYPES}
+    )
+    return box.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )

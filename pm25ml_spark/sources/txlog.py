@@ -1014,26 +1014,34 @@ class TxTable:
                 f"retired."
             )
 
-    def vacuum(self, max_retries: int = 5) -> list[str]:
-        """Delete data files no live snapshot references... in THIS
-        minimal implementation, files unreferenced by the LATEST
-        snapshot that are also older than every retained version —
-        i.e. safe only once readers of old versions are done. Returns
-        the deleted paths (relative).
+    def vacuum(self, retain_last: int = 0, max_retries: int = 5) -> list[str]:
+        """Delete data files no RETAINED snapshot references. The
+        retention window is ``retain_last`` versions behind the latest
+        (0 = latest only): every file referenced by any snapshot inside
+        the window survives, so time travel within the window keeps
+        working after the vacuum — the Delta ``RETAIN n``/Iceberg
+        expire-snapshots contract. Reads of versions BEHIND the window
+        raise :class:`VacuumedSnapshotError`. Safe only once readers of
+        out-of-window versions are done. Returns the deleted paths
+        (relative).
 
         The deletion is RECORDED as a ``vacuum`` commit entry (no
         added/removed — the live set is untouched) so the retention
         boundary is auditable from the log alone: history shows which
         files died and when, and :class:`VacuumedSnapshotError` can
         point at a cause instead of a mystery."""
-        _, live = self.snapshot()
-        live_set = set(live)
+        vs = self.versions()
+        if not vs:
+            return []
+        retained: set[str] = set()
+        for v in vs[-(int(retain_last) + 1):]:
+            retained |= set(self.snapshot(v)[1])
         referenced: set[str] = set()
         for e in self.history():
             referenced |= set(e.get("added", []))
             if e.get("checkpoint"):
                 referenced |= set(e.get("live", []))
-        dead = sorted(referenced - live_set)
+        dead = sorted(referenced - retained)
         for rel in dead:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
@@ -1041,7 +1049,13 @@ class TxTable:
         if dead:
             for _ in range(max_retries):
                 try:
-                    self._commit({"op": "vacuum", "vacuumed": dead})
+                    self._commit(
+                        {
+                            "op": "vacuum",
+                            "vacuumed": dead,
+                            "retain_last": int(retain_last),
+                        }
+                    )
                     break
                 except CommitConflict:
                     continue

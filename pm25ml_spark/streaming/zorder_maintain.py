@@ -64,6 +64,10 @@ def _drift_counters(bounds: dict[str, tuple[int, int]]):
     for c, (lo, hi) in bounds.items():
         oob = oob | (F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))
         nul = nul | F.col(c).isNull()
+    return _counter_aggs(oob, nul)
+
+
+def _counter_aggs(oob, nul):
     return [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(nul, 0).otherwise(F.when(oob, 1).otherwise(0))).alias(
@@ -73,39 +77,89 @@ def _drift_counters(bounds: dict[str, tuple[int, int]]):
     ]
 
 
+def _drift_counters_typed(spec: dict[str, dict]):
+    """Typed-dimension drift: the "clamped" notion follows each rank
+    adapter's frozen model — int/date/timestamp values outside [lo, hi]
+    clamp to edge cells; STRING values absent from the frozen
+    dictionary map to the top cell (the classic ingest-drift case: a
+    new enum value appears); DOUBLE quantile ranks are total over the
+    reals (rank = #cuts ≤ x), so they never clamp and contribute only
+    NULL counts."""
+    oob = F.lit(False)
+    nul = F.lit(False)
+    for c, s in spec.items():
+        col = F.col(c)
+        kind = s["kind"]
+        if kind == "int":
+            oob = oob | (col < F.lit(s["lo"])) | (col > F.lit(s["hi"]))
+        elif kind == "date":
+            d = F.unix_date(col)
+            oob = oob | (d < F.lit(s["lo"])) | (d > F.lit(s["hi"]))
+        elif kind == "timestamp":
+            tsec = col.cast("long")
+            oob = oob | (tsec < F.lit(s["lo"])) | (tsec > F.lit(s["hi"]))
+        elif kind == "string":
+            if s["dict"]:
+                oob = oob | (~col.isin(*s["dict"]) & col.isNotNull())
+        nul = nul | col.isNull()
+    return _counter_aggs(oob, nul)
+
+
 def maintain_zorder_stream(
     stream_df: DataFrame,
     table,
-    bounds: dict[str, tuple[int, int]],
-    checkpoint_dir: str,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    checkpoint_dir: str = "",
     bits: int = 10,
     key_col: str = "__z",
     query_name: str = "zorder_maintain",
     timeout_s: int = 300,
+    spec: dict[str, dict] | None = None,
 ):
     """Drain ``stream_df`` with AvailableNow, appending z-keyed,
     stats-tracked, (query, epoch)-stamped commits to ``table`` (a
     TxTable). ``bounds`` are the table's fixed per-column key bounds
-    (insertion order = interleave order). ``checkpoint_dir`` is
-    REQUIRED: the stamp protocol is defined relative to the epoch ids
-    the checkpoint makes deterministic, and an implicit temp dir would
-    silently break restart semantics (and accrete dirs across bench
-    invocations). Returns the finished StreamingQuery."""
+    (insertion order = interleave order); pass ``spec`` instead (a
+    ``typed_bounds`` rank spec) to maintain a TYPED clustered copy —
+    date/timestamp/double/string dimensions, the d19 layout — with the
+    same frozen-model contract. ``checkpoint_dir`` is REQUIRED: the
+    stamp protocol is defined relative to the epoch ids the checkpoint
+    makes deterministic, and an implicit temp dir would silently break
+    restart semantics (and accrete dirs across bench invocations).
+    Returns the finished StreamingQuery."""
     if not checkpoint_dir:
         raise ValueError(
             "maintain_zorder_stream requires an explicit checkpoint_dir: "
             "epoch ids (and therefore exactly-once stamps) are only "
             "stable relative to one checkpoint location"
         )
-    from pm25ml_spark.operators.zorder import zorder_key_fixed
+    if (bounds is None) == (spec is None):
+        raise ValueError(
+            "pass exactly one of bounds (integer dims) or spec (typed dims)"
+        )
+    from pm25ml_spark.operators.zorder import (
+        typed_zorder_key_fixed,
+        zorder_key_fixed,
+    )
     from pm25ml_spark.sources.txlog import sink_stream_exactly_once
 
     nparts = stream_df.sparkSession.sparkContext.defaultParallelism
-    stats_cols = list(bounds)
-    counters = _drift_counters(bounds)
+    stats_cols = list(bounds) if bounds is not None else list(spec)
+    counters = (
+        _drift_counters(bounds)
+        if bounds is not None
+        else _drift_counters_typed(spec)
+    )
 
     def transform(batch_df: DataFrame) -> DataFrame:
-        keyed = zorder_key_fixed(batch_df, bounds, bits=bits, key_col=key_col)
+        if bounds is not None:
+            keyed = zorder_key_fixed(
+                batch_df, bounds, bits=bits, key_col=key_col
+            )
+        else:
+            keyed = typed_zorder_key_fixed(
+                batch_df, spec, bits=bits, key_col=key_col
+            )
         return keyed.repartitionByRange(nparts, F.col(key_col))
 
     def drift(written: DataFrame) -> dict:

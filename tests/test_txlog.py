@@ -1126,3 +1126,36 @@ def test_date_stats_prune_and_filter(spark, tmp_path):
     assert len(kept) == 1 and len(live) == 2
     got = sorted(r.d for r in t.read_pruned_multi(preds).collect())
     assert got == [dt.date(2024, 1, 3 + i) for i in range(5)]
+
+
+def test_vacuum_retention_window_keeps_time_travel_inside(spark, tmp_path):
+    """vacuum(retain_last=K) is the Delta RETAIN/expire-snapshots
+    contract: snapshots inside the window stay time-travelable after
+    the vacuum, snapshots behind it raise the documented error, and
+    the retention parameter is recorded in the vacuum log entry."""
+    from pm25ml_spark.sources.txlog import VacuumedSnapshotError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))           # v0
+    t.overwrite(_df(spark, 0, 5, "b"))         # v1 retires v0's files
+    t.overwrite(_df(spark, 0, 7, "c"))         # v2 retires v1's files
+    t.append(_df(spark, 7, 9, "d"))            # v3
+
+    dead = t.vacuum(retain_last=2)  # window = versions 1..3
+    assert dead, "v0's files should be retired"
+    assert t.history()[-1]["retain_last"] == 2
+
+    # inside the window: still readable
+    assert t.read(version=1).count() == 5
+    assert t.read(version=2).count() == 7
+    assert t.read().count() == 9
+    # behind the window: loud documented failure
+    with pytest.raises(VacuumedSnapshotError, match="vacuum retention"):
+        t.read(version=0)
+
+    # shrinking the window retires v1's files too
+    dead2 = t.vacuum(retain_last=0)
+    assert dead2
+    with pytest.raises(VacuumedSnapshotError, match="vacuum retention"):
+        t.read(version=1)
+    assert t.read().count() == 9

@@ -503,3 +503,81 @@ def test_d19_typed_zorder_prunes_on_date_and_string(spark):
         assert sorted(map(key, got.collect())) == sorted(
             map(key, full.collect())
         )
+
+
+def test_typed_zorder_streaming_maintenance_and_dict_drift(spark, tmp_path):
+    """The typed clustered copy (d19 layout) is stream-maintainable
+    with the same exactly-once stamp protocol, records typed drift
+    counters, and an ingest batch carrying a string value OUTSIDE the
+    frozen dictionary raises the recluster flag while the rows stay
+    exactly right (unseen values clamp to the top cell — layout-only)."""
+    import datetime as dt
+
+    from pm25ml_spark.plans.live import _stage_chronological_halves
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.events import read_events_stream
+    from pm25ml_spark.streaming.zorder_maintain import (
+        maintain_zorder_stream,
+        zorder_drift_report,
+    )
+
+    stage = _stage_chronological_halves(spark, SF, "zx4")
+
+    def drain(spec, table, chk, qname):
+        stream = read_events_stream(
+            spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+        )
+        proj = stream.select(
+            F.to_date("ts").alias("day"), "event_type", "value"
+        )
+        maintain_zorder_stream(
+            proj,
+            table,
+            spec=spec,
+            checkpoint_dir=chk,
+            bits=8,
+            query_name=qname,
+        )
+
+    # healthy: spec frozen over the full dictionary/date range
+    full_spec = {
+        "day": {"kind": "date", "lo": 19723, "hi": 19752},
+        "event_type": {
+            "kind": "string",
+            "dict": ["click", "error", "purchase", "signup", "view"],
+        },
+    }
+    t = TxTable(spark, str(tmp_path / "tz"))
+    drain(full_spec, t, str(tmp_path / "c1"), "zx4_a")
+    rep = zorder_drift_report(t)
+    assert rep["commits"] == 2 and rep["clamped"] == 0, rep
+    # typed stats recorded (date as ISO strings, string min/max)
+    stats = t.file_stats()
+    assert stats and all("day" in s and "event_type" in s for s in stats.values())
+    # a typed box over the maintained copy equals the raw staging data
+    box = t.read_pruned_multi(
+        {"day": (dt.date(2024, 1, 5), dt.date(2024, 1, 9)),
+         "event_type": ("click", "error")}
+    )
+    src = spark.read.parquet(f"{stage}/events_*.parquet").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    ).filter(
+        F.col("day").between(dt.date(2024, 1, 5), dt.date(2024, 1, 9))
+        & F.col("event_type").between("click", "error")
+    )
+    key = lambda r: (r["day"], r["event_type"], float(r["value"]))
+    assert sorted(map(key, box.collect())) == sorted(map(key, src.collect()))
+
+    # drift: the frozen dictionary predates the 'view' and 'signup'
+    # event types — the ingest raises the recluster flag, rows intact
+    stale_spec = {
+        "day": {"kind": "date", "lo": 19723, "hi": 19752},
+        "event_type": {"kind": "string", "dict": ["click", "error", "purchase"]},
+    }
+    t2 = TxTable(spark, str(tmp_path / "tz2"))
+    drain(stale_spec, t2, str(tmp_path / "c2"), "zx4_b")
+    rep2 = zorder_drift_report(t2)
+    assert rep2["clamped"] > 0 and rep2["recluster"] is True, rep2
+    assert t2.read().count() == spark.read.parquet(
+        f"{stage}/events_*.parquet"
+    ).count()

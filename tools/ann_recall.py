@@ -199,7 +199,39 @@ def render_md(payload: dict) -> str:
     lines += ["## One-time staged index builds (sec)", ""]
     for k, v in payload["stage_build_sec"].items():
         lines.append(f"- {k}: {v}")
-    lines.append("")
+    lines += [
+        "",
+        "## Reading the curves (100 TB guidance)",
+        "",
+        "- **Recall is monotone in probe coverage by construction**: a "
+        "larger nprobe / probe radius / table set strictly extends the "
+        "candidate set, so each column above is non-decreasing down the "
+        "sweep — `tests/test_ann_recall.py` pins that structure plus "
+        "absolute floors, so a probe-mask or probe-selection regression "
+        "craters a test before it silently craters production recall.",
+        "- **Fixed nprobe does not transfer across corpus sizes.** The "
+        "coarse codebook is strided (1 centroid per 100 vectors), so "
+        "list COUNT grows with the corpus and a fixed nprobe covers a "
+        "shrinking fraction: the same nprobe=4 default measures ~0.97 "
+        "recall@3 on a 5-list corpus (sf0.01) and ~0.52 on a 20-list "
+        "corpus (sf0.1). A deployment holds the COVERED FRACTION "
+        "roughly constant (nprobe ∝ √lists is the common rule) — this "
+        "file is the measurement that choice is made from.",
+        "- **Query wall-time is nearly flat across the sweep** at these "
+        "scales because the probe fan-out is broadcast-joined and the "
+        "per-candidate cosine is a JVM fold; the real cost driver at "
+        "100 TB is candidates scanned per query (∝ nprobe/lists for "
+        "IVF, bucket occupancy × probes × tables for LSH). Recall per "
+        "candidate-scanned is the metric to optimize, and the LSH "
+        "tables=4,h=2 point dominates the single-table radius-3 "
+        "alternative on it.",
+        "- **IVFADC recall is quantization-bounded**: past nprobe≈4 the "
+        "compressed-domain rank stops improving (the 16-cell residual "
+        "codebook, not probe coverage, is the binding error) — the "
+        "production remedy is ss08's rerank pattern (ADC shortlist → "
+        "exact rescore), not more probes.",
+        "",
+    ]
     return "\n".join(lines)
 
 
