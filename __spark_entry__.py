@@ -107,6 +107,9 @@ def sample_order(names: list[str]) -> list[str]:
         # r11: new typed streaming z-order maintenance lifecycle query
         # (frozen typed spec + exactly-once stamps + typed drift).
         "st11_stream_typed_zorder",
+        # r11: new scale-adaptive IVF probe width (nprobe derived from
+        # the list count in both engines).
+        "ss16_adaptive_ivf_top3",
     }
     return sorted(
         names,

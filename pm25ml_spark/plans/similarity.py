@@ -319,6 +319,81 @@ def _ivf_lists_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ss16 — SCALE-ADAPTIVE probe width: the RECALL.md measurement made
+# executable. A fixed nprobe does not transfer across corpus sizes —
+# the strided codebook grows with the corpus (1 list per 100 vectors),
+# so nprobe=4 covers 4/5 lists at sf0.01 (recall@3 ≈ 0.97) but 4/20 at
+# sf0.1 (≈ 0.52). The standard production rule holds the covered
+# fraction roughly constant: nprobe = ⌈√lists⌉. Both engines DERIVE
+# the probe width from the same corpus scalar (one tiny count — the
+# codebook is already a driver-side array), so the query is
+# oracle-checkable at EVERY scale factor, including the sf0.3 sweep —
+# a hard-coded probe constant would silently diverge there.
+@query(
+    "ss16_adaptive_ivf_top3",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 100 = 7
+    ),
+    np AS (
+        SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS w FROM cent
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+    probe AS (
+        SELECT qid, cen_id FROM (
+            SELECT qid, cen_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ROUND({_cos_sql('qe', 'cv')}, 6) DESC,
+                                               cen_id) AS r
+            FROM q, cent)
+        WHERE r <= (SELECT w FROM np)
+    ),
+    assign AS (
+        SELECT cid, cen_id,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY ROUND({_cos_sql('ce', 'cv')}, 6) DESC,
+                                           cen_id) AS r
+        FROM c, cent
+    ),
+    lists AS (SELECT cid, cen_id FROM assign WHERE r = 1),
+    scored AS (
+        SELECT p.qid, l.cid, ROUND({_cos_sql('qe', 'ce')}, 6) AS score
+        FROM probe p
+        JOIN lists l USING (cen_id)
+        JOIN q USING (qid)
+        JOIN c ON c.cid = l.cid
+        WHERE l.cid <> p.qid
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def ss16_adaptive_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    _, q, _ = _qc(spark, sf_dir)
+    lists = _ivf_lists_staged(spark, sf_dir)
+    # the codebook is a bounded driver array by contract (1 centroid
+    # per 100 corpus vectors); its LENGTH is the only scalar the
+    # adaptive rule needs — same collect the probe selector performs
+    cen_ids, _CM = S._ivf_codebook_arrays(lists, 100, 7, None, "cid", "ce")
+    nprobe = max(1, math.ceil(math.sqrt(len(cen_ids))))
+    return S.ivf_probe_topk(
+        q,
+        lists,
+        k=3,
+        nprobe=nprobe,
+        centroid_stride=100,
+        centroid_offset=7,
+    )
+
+
+# --------------------------------------------------------------------------
 # ss13 — IVF over an INCREMENTALLY-MAINTAINED inverted-list index: the
 # vector-side twin of gr08's ingest-refresh lifecycle. A production ANN
 # store trains its coarse quantizer once and keeps it FIXED, exactly so

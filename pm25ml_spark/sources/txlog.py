@@ -1014,6 +1014,35 @@ class TxTable:
                 f"retired."
             )
 
+    def maybe_compact(
+        self,
+        max_small_files: int = 16,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_col: str | None = None,
+    ) -> int | None:
+        """THRESHOLD-GATED compaction — the maintenance policy a
+        streaming sink runs after every drain: count the snapshot's
+        small files (< target/2, one listing pass, no data read) and
+        compact only past ``max_small_files``. Below the threshold the
+        call is a metadata-only no-op (no commit, no bytes moved), so
+        running it unconditionally per drain amortizes compaction to
+        O(data ingested) instead of O(drains): a quiet table is never
+        churned, and an accreting one is merged before per-file open
+        cost dominates scans. Returns :meth:`compact`'s version, or
+        None when the threshold was not crossed."""
+        _, live = self.snapshot()
+        n_small = sum(
+            1
+            for f in live
+            if os.path.getsize(os.path.join(self.path, f))
+            < target_file_bytes // 2
+        )
+        if n_small <= max_small_files:
+            return None
+        return self.compact(
+            target_file_bytes=target_file_bytes, cluster_col=cluster_col
+        )
+
     def vacuum(self, retain_last: int = 0, max_retries: int = 5) -> list[str]:
         """Delete data files no RETAINED snapshot references. The
         retention window is ``retain_last`` versions behind the latest

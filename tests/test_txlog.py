@@ -1159,3 +1159,23 @@ def test_vacuum_retention_window_keeps_time_travel_inside(spark, tmp_path):
     with pytest.raises(VacuumedSnapshotError, match="vacuum retention"):
         t.read(version=1)
     assert t.read().count() == 9
+
+
+def test_maybe_compact_threshold_gate(spark, tmp_path):
+    """The per-drain maintenance policy: below the small-file threshold
+    maybe_compact is a metadata-only no-op (no new commit — a quiet
+    table is never churned); past it, one compact commit merges the
+    accretion and the table converges back under the threshold."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, i * 5, i * 5 + 5, "x").coalesce(1))
+    v_before = t.latest_version()
+
+    assert t.maybe_compact(max_small_files=8) is None
+    assert t.latest_version() == v_before  # no commit below threshold
+
+    v = t.maybe_compact(max_small_files=2, target_file_bytes=1 << 20)
+    assert v is not None and v > v_before
+    assert t.read().count() == 20
+    # converged: an immediate re-run is a no-op again
+    assert t.maybe_compact(max_small_files=2, target_file_bytes=1 << 20) is None
