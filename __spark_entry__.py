@@ -110,6 +110,11 @@ def sample_order(names: list[str]) -> list[str]:
         # r11: new scale-adaptive IVF probe width (nprobe derived from
         # the list count in both engines).
         "ss16_adaptive_ivf_top3",
+        # r11: LSH defaults RETUNED from the RECALL.md measurement —
+        # ss09 (tables, radius) (2,1) → (4,2), ss14 radius 1 → 2; both
+        # physical plans and oracles changed.
+        "ss09_lsh_multitable_top1",
+        "ss14_incremental_lsh_top1",
     }
     return sorted(
         names,

@@ -792,33 +792,35 @@ def lsh_probe_topk(
     only true matches (a post-filter would rank first and could return
     fewer than k survivors)."""
     masks = probe_masks(n_planes, probe_hamming)
-    qs = queries
-    for t in range(n_tables):
-        qs = qs.withColumn(
-            f"__sig{t}",
+    # Expression-size discipline: the signature is a ~(n_planes × dim)-
+    # term arithmetic tree. Building tables × masks probe STRUCTS that
+    # each reference the signature lets CollapseProject inline that
+    # tree into every entry — at 4 tables × 37 masks that is a ~76k-node
+    # expression (codegen falls over, planning dominates wall time; the
+    # r11 retune surfaced it as an 8× query slowdown). Instead: compute
+    # the L signatures ONCE per row as an array, posexplode it (the
+    # Generate node is a projection-collapse barrier, and one generator
+    # keeps the query side a SINGLE scan — pinned), then explode the
+    # tiny literal mask array and XOR post-explode: expression work is
+    # O(L · planes · dim) per row, never multiplied by the probe count.
+    sigs = F.array(
+        *[
             hyperplane_signature(
                 F.col(q_vec), n_planes, dim, plane_offset=t * n_planes
-            ),
-        )
-    probe_entries = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            F.col(f"__sig{t}")
-            .bitwiseXOR(F.lit(m).cast("bigint"))
-            .alias("bucket"),
-        )
-        for t in range(n_tables)
-        for m in masks
-    ]
+            )
+            for t in range(n_tables)
+        ]
+    )
     qs = (
-        qs.withColumn("__p", F.explode(F.array(*probe_entries)))
-        .select(
-            q_id,
-            q_vec,
-            *q_meta,
-            F.col("__p.tbl").alias("tbl"),
-            F.col("__p.bucket").alias("bucket"),
+        queries.select(
+            q_id, q_vec, *q_meta, F.posexplode(sigs).alias("tbl", "__sig")
         )
+        .withColumn(
+            "__m",
+            F.explode(F.array(*[F.lit(m).cast("bigint") for m in masks])),
+        )
+        .withColumn("bucket", F.col("__sig").bitwiseXOR(F.col("__m")))
+        .select(q_id, q_vec, *q_meta, "tbl", "bucket")
     )
     pairs = postings.join(F.broadcast(qs), ["tbl", "bucket"]).filter(
         F.col(q_id) != F.col(c_id)

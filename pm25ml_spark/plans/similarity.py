@@ -517,7 +517,10 @@ def ss13_incremental_ivf_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # appends. The oracle re-derives every signature from raw vectors, so
 # an incremental table that dropped or duplicated postings cannot
 # hash-match.
-_LSH_INCR_PLANES, _LSH_INCR_H = 7, 1
+# probe radius 2 per the measured sf0.1 sweep (recall@1 0.15 → 0.40 at
+# ~equal query wall-time; RECALL.md) — the lifecycle demonstration
+# should not ship a knowably-weak default
+_LSH_INCR_PLANES, _LSH_INCR_H = 7, 2
 
 
 def _lsh_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,14 +952,17 @@ def ss08_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ss09 — MULTI-TABLE hyperplane LSH (the classic L-table index): two
-# independent 8-plane tables, Hamming-1 probes, candidates from the union
+# ss09 — MULTI-TABLE hyperplane LSH (the classic L-table index): four
+# independent 8-plane tables, Hamming-2 probes, candidates from the union
 # of per-table bucket matches, pairs matching in several tables deduped by
-# a map-side-combinable aggregate before ranking. SCALING.md's measured
-# frontier shows extra tables beat deeper probing per candidate on
-# structureless corpora; this entry pins the L-table plan's VALUES under
-# the same DuckDB oracle discipline as the single-table ss03.
-_MT_PLANES, _MT_H, _MT_TABLES = 8, 1, 2
+# a map-side-combinable aggregate before ranking. The (tables, radius)
+# defaults are MEASURED, not guessed: RECALL.md's sf0.1 sweep puts
+# (4, 2) at recall@1 = 0.85 where the previous (2, 1) sat at 0.225 —
+# and (4, 2) dominates the same-candidate-budget alternatives on
+# recall per candidate scanned (r11 retune; tests/test_ann_recall.py
+# pins the floor). This entry pins the L-table plan's VALUES under the
+# same DuckDB oracle discipline as the single-table ss03.
+_MT_PLANES, _MT_H, _MT_TABLES = 8, 2, 4
 
 
 def _mt_lsh_oracle() -> str:

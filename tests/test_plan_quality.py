@@ -392,7 +392,7 @@ def test_lsh_query_plans_read_staged_postings(spark, sf_dir):
 
     for name, n_planes, n_tables in [
         ("ss03_lsh_bucket_top1", 6, 1),
-        ("ss09_lsh_multitable_top1", 8, 2),
+        ("ss09_lsh_multitable_top1", 8, 4),
     ]:
         df = QUERIES[name](spark, sf_dir)
         plan = physical_plan(df)
@@ -874,3 +874,17 @@ def test_ss13_incremental_ivf_query_plan_is_python_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_probe_expression_stays_subquadratic(spark, sf_dir):
+    """r11 regression pin for the probe-side expression blowup: the
+    multi-table probe must compute its L signatures once per row
+    (signature array + posexplode + mask explode = exactly TWO Generate
+    nodes). The old shape — tables × masks probe structs each inlining
+    the ~(planes × dim)-term signature tree via CollapseProject — was a
+    ~76k-node expression at (4 tables, h=2) and an 8× query-time
+    regression; one Generate with a giant struct array would recreate
+    it."""
+    df = QUERIES["ss09_lsh_multitable_top1"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Generate ") == 2, plan.count("Generate ")

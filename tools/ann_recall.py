@@ -130,7 +130,8 @@ def run(spark, sf_dir: str) -> dict:
                                  probe_hamming=h, n_tables=n_tables)
             )
             record("lsh_ss09", f"tables={n_tables},h={h}", rows, secs, 1,
-                   truth1, default=(n_tables == 2 and h == 1))
+                   truth1,
+                   default=(n_tables == P._MT_TABLES and h == P._MT_H))
 
     # --- incremental LSH (ss14): base+delta postings, radius sweep
     postings_incr = P._lsh_postings_incremental(spark, sf_dir)
