@@ -410,10 +410,36 @@ class TxTable:
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
 
-    def overwrite(self, df: DataFrame, max_retries: int = 5) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        stats_cols: list[str] | None = None,
+        entry_extra=None,
+    ) -> int:
         """Atomic replace: readers see the old snapshot until the single
-        commit file lands, then the new one — never a mix."""
+        commit file lands, then the new one — never a mix.
+        ``stats_cols`` / ``entry_extra`` mirror :meth:`append` (a
+        full-rewrite maintenance verb like RECLUSTER needs the new
+        layout's file stats recorded in the same commit, or the rewrite
+        would silently disable data skipping)."""
+        if stats_cols:
+            self._check_stats_cols(dict(df.dtypes), stats_cols)
         files, n = self._write_files(df)
+        entry: dict = {"op": "overwrite", "added": files, "n_rows": n}
+        if stats_cols:
+            entry["stats"] = self._file_stats(files, stats_cols)
+        if entry_extra is not None:
+            written = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+            extra = entry_extra(written)
+            clash = set(extra) & set(entry)
+            if clash:
+                raise ValueError(
+                    f"entry_extra may not override commit keys: {clash}"
+                )
+            entry.update(extra)
         for _ in range(max_retries):
             # the removed set is only valid for the snapshot it was read
             # from — pin the commit to that version so an interleaved
@@ -422,12 +448,7 @@ class TxTable:
             sv, live = self.snapshot()
             try:
                 v = self._commit(
-                    {
-                        "op": "overwrite",
-                        "added": files,
-                        "removed": live,
-                        "n_rows": n,
-                    },
+                    {**entry, "removed": live},
                     at_version=sv + 1,
                 )
                 self._maybe_checkpoint(v)

@@ -190,6 +190,62 @@ def maintain_zorder_stream(
     return q
 
 
+def recluster_zorder(
+    table,
+    cols: list[str],
+    bits: int = 10,
+    key_col: str = "__z",
+    typed: bool = False,
+):
+    """The REPAIR verb the drift signal recommends (Delta's OPTIMIZE
+    ZORDER as a full rewrite): re-derive fresh bounds (or a fresh typed
+    spec — new dictionary entries, new date range) from the table's
+    CURRENT rows, re-key every row against the new model, and atomically
+    overwrite with the new layout's file stats recorded in the same
+    commit. Old snapshots still time-travel to the old layout; the
+    commit carries the new model (``zorder_model``) so maintainers can
+    resume with it and the audit shows when and why the model moved.
+
+    Returns ``(version, model)`` where ``model`` is the bounds dict
+    (``typed=False``) or the typed spec (``typed=True``) to hand to
+    :func:`maintain_zorder_stream`. Cost is one full rewrite — which is
+    exactly why drift is MONITORED instead of re-deriving bounds per
+    batch: the signal decides when the rewrite is worth it."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.zorder import (
+        column_bounds,
+        typed_bounds,
+        typed_zorder_key_fixed,
+        zorder_key_fixed,
+    )
+
+    current = table.read().drop(key_col)
+    if typed:
+        model = typed_bounds(current, cols)
+        keyed = typed_zorder_key_fixed(current, model, bits=bits, key_col=key_col)
+    else:
+        model = column_bounds(current, cols)
+        keyed = zorder_key_fixed(current, model, bits=bits, key_col=key_col)
+    nparts = current.sparkSession.sparkContext.defaultParallelism
+    v = table.overwrite(
+        keyed.repartitionByRange(nparts, F.col(key_col)),
+        stats_cols=cols,
+        entry_extra=lambda _w: {
+            "zorder_model": {
+                "cols": cols,
+                "bits": bits,
+                "typed": typed,
+                "model": {
+                    c: (list(b) if not typed else b)
+                    for c, b in model.items()
+                },
+            }
+        },
+    )
+    return v, model
+
+
 def zorder_drift_report(
     table, threshold: float = DRIFT_RECLUSTER_THRESHOLD
 ) -> dict:
@@ -199,11 +255,20 @@ def zorder_drift_report(
     when the cumulative clamped fraction crosses ``threshold``, i.e.
     the frozen bounds have drifted enough that a bounds re-derivation +
     full recluster (the z analogue of IVF retraining) is worth its
-    cost. Reads the commit LOG only — never the data."""
+    cost. Reads the commit LOG only — never the data.
+
+    A ``zorder_model`` entry (a :func:`recluster_zorder` rewrite) RESETS
+    the fold: drift is always measured against the CURRENT frozen
+    model, so the signal clears once the repair lands instead of
+    permanently remembering pre-recluster history."""
     total = clamped = nulls = 0
     worst = 0.0
     commits = 0
     for e in table.history():
+        if e.get("zorder_model"):
+            total = clamped = nulls = 0
+            worst = 0.0
+            commits = 0
         d = e.get("zorder_drift")
         if not d:
             continue

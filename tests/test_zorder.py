@@ -581,3 +581,54 @@ def test_typed_zorder_streaming_maintenance_and_dict_drift(spark, tmp_path):
     assert t2.read().count() == spark.read.parquet(
         f"{stage}/events_*.parquet"
     ).count()
+
+
+def test_recluster_repairs_drift_and_restores_skip(spark, tmp_path):
+    """The full drift loop, detect → repair → clean slate: a maintained
+    copy whose frozen bounds predate the data raises the recluster
+    flag; recluster_zorder re-derives the model, atomically rewrites
+    with fresh stats in the SAME commit, rows are untouched, box
+    pruning works against the new layout, the drift report resets at
+    the model boundary, and a maintainer resumed with the returned
+    model ingests clean."""
+    from pm25ml_spark.plans.live import _stage_chronological_halves
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.zorder_maintain import (
+        recluster_zorder,
+        zorder_drift_report,
+    )
+
+    stage = _stage_chronological_halves(spark, SF, "zx5")
+    stale = {"user_id": (0, 1), "day_int": (19725, 19727)}
+    t = TxTable(spark, str(tmp_path / "t"))
+    _drain(spark, stage, t, stale, str(tmp_path / "c1"), "zx5_a")
+    assert zorder_drift_report(t)["recluster"] is True
+    before = sorted(
+        (r.user_id, r.day_int, float(r.value))
+        for r in t.read().drop("__z").collect()
+    )
+
+    v, model = recluster_zorder(t, ["user_id", "day_int"], bits=8)
+    assert t.history()[-1]["zorder_model"]["cols"] == ["user_id", "day_int"]
+    # rows identical, old layout still time-travels
+    after = sorted(
+        (r.user_id, r.day_int, float(r.value))
+        for r in t.read().drop("__z").collect()
+    )
+    assert after == before
+    assert t.read(version=v - 1).count() == len(before)
+    # fresh stats make the box skip real again
+    _, live = t.snapshot()
+    stats = t.file_stats()
+    assert set(stats) == set(live)
+    kept, live2 = _kept_files(t, {"user_id": (0, 3)})
+    if len(live2) > 2:
+        assert len(kept) < len(live2)
+    # the fold reset: drift is measured against the NEW model only
+    rep = zorder_drift_report(t)
+    assert rep["commits"] == 0 and rep["recluster"] is False
+    # a maintainer resumed with the returned model ingests clean
+    stage2 = _stage_chronological_halves(spark, SF, "zx5b")
+    _drain(spark, stage2, t, model, str(tmp_path / "c2"), "zx5_b")
+    rep2 = zorder_drift_report(t)
+    assert rep2["commits"] == 2 and rep2["clamped"] == 0, rep2
