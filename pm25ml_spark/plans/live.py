@@ -1434,15 +1434,26 @@ def d20_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(
         _os.path.getsize(_os.path.join(t.path, f)) for f in t.snapshot()[1]
     )
+    # crash residue: a writer dies between its parallel file write and
+    # its atomic commit — parquet on disk that no log entry references
+    orphan_files, _ = t._write_files(ev.limit(5).drop("__part"))
     t.compact(target_file_bytes=max(total, 1 << 20))
-    dead = t.vacuum()
+    dead = t.vacuum(orphans=True, orphan_grace_sec=0.0)
     # lifecycle sanity (cheap metadata checks, not data reads): vacuum
-    # retired the pre-compact files and logged the retirement — real
-    # guards, not asserts, so -O runs keep them
+    # retired the pre-compact files, reclaimed the never-committed
+    # orphans, and logged both — real guards, not asserts, so -O runs
+    # keep them
     if not dead:
         raise RuntimeError("compact left nothing for vacuum to retire")
-    if t.history()[-1]["op"] != "vacuum":
+    last = t.history()[-1]
+    if last["op"] != "vacuum":
         raise RuntimeError("vacuum did not record its retirement entry")
+    if sorted(last.get("orphans_swept", [])) != sorted(orphan_files):
+        raise RuntimeError("orphan sweep missed the uncommitted residue")
+    if any(
+        _os.path.exists(_os.path.join(t.path, f)) for f in orphan_files
+    ):
+        raise RuntimeError("swept orphan files still on disk")
     _ = pre_compact  # boundary semantics pinned in tests/test_txlog.py
     return t.read().groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -1064,7 +1064,82 @@ class TxTable:
             target_file_bytes=target_file_bytes, cluster_col=cluster_col
         )
 
-    def vacuum(self, retain_last: int = 0, max_retries: int = 5) -> list[str]:
+    def _remove_data_file(self, rel: str) -> None:
+        """Remove one data file plus its Hadoop ``.crc`` checksum
+        sidecar (local-FS writes leave ``.{name}.crc`` next to every
+        part file; a retired parquet must not strand its sidecar), then
+        opportunistically drop the containing ``part-*`` dir once only
+        write debris (``_SUCCESS`` + sidecars) remains — directories
+        are commit-private by construction, so an emptied one is
+        garbage, and an in-flight writer's dir still holds its parquet
+        and is never touched."""
+        p = os.path.join(self.path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+        crc = os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        d = os.path.dirname(p)
+        # walk up to (but never including) the table root, pruning dirs
+        # whose remaining entries are all non-data debris
+        while os.path.realpath(d) != os.path.realpath(self.path):
+            try:
+                left = os.listdir(d)
+            except FileNotFoundError:
+                break
+            debris = [
+                f for f in left
+                if f == "_SUCCESS" or (f.startswith(".") and f.endswith(".crc"))
+            ]
+            if len(debris) != len(left):
+                break  # real content (parquet or a subdir) survives
+            for f in debris:
+                os.remove(os.path.join(d, f))
+            os.rmdir(d)
+            d = os.path.dirname(d)
+
+    def _orphan_files(self, referenced: set[str], grace_sec: float) -> list[str]:
+        """Data files ON DISK that NO log entry has ever referenced —
+        the residue of a writer that crashed between its parallel file
+        write and its atomic commit (or lost every commit retry). Such
+        files are invisible to every snapshot (correct) but also to the
+        retention vacuum, which only retires once-referenced files: a
+        pure storage leak, and at 100 TB ingest rates with restarts a
+        real one.
+
+        The age guard is the Delta VACUUM uncommitted-file rule: a file
+        is only an orphan candidate once its mtime is at least
+        ``grace_sec`` OLDER than the newest commit's timestamp — an
+        in-flight writer's freshly-written-but-not-yet-committed files
+        are newer than that horizon and survive the sweep."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        cutoff = float(self._entry(latest).get("ts", 0.0)) - float(grace_sec)
+        orphans = []
+        for root, dirs, names in os.walk(self.path):
+            dirs[:] = [d for d in dirs if d != _LOG_DIR]
+            for f in names:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        orphans.append(rel)
+                except FileNotFoundError:
+                    pass  # a racing cleanup already got it
+        return sorted(orphans)
+
+    def vacuum(
+        self,
+        retain_last: int = 0,
+        max_retries: int = 5,
+        orphans: bool = False,
+        orphan_grace_sec: float = 600.0,
+    ) -> list[str]:
         """Delete data files no RETAINED snapshot references. The
         retention window is ``retain_last`` versions behind the latest
         (0 = latest only): every file referenced by any snapshot inside
@@ -1075,11 +1150,23 @@ class TxTable:
         out-of-window versions are done. Returns the deleted paths
         (relative).
 
+        ``orphans=True`` additionally sweeps NEVER-referenced data
+        files — the residue of writers that crashed between their
+        parallel file write and their atomic commit, which no snapshot
+        reads and the retention pass can never reclaim (it only retires
+        once-referenced files). Candidates must be at least
+        ``orphan_grace_sec`` older than the newest commit (mtime — the
+        Delta VACUUM uncommitted-file rule), so a concurrent writer's
+        not-yet-committed files always survive the sweep. Live
+        snapshots are untouched by construction: an orphan is by
+        definition in no snapshot's file set.
+
         The deletion is RECORDED as a ``vacuum`` commit entry (no
-        added/removed — the live set is untouched) so the retention
-        boundary is auditable from the log alone: history shows which
-        files died and when, and :class:`VacuumedSnapshotError` can
-        point at a cause instead of a mystery."""
+        added/removed — the live set is untouched; orphans listed
+        separately) so the retention boundary is auditable from the
+        log alone: history shows which files died and when, and
+        :class:`VacuumedSnapshotError` can point at a cause instead of
+        a mystery."""
         vs = self.versions()
         if not vs:
             return []
@@ -1092,27 +1179,31 @@ class TxTable:
             if e.get("checkpoint"):
                 referenced |= set(e.get("live", []))
         dead = sorted(referenced - retained)
-        for rel in dead:
-            p = os.path.join(self.path, rel)
-            if os.path.exists(p):
-                os.remove(p)
-        if dead:
+        stranded = (
+            self._orphan_files(referenced, orphan_grace_sec)
+            if orphans
+            else []
+        )
+        for rel in dead + stranded:
+            self._remove_data_file(rel)
+        if dead or stranded:
+            entry = {
+                "op": "vacuum",
+                "vacuumed": dead,
+                "retain_last": int(retain_last),
+            }
+            if stranded:
+                entry["orphans_swept"] = stranded
             for _ in range(max_retries):
                 try:
-                    self._commit(
-                        {
-                            "op": "vacuum",
-                            "vacuumed": dead,
-                            "retain_last": int(retain_last),
-                        }
-                    )
+                    self._commit(entry)
                     break
                 except CommitConflict:
                     continue
             # a lost race beyond the retries leaves the deletion
             # unrecorded but the table state correct — the audit entry
             # is best-effort, the file removal is the operation
-        return dead
+        return dead + stranded
 
 
 class _StampCache:

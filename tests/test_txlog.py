@@ -1179,3 +1179,73 @@ def test_maybe_compact_threshold_gate(spark, tmp_path):
     assert t.read().count() == 20
     # converged: an immediate re-run is a no-op again
     assert t.maybe_compact(max_small_files=2, target_file_bytes=1 << 20) is None
+
+
+def test_vacuum_orphan_sweep_reclaims_uncommitted_files(spark, tmp_path):
+    """Round-12 ask #1: a writer that crashes between its parallel file
+    write and its atomic commit leaves parquet on disk that NO log
+    entry references — invisible to every snapshot (correct) but also
+    to the retention vacuum (leak). vacuum(orphans=True) reclaims
+    exactly those files under the Delta uncommitted-file age rule:
+    older-than-grace orphans die, an in-flight writer's fresh files
+    survive, live snapshots are untouched, and the sweep is recorded
+    in the vacuum log entry."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))
+
+    # crash mid-write: files written, commit never happened
+    orphan_files, _n = t._write_files(_df(spark, 100, 105, "crash"))
+    # a later healthy commit advances the log past the orphan's mtime
+    t.append(_df(spark, 10, 14, "b"))
+    orphan_abs = [os.path.join(t.path, f) for f in orphan_files]
+    assert all(os.path.exists(p) for p in orphan_abs)
+
+    # a second crash residue that is IN-FLIGHT-aged: newer than the
+    # latest commit, so the age guard must spare it even at grace=0
+    inflight_files, _n2 = t._write_files(_df(spark, 200, 202, "inflight"))
+    inflight_abs = [os.path.join(t.path, f) for f in inflight_files]
+    future = __import__("time").time() + 3600
+    for p in inflight_abs:
+        os.utime(p, (future, future))
+
+    before_live = sorted(t.snapshot()[1])
+    swept = t.vacuum(orphans=True, orphan_grace_sec=0.0)
+
+    # the aged orphans are gone — parquet, crc sidecars, and their
+    # emptied commit-private part dir
+    assert sorted(swept) == sorted(orphan_files)
+    assert all(not os.path.exists(p) for p in orphan_abs)
+    assert not os.path.exists(os.path.dirname(orphan_abs[0]))
+    # the in-flight writer's files survived the sweep
+    assert all(os.path.exists(p) for p in inflight_abs)
+    # live snapshot untouched: same file set, same rows
+    assert sorted(t.snapshot()[1]) == before_live
+    assert t.read().count() == 14
+    # auditable from the log alone
+    last = t.history()[-1]
+    assert last["op"] == "vacuum"
+    assert sorted(last["orphans_swept"]) == sorted(orphan_files)
+    assert last["vacuumed"] == []  # retention pass had nothing to do
+
+    # default vacuum (orphans=False) never touches never-referenced
+    # files: the in-flight residue is still there afterwards
+    t.vacuum()
+    assert all(os.path.exists(p) for p in inflight_abs)
+
+
+def test_vacuum_orphan_sweep_composes_with_retention(spark, tmp_path):
+    """One vacuum call does both passes: retention retires the
+    once-referenced out-of-window files, the orphan sweep reclaims the
+    never-referenced residue, and the return value lists both."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, "a"))
+    orphans, _ = t._write_files(_df(spark, 50, 53, "crash"))
+    t.overwrite(_df(spark, 0, 4, "b"))  # retires v0's files
+
+    gone = t.vacuum(orphans=True, orphan_grace_sec=0.0)
+    assert set(orphans) <= set(gone)
+    assert len(gone) > len(orphans)  # retention pass also retired files
+    assert t.read().count() == 4
+    last = t.history()[-1]
+    assert sorted(last["orphans_swept"]) == sorted(orphans)
+    assert last["vacuumed"] and set(last["vacuumed"]).isdisjoint(orphans)
