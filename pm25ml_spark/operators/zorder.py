@@ -154,9 +154,16 @@ def zorder_key(
 # edge cells — layout drift, never row wrongness.
 
 # string dictionaries are embedded as a literal CASE/map expression;
-# past this cardinality the expression itself becomes the bottleneck
-# and the scale path is a broadcast dictionary join instead
+# past this cardinality the expression itself becomes the planner
+# bottleneck and the rank switches to a broadcast dictionary JOIN
+# (kind "string_join"): the frozen dictionary rides along as a small
+# DataFrame on the build side of a BroadcastHashJoin instead of a
+# create_map literal — same frozen-spec contract, same rank values
 STRING_DICT_MAX = 256
+# hard cap for the join variant: the dictionary must still be a
+# bounded, JSON-able frozen model (a commit entry carries it); past
+# this, cluster on a hash of the column instead of its identity
+STRING_JOIN_MAX = 65536
 # double dimensions rank by quantile cut points (robust to skew where
 # a linear scale would collapse a heavy-tailed column into one cell);
 # the per-row rank is an O(cuts) fold, so cuts stay modest and the
@@ -176,9 +183,12 @@ def typed_bounds(df: DataFrame, cols: list[str]) -> dict[str, dict]:
       cut points from ``approxQuantile`` (one bounded driver collect,
       the same sampling every range partitioner does);
     - string → ``{"kind": "string", "dict": [...]}`` — the sorted
-      distinct values, capped at :data:`STRING_DICT_MAX` (raises past
-      it: a high-cardinality string dim should be hashed or
-      dictionary-joined, not literal-mapped).
+      distinct values, as a literal map expression up to
+      :data:`STRING_DICT_MAX`; between that and
+      :data:`STRING_JOIN_MAX` the kind is ``"string_join"`` (same
+      frozen dictionary, ranked via a broadcast dictionary join —
+      the 100 TB path for e.g. a thousand-domain clustering column);
+      past the join cap it raises (hash the column instead).
 
     Cost: one aggregate over df for min/max dims + one approxQuantile
     pass per double dim + one capped distinct per string dim — all
@@ -222,17 +232,19 @@ def typed_bounds(df: DataFrame, cols: list[str]) -> dict[str, dict]:
             vals = [
                 r[c]
                 for r in df.select(c).distinct().limit(
-                    STRING_DICT_MAX + 1
+                    STRING_JOIN_MAX + 1
                 ).collect()
                 if r[c] is not None
             ]
-            if len(vals) > STRING_DICT_MAX:
+            if len(vals) > STRING_JOIN_MAX:
                 raise ValueError(
-                    f"string z-dimension '{c}' exceeds {STRING_DICT_MAX} "
-                    f"distinct values — use a broadcast dictionary join "
-                    f"or hash the column instead of a literal rank map"
+                    f"string z-dimension '{c}' exceeds {STRING_JOIN_MAX} "
+                    f"distinct values — a frozen identity dictionary is "
+                    f"no longer a bounded model; hash the column and "
+                    f"z-order on the hash instead"
                 )
-            spec[c] = {"kind": "string", "dict": sorted(vals)}
+            kind = "string" if len(vals) <= STRING_DICT_MAX else "string_join"
+            spec[c] = {"kind": kind, "dict": sorted(vals)}
         else:
             raise ValueError(
                 f"unsupported z-dimension type for '{c}': {dt}"
@@ -240,10 +252,79 @@ def typed_bounds(df: DataFrame, cols: list[str]) -> dict[str, dict]:
     return spec
 
 
+def _string_rank_values(d: list, top: int) -> list[int]:
+    """Pre-scaled rank per sorted-dictionary position — ONE formula
+    shared by the literal-map and broadcast-join variants, so crossing
+    :data:`STRING_DICT_MAX` changes the physical rank strategy but
+    never a single key value. Monotone in dictionary order; when the
+    dictionary outnumbers the cells, tail values share the top cell
+    (layout-only coarsening, same as any rank clamp)."""
+    if not d:
+        return []
+    step = max(top // max(len(d) - 1, 1), 1) if len(d) > 1 else 0
+    return [min(i * step, top) if step else 0 for i in range(len(d))]
+
+
+def _join_rank_col(c: str) -> str:
+    """Name of the temporary broadcast-joined rank column for dim c."""
+    return f"__zrank_{c}"
+
+
+def with_string_join_ranks(
+    df: DataFrame, spec: dict[str, dict], bits: int
+) -> tuple[DataFrame, list[str]]:
+    """Attach ``__zrank_<c>`` for every ``string_join`` dimension via a
+    LEFT broadcast join against the frozen dictionary (a 2-column,
+    ≤ :data:`STRING_JOIN_MAX`-row build side — BroadcastHashJoin, no
+    shuffle, no literal expression of dictionary size). Unseen values
+    and NULLs surface as a NULL rank for the rank expression to
+    resolve (top cell / NULL key respectively). Original column order
+    is preserved; returns the added column names for the caller to
+    drop after interleaving."""
+    top = (1 << bits) - 1
+    added: list[str] = []
+    for c, s in spec.items():
+        if s.get("kind") != "string_join":
+            continue
+        d = s["dict"]
+        rc = _join_rank_col(c)
+        if not d:
+            df = df.withColumn(rc, F.lit(0).cast("long"))
+            added.append(rc)
+            continue
+        ranks = _string_rank_values(d, top)
+        dict_df = df.sparkSession.createDataFrame(
+            list(zip(d, [int(r) for r in ranks])),
+            f"`{c}` string, `{rc}` long",
+        )
+        cols = df.columns
+        df = df.join(F.broadcast(dict_df), on=c, how="left").select(
+            *cols, rc
+        )
+        added.append(rc)
+    return df, added
+
+
+def _double_bucket(col: Column, cuts: list[float]) -> Column:
+    """Quantile-cut bucket of a double value: ``#cuts ≤ x``, an
+    O(cuts) JVM fold in [0, len(cuts)]. Shared by the rank expression
+    and the drift monitor's occupancy histogram so the monitored
+    buckets are exactly the layout's cells."""
+    return F.aggregate(
+        F.array(*[F.lit(float(q)) for q in cuts]),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc
+        + F.when(col >= q, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
 def _typed_rank(c: str, s: dict, bits: int) -> Column:
     """The JVM rank expression for one typed dimension (NULL → NULL
     rank, out-of-spec values clamp — identical contracts to
-    :func:`rank_scale`)."""
+    :func:`rank_scale`). ``string_join`` dims read the rank their
+    broadcast dictionary join attached (:func:`with_string_join_ranks`
+    must have run) — the expression itself stays O(1) regardless of
+    dictionary size."""
     col = F.col(c)
     top = (1 << bits) - 1
     kind = s["kind"]
@@ -259,15 +340,9 @@ def _typed_rank(c: str, s: dict, bits: int) -> Column:
             return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-        # rank = #cuts ≤ x, an O(cuts) JVM fold; spread the ≤cells
-        # quantile rank across the full 2^bits key space so mixed-type
-        # interleaves stay balanced
-        rank = F.aggregate(
-            F.array(*[F.lit(float(q)) for q in cuts]),
-            F.lit(0).cast("long"),
-            lambda acc, q: acc
-            + F.when(col >= q, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-        )
+        # rank = #cuts ≤ x; spread the ≤cells quantile rank across the
+        # full 2^bits key space so mixed-type interleaves stay balanced
+        rank = _double_bucket(col, cuts)
         stretch = max(top // len(cuts), 1)
         return _clamp(rank * F.lit(stretch), col, top)
     if kind == "string":
@@ -279,12 +354,16 @@ def _typed_rank(c: str, s: dict, bits: int) -> Column:
         # dictionary rank pre-scaled into the key space at build time;
         # unseen values (ingest drift) clamp via coalesce to the top
         # cell — same edge-cell degradation as numeric outliers
-        step = max(top // max(len(d) - 1, 1), 1) if len(d) > 1 else 0
+        ranks = _string_rank_values(d, top)
         pairs = []
-        for i, v in enumerate(d):
-            pairs += [F.lit(v), F.lit(min(i * step, top) if step else 0)]
+        for v, r in zip(d, ranks):
+            pairs += [F.lit(v), F.lit(r)]
         looked = F.element_at(F.create_map(*pairs), col)
         mapped = F.coalesce(looked, F.lit(top)).cast("long")
+        return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(mapped)
+    if kind == "string_join":
+        # unseen value → joined rank NULL → top cell; NULL input → NULL
+        mapped = F.coalesce(F.col(_join_rank_col(c)), F.lit(top)).cast("long")
         return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(mapped)
     raise ValueError(f"unknown z-dimension kind: {kind}")
 
@@ -307,8 +386,10 @@ def typed_zorder_key_fixed(
                 f"aggregate saw only NULLs; drop the dimension or "
                 f"backfill it."
             )
+    joined, tmp = with_string_join_ranks(df, spec, bits)
     ranks = [_typed_rank(c, s, bits) for c, s in spec.items()]
-    return df.withColumn(key_col, interleave_bits(ranks, bits))
+    out = joined.withColumn(key_col, interleave_bits(ranks, bits))
+    return out.drop(*tmp) if tmp else out
 
 
 def typed_zorder_key(

@@ -53,6 +53,14 @@ from pyspark.sql import functions as F
 # clamped fraction (across the commits inspected) above which
 # zorder_drift_report recommends re-deriving bounds + reclustering
 DRIFT_RECLUSTER_THRESHOLD = 0.05
+# double dims never clamp (quantile rank is total over the reals), so
+# their drift signal is cut-bucket OCCUPANCY skew instead: the frozen
+# cuts were equal-mass at build time (every bucket ≈ 1/cells of the
+# data), so a heavy-tailed drift shows up as one bucket's cumulative
+# share ballooning. Flag when any bucket holds more than this share of
+# the maintained rows — far above the ~1.6% equal-mass baseline at 64
+# cells, far below the ~100% a collapsed tail produces.
+OCCUPANCY_SKEW_THRESHOLD = 0.5
 
 
 def _drift_counters(bounds: dict[str, tuple[int, int]]):
@@ -82,9 +90,13 @@ def _drift_counters_typed(spec: dict[str, dict]):
     adapter's frozen model — int/date/timestamp values outside [lo, hi]
     clamp to edge cells; STRING values absent from the frozen
     dictionary map to the top cell (the classic ingest-drift case: a
-    new enum value appears); DOUBLE quantile ranks are total over the
-    reals (rank = #cuts ≤ x), so they never clamp and contribute only
-    NULL counts."""
+    new enum value appears — ``string_join`` dims detect this from the
+    broadcast-joined rank being NULL, never a dictionary-sized literal
+    expression); DOUBLE quantile ranks are total over the reals
+    (rank = #cuts ≤ x), so they never clamp and are monitored by
+    cut-bucket OCCUPANCY instead (:func:`typed_drift_row`)."""
+    from pm25ml_spark.operators.zorder import _join_rank_col
+
     oob = F.lit(False)
     nul = F.lit(False)
     for c, s in spec.items():
@@ -101,8 +113,51 @@ def _drift_counters_typed(spec: dict[str, dict]):
         elif kind == "string":
             if s["dict"]:
                 oob = oob | (~col.isin(*s["dict"]) & col.isNotNull())
+        elif kind == "string_join":
+            if s["dict"]:
+                oob = oob | (
+                    F.col(_join_rank_col(c)).isNull() & col.isNotNull()
+                )
         nul = nul | col.isNull()
     return _counter_aggs(oob, nul)
+
+
+def typed_drift_row(written: DataFrame, spec: dict[str, dict]) -> dict:
+    """Per-commit typed drift audit over a micro-batch's already-written
+    files: the clamped/null counters plus, for every DOUBLE dimension,
+    its cut-bucket occupancy histogram — a bounded groupBy (≤ cuts+1
+    rows collected) on exactly the layout's cells
+    (:func:`operators.zorder._double_bucket`), giving the skew signal
+    double dims need because their total quantile rank never clamps.
+    ``string_join`` dims get their frozen dictionary broadcast-joined
+    first, so unseen-value detection also stays O(1) in expression
+    size."""
+    from pm25ml_spark.operators.zorder import (
+        _double_bucket,
+        with_string_join_ranks,
+    )
+
+    probe, _tmp = with_string_join_ranks(written, spec, bits=1)
+    r = probe.agg(*_drift_counters_typed(spec)).collect()[0]
+    out = {
+        "n_rows": int(r["n"]),
+        "clamped": int(r["clamped"] or 0),
+        "nulls": int(r["nulls"] or 0),
+    }
+    occ: dict[str, dict[str, int]] = {}
+    for c, s in spec.items():
+        if s["kind"] != "double" or not s["cuts"]:
+            continue
+        hist = (
+            written.filter(F.col(c).isNotNull())
+            .groupBy(_double_bucket(F.col(c), s["cuts"]).alias("__cell"))
+            .count()
+            .collect()
+        )
+        occ[c] = {str(int(row["__cell"])): int(row["count"]) for row in hist}
+    if occ:
+        out["double_occupancy"] = occ
+    return out
 
 
 def maintain_zorder_stream(
@@ -145,11 +200,6 @@ def maintain_zorder_stream(
 
     nparts = stream_df.sparkSession.sparkContext.defaultParallelism
     stats_cols = list(bounds) if bounds is not None else list(spec)
-    counters = (
-        _drift_counters(bounds)
-        if bounds is not None
-        else _drift_counters_typed(spec)
-    )
 
     def transform(batch_df: DataFrame) -> DataFrame:
         if bounds is not None:
@@ -163,14 +213,16 @@ def maintain_zorder_stream(
         return keyed.repartitionByRange(nparts, F.col(key_col))
 
     def drift(written: DataFrame) -> dict:
-        r = written.agg(*counters).collect()[0]
-        return {
-            "zorder_drift": {
-                "n_rows": int(r["n"]),
-                "clamped": int(r["clamped"] or 0),
-                "nulls": int(r["nulls"] or 0),
+        if bounds is not None:
+            r = written.agg(*_drift_counters(bounds)).collect()[0]
+            return {
+                "zorder_drift": {
+                    "n_rows": int(r["n"]),
+                    "clamped": int(r["clamped"] or 0),
+                    "nulls": int(r["nulls"] or 0),
+                }
             }
-        }
+        return {"zorder_drift": typed_drift_row(written, spec)}
 
     q = sink_stream_exactly_once(
         stream_df,
@@ -247,15 +299,20 @@ def recluster_zorder(
 
 
 def zorder_drift_report(
-    table, threshold: float = DRIFT_RECLUSTER_THRESHOLD
+    table,
+    threshold: float = DRIFT_RECLUSTER_THRESHOLD,
+    occupancy_threshold: float = OCCUPANCY_SKEW_THRESHOLD,
 ) -> dict:
     """Fold the table's ``zorder_drift`` commit stats into a health
     signal: total/clamped/null row counts across maintenance commits,
-    the worst single-commit clamped fraction, and ``recluster`` — True
-    when the cumulative clamped fraction crosses ``threshold``, i.e.
-    the frozen bounds have drifted enough that a bounds re-derivation +
-    full recluster (the z analogue of IVF retraining) is worth its
-    cost. Reads the commit LOG only — never the data.
+    the worst single-commit clamped fraction, per-double-dimension
+    cut-bucket occupancy, and ``recluster`` — True when the cumulative
+    clamped fraction crosses ``threshold`` OR any double dimension's
+    most-occupied cut bucket holds more than ``occupancy_threshold`` of
+    the maintained rows (the skew drift a total quantile rank can never
+    surface as clamping: frozen cuts were equal-mass at build time, so
+    a dominant bucket means the box skip is quietly eroding). Reads the
+    commit LOG only — never the data.
 
     A ``zorder_model`` entry (a :func:`recluster_zorder` rewrite) RESETS
     the fold: drift is always measured against the CURRENT frozen
@@ -264,11 +321,13 @@ def zorder_drift_report(
     total = clamped = nulls = 0
     worst = 0.0
     commits = 0
+    occ: dict[str, dict[str, int]] = {}
     for e in table.history():
         if e.get("zorder_model"):
             total = clamped = nulls = 0
             worst = 0.0
             commits = 0
+            occ = {}
         d = e.get("zorder_drift")
         if not d:
             continue
@@ -278,7 +337,17 @@ def zorder_drift_report(
         nulls += d["nulls"]
         if d["n_rows"]:
             worst = max(worst, d["clamped"] / d["n_rows"])
+        for c, hist in (d.get("double_occupancy") or {}).items():
+            cell_counts = occ.setdefault(c, {})
+            for cell, n in hist.items():
+                cell_counts[cell] = cell_counts.get(cell, 0) + int(n)
     frac = (clamped / total) if total else 0.0
+    skew = {
+        c: max(h.values()) / max(sum(h.values()), 1)
+        for c, h in occ.items()
+        if h
+    }
+    worst_skew = max(skew.values(), default=0.0)
     return {
         "commits": commits,
         "n_rows": total,
@@ -286,5 +355,7 @@ def zorder_drift_report(
         "nulls": nulls,
         "clamped_frac": frac,
         "worst_commit_frac": worst,
-        "recluster": frac > threshold,
+        "occupancy_skew": skew,
+        "worst_occupancy_skew": worst_skew,
+        "recluster": frac > threshold or worst_skew > occupancy_threshold,
     }

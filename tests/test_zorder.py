@@ -632,3 +632,159 @@ def test_recluster_repairs_drift_and_restores_skip(spark, tmp_path):
     _drain(spark, stage2, t, model, str(tmp_path / "c2"), "zx5_b")
     rep2 = zorder_drift_report(t)
     assert rep2["commits"] == 2 and rep2["clamped"] == 0, rep2
+
+
+def test_string_join_zorder_thousand_value_dimension(spark, tmp_path):
+    """Round-12 ask #6: past STRING_DICT_MAX the rank strategy switches
+    to a broadcast dictionary join (kind "string_join") — clustering on
+    a thousand-value column (e.g. domain) must work at 100 TB without a
+    thousand-entry literal expression. The pin: typed_bounds picks the
+    join kind, the keyed plan stays JVM-only, and a string box over the
+    laid-out table opens fewer files than the table has."""
+    from pm25ml_spark.operators.zorder import (
+        STRING_DICT_MAX,
+        typed_bounds,
+        typed_zorder_key_fixed,
+    )
+    from pm25ml_spark.sources.txlog import TxTable
+
+    df = spark.range(8000).select(
+        F.format_string("dom%04d", F.col("id") % 1000).alias("s"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    spec = typed_bounds(df, ["s"])
+    assert spec["s"]["kind"] == "string_join"
+    assert len(spec["s"]["dict"]) == 1000 > STRING_DICT_MAX
+
+    keyed = typed_zorder_key_fixed(df, spec, bits=10)
+    assert keyed.columns == ["s", "v", "__z"]  # temp rank col dropped
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # rank strategy is a broadcast hash join, not a shuffle
+    assert "BroadcastHashJoin" in plan, plan
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        keyed.repartitionByRange(8, F.col("__z")), stats_cols=["s"]
+    )
+    kept, live = _kept_files(t, {"s": ("dom0100", "dom0149")})
+    assert len(live) > 4 and len(kept) < len(live), (len(kept), len(live))
+    got = t.read_pruned_multi({"s": ("dom0100", "dom0149")})
+    full = t.read().filter(F.col("s").between("dom0100", "dom0149"))
+    key = lambda r: (r["s"], r["v"])
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, full.collect())
+    )
+
+    # below the threshold the literal-map path is still chosen
+    small = spark.range(100).select(
+        F.format_string("k%d", F.col("id") % 5).alias("s")
+    )
+    assert typed_bounds(small, ["s"])["s"]["kind"] == "string"
+
+
+def test_string_join_rank_equals_literal_rank(spark):
+    """Crossing STRING_DICT_MAX changes the physical rank strategy,
+    never a key value: the same frozen dictionary evaluated through the
+    literal-map kind and the broadcast-join kind yields identical
+    Morton keys — including the unseen-value top-cell clamp and the
+    NULL → NULL-key contract."""
+    from pm25ml_spark.operators.zorder import typed_zorder_key_fixed
+
+    d = sorted(f"v{i:03d}" for i in range(300))
+    rows = [(x,) for x in d[::7]] + [("zzz-unseen",), (None,)]
+    df = spark.createDataFrame(rows, "s string")
+    lit_keys = {
+        r["s"]: r["__z"]
+        for r in typed_zorder_key_fixed(
+            df, {"s": {"kind": "string", "dict": d}}, bits=10
+        ).collect()
+    }
+    join_keys = {
+        r["s"]: r["__z"]
+        for r in typed_zorder_key_fixed(
+            df, {"s": {"kind": "string_join", "dict": d}}, bits=10
+        ).collect()
+    }
+    assert join_keys == lit_keys
+    assert join_keys[None] is None
+    assert join_keys["zzz-unseen"] == max(
+        v for v in join_keys.values() if v is not None
+    )
+
+
+def test_double_occupancy_drift_flag_and_recluster_reset(spark, tmp_path):
+    """Round-12 ask #5: double z-dims never clamp (their quantile rank
+    is total over the reals), so heavy-tailed drift that collapses new
+    rows into one cut bucket was invisible. The maintainer now records
+    per-commit cut-bucket occupancy; the report folds it into an
+    occupancy-skew signal that flags the recluster, and
+    recluster_zorder(typed=True) resets it at the model boundary."""
+    from pm25ml_spark.plans.live import _stage_chronological_halves
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.events import read_events_stream
+    from pm25ml_spark.streaming.zorder_maintain import (
+        maintain_zorder_stream,
+        recluster_zorder,
+        zorder_drift_report,
+    )
+
+    stage = _stage_chronological_halves(spark, SF, "zx6")
+
+    def drain(spec, table, chk, qname):
+        stream = read_events_stream(
+            spark, stage, max_files_per_trigger=1, glob="events_*.parquet"
+        )
+        proj = stream.select(
+            F.to_date("ts").alias("day"), "event_type", "value"
+        )
+        maintain_zorder_stream(
+            proj, table, spec=spec, checkpoint_dir=chk, bits=8,
+            query_name=qname,
+        )
+
+    # frozen cuts that predate the data's range: every ingested value
+    # exceeds every cut, so the whole stream lands in the TOP bucket —
+    # zero clamping, maximal occupancy skew
+    stale = {
+        "day": {"kind": "date", "lo": 19723, "hi": 19752},
+        "value": {"kind": "double", "cuts": [-3.0, -2.0, -1.0]},
+    }
+    t = TxTable(spark, str(tmp_path / "t"))
+    drain(stale, t, str(tmp_path / "c1"), "zx6_a")
+    rep = zorder_drift_report(t)
+    assert rep["clamped"] == 0, "double dims must not clamp"
+    assert rep["occupancy_skew"]["value"] > 0.99, rep
+    assert rep["recluster"] is True, rep
+
+    # the repair verb re-derives equal-mass cuts and resets the fold
+    _v, model = recluster_zorder(
+        t, ["day", "value"], bits=8, typed=True
+    )
+    assert len(model["value"]["cuts"]) > 4
+    rep2 = zorder_drift_report(t)
+    assert rep2["commits"] == 0 and rep2["recluster"] is False
+
+    # maintenance resumed with the fresh model: occupancy re-balances
+    # (equal-mass cuts over the same distribution), signal stays clear
+    stage2 = _stage_chronological_halves(spark, SF, "zx6b")
+    stream2_stage = stage2
+
+    def drain2(spec, table, chk, qname):
+        stream = read_events_stream(
+            spark, stream2_stage, max_files_per_trigger=1,
+            glob="events_*.parquet",
+        )
+        proj = stream.select(
+            F.to_date("ts").alias("day"), "event_type", "value"
+        )
+        maintain_zorder_stream(
+            proj, table, spec=spec, checkpoint_dir=chk, bits=8,
+            query_name=qname,
+        )
+
+    drain2(model, t, str(tmp_path / "c2"), "zx6_b")
+    rep3 = zorder_drift_report(t)
+    assert rep3["commits"] == 2
+    assert rep3["worst_occupancy_skew"] < 0.5, rep3
+    assert rep3["recluster"] is False, rep3
