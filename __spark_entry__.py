@@ -90,31 +90,20 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r11: new typed z-dimension clustered copy (date + string
-        # Morton dims, ISO-encoded date file stats).
-        "d19_typed_zorder_box_profile",
-        # r11: new vacuum/retention lifecycle query (compact → vacuum →
-        # current-snapshot read, retirement recorded in the log).
+        # r12: the vacuum lifecycle gained the orphan sweep (crash
+        # residue planted and reclaimed in-plan) — lifecycle changed,
+        # result rows invariant by design; verify that.
         "d20_vacuum_lifecycle",
-        # r11: the z-order streaming maintainer became EXACTLY-ONCE
-        # ((query, epoch)-stamped commits via sink_stream_exactly_once)
-        # and records per-commit drift counters — physical sink changed.
-        "st10_stream_zorder_maintain",
-        # r11: the Morton rank expression gained an explicit NULL guard
-        # (NULL dim → NULL key instead of greatest/least's top-cell
-        # mapping) — layout-only, but the key expression changed.
-        "d18_zorder_box_profile",
-        # r11: new typed streaming z-order maintenance lifecycle query
-        # (frozen typed spec + exactly-once stamps + typed drift).
-        "st11_stream_typed_zorder",
-        # r11: new scale-adaptive IVF probe width (nprobe derived from
-        # the list count in both engines).
-        "ss16_adaptive_ivf_top3",
-        # r11: LSH defaults RETUNED from the RECALL.md measurement —
-        # ss09 (tables, radius) (2,1) → (4,2), ss14 radius 1 → 2; both
-        # physical plans and oracles changed.
-        "ss09_lsh_multitable_top1",
+        # r12: ss14 RETUNED single-table → 4-table postings (measured
+        # 0.40 → 0.875 recall@1); plan AND oracle changed.
         "ss14_incremental_lsh_top1",
+        # r12: NEW query — IVF retrain lifecycle (frozen quantizer →
+        # drifted ingest → retrain_ivf full re-assign + atomic swap).
+        "ss17_ivf_retrain_lifecycle",
+        # r12: the typed maintainer's drift audit path changed
+        # (string_join membership via broadcast join, double-dim
+        # occupancy histograms) — result rows invariant; verify.
+        "st11_stream_typed_zorder",
     }
     return sorted(
         names,

@@ -138,8 +138,9 @@ def main() -> None:
     # query in BENCH_FULL.json; the compact line carries the fixed
     # component only (data = queries[tag] - stfix[tag]) to stay inside
     # the driver's 2000-char stdout capture window.
-    split_tags = {"st01", "st02", "st03", "st04", "st05", "st06", "st09",
-                  "st10", "d12", "d13", "d14"}
+    split_tags = {"st01", "st02", "st03", "st04", "st05", "st06", "st07",
+                  "st08", "st09", "st10", "st11",
+                  "d12", "d13", "d14", "d15", "d16", "d17", "d20"}
     small_dir = "/root/testdata/sf0.01"
     streaming_split: dict[str, dict] = {}
     try:
@@ -199,12 +200,23 @@ def main() -> None:
     tags = {name: name.split("_", 1)[0] for name in QUERIES}
     assert len(set(tags.values())) == len(tags), "query tags must stay unique"
 
+    # The cross-round comparable number: suite minus one-time staged
+    # builds minus the measured streaming/txlog per-invocation fixed
+    # costs — what the queries themselves cost on DATA at this sf.
+    query_only = round(
+        total
+        - sum(stage_builds.values())
+        - sum(v["fixed_sec"] for v in streaming_split.values()),
+        4,
+    )
+
     full = {
         "metric": "pm25ml_spark query suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "query_only_sec": query_only,
         "tag_to_name": {tags[n]: n for n in sorted(QUERIES)},
     }
     if stage_builds:
@@ -224,6 +236,7 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "sf": sf,
+        "query_only_sec": round(query_only, 2),
         "queries": {tags[n]: round(v, 2) for n, v in sorted(timings.items())},
     }
     if pipe_stages:

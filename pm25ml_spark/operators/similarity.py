@@ -309,6 +309,50 @@ def kmeans_codebook(
     return np.asarray(C, dtype=np.float64)
 
 
+def exact_rescore(
+    short: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Two-stage ANN second stage, generalized (ss08's recipe for ANY
+    first stage): take a shortlist of ``(q_id, c_id)`` pairs — an ADC
+    compressed scan, an LSH probe union, an IVF probe, anything that
+    winnowed — fetch ONLY those candidates' full vectors by broadcast
+    fetch-by-id join (n_q · W rows against the corpus, never a second
+    corpus-scan shape), and re-rank by the exact JVM cosine fold with
+    the engine's 6-dp determinism contract. At 10^9 vectors the exact
+    math touches W rows per query; the compressed stage's quantization
+    error stops binding recall (the IVFADC remedy RECALL.md measures:
+    rerank restores what a 16-cell residual codebook loses). Returns
+    ``(q_id, c_id, score, rk)``, rk ≤ k."""
+    pairs = short.select(q_id, c_id).distinct()
+    exact = (
+        F.broadcast(pairs)
+        .join(candidates.select(c_id, c_vec), c_id)
+        .join(F.broadcast(queries.select(q_id, q_vec)), q_id)
+        .select(
+            q_id,
+            c_id,
+            F.round(
+                _dot(F.col(q_vec), F.col(c_vec))
+                / (_norm(F.col(q_vec)) * _norm(F.col(c_vec))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "score", "rk")
+    )
+
+
 def _ivf_codebook_arrays(
     source: DataFrame,
     centroid_stride: int,
@@ -316,14 +360,26 @@ def _ivf_codebook_arrays(
     codebook,
     c_id: str,
     c_vec: str,
+    codebook_ids=None,
 ):
     """(cen_ids, CM) coarse-quantizer arrays: an explicit trained
-    ``codebook`` or the deterministic strided selection collected from
-    ``source`` (contract-small — the bounded-collect precedent)."""
+    ``codebook`` (list ids 0..k-1, or ``codebook_ids`` when the caller
+    pins the list identities — e.g. a persisted retrained model whose
+    lists keep their centroid vector ids) or the deterministic strided
+    selection collected from ``source`` (contract-small — the
+    bounded-collect precedent)."""
     import numpy as np
 
     if codebook is not None:
         CM = np.asarray(codebook, dtype=np.float64)
+        if codebook_ids is not None:
+            ids = np.asarray(codebook_ids, dtype=np.int64)
+            if len(ids) != len(CM):
+                raise ValueError(
+                    f"codebook_ids has {len(ids)} entries for "
+                    f"{len(CM)} centroids"
+                )
+            return ids, CM
         return np.arange(len(CM), dtype=np.int64), CM
     cent = source.filter(
         (F.col(c_id) % centroid_stride) == centroid_offset
@@ -349,6 +405,7 @@ def ivf_assign(
     c_id: str = "cid",
     c_vec: str = "ce",
     cen_source: DataFrame | None = None,
+    codebook_ids=None,
 ) -> DataFrame:
     """The INDEX-BUILD half of IVF: assign every candidate its nearest
     coarse centroid by rounded cosine (ties: lower cen id) and return
@@ -376,6 +433,7 @@ def ivf_assign(
         codebook,
         c_id,
         c_vec,
+        codebook_ids=codebook_ids,
     )
     cn = np.sqrt((CM_a * CM_a).sum(axis=1))
     bc = sc.broadcast((cen_ids_a, CM_a, cn))
@@ -451,12 +509,19 @@ def ivf_drift_report(
     its out-of-halfspace fraction crosses ``halfspace_threshold``.
     Reads the commit LOG only — results stay oracle-green regardless
     (assignment to the nearest FROZEN centroid is still exact); the
-    signal is about recall economics, not correctness."""
-    audits = [
-        (e["version"], e["ivf_drift"])
-        for e in table.history()
-        if e.get("ivf_drift")
-    ]
+    signal is about recall economics, not correctness.
+
+    An ``ivf_model`` entry (a :func:`retrain_ivf` rewrite) RESETS the
+    fold — drift is always measured against the CURRENT frozen
+    quantizer, and the retrain commit's own audit becomes the new
+    base, so the signal clears once the repair lands (the exact
+    model-boundary semantics of ``zorder_drift_report``)."""
+    audits = []
+    for e in table.history():
+        if e.get("ivf_model"):
+            audits = []
+        if e.get("ivf_drift"):
+            audits.append((e["version"], e["ivf_drift"]))
     if not audits:
         return {"commits": 0, "retrain": False, "worst_ratio": 0.0}
     base = audits[0][1]["mean_dist"] or 1e-12
@@ -473,6 +538,73 @@ def ivf_drift_report(
         "worst_out_of_halfspace_frac": worst_oo,
         "retrain": worst > ratio_threshold or worst_oo > halfspace_threshold,
     }
+
+
+def retrain_ivf(
+    table,
+    centroid_stride: int = 100,
+    centroid_offset: int = 7,
+    use_kmeans: bool = False,
+    n_centroids: int = 16,
+    c_id: str = "cid",
+    c_vec: str = "ce",
+) -> tuple[int, dict]:
+    """The REPAIR verb :func:`ivf_drift_report` recommends — the
+    vector-store dual of ``streaming.zorder_maintain.recluster_zorder``:
+    train a FRESH coarse quantizer from the table's CURRENT vectors
+    (strided selection by default, distributed k-means with
+    ``use_kmeans=True``), re-assign every vector to its nearest new
+    centroid, and atomically OVERWRITE the inverted-list table so
+    consumers never see a mixed index — old snapshots still time-travel
+    to the old lists. The commit carries the new quantizer
+    (``ivf_model``: centroid ids + the centroid matrix, a bounded
+    driver array by the codebook contract) so incremental maintenance
+    can resume against the retrained model
+    (``ivf_assign(batch, codebook=model["codebook"],
+    codebook_ids=model["cen_ids"])``), plus its own assignment audit —
+    which becomes the drift fold's new base, resetting the signal at
+    the model boundary.
+
+    Returns ``(version, model)``. Cost is one full re-assignment +
+    rewrite — exactly why drift is MONITORED instead of retraining per
+    refresh: the signal decides when the rewrite is worth it."""
+    import numpy as np
+
+    current = table.read().select(c_id, c_vec)
+    if use_kmeans:
+        CM = kmeans_codebook(
+            current, n_centroids=n_centroids, c_id=c_id, c_vec=c_vec
+        )
+        cen_ids = np.arange(len(CM), dtype=np.int64)
+        kind = {"kind": "kmeans", "n_centroids": int(n_centroids)}
+    else:
+        cen_ids, CM = _ivf_codebook_arrays(
+            current, centroid_stride, centroid_offset, None, c_id, c_vec
+        )
+        kind = {
+            "kind": "strided",
+            "stride": int(centroid_stride),
+            "offset": int(centroid_offset),
+        }
+    assigned = ivf_assign(
+        current,
+        codebook=CM,
+        codebook_ids=cen_ids,
+        c_id=c_id,
+        c_vec=c_vec,
+    )
+    model = {
+        **kind,
+        "cen_ids": [int(i) for i in cen_ids],
+        "codebook": [[float(x) for x in row] for row in CM],
+    }
+    nparts = current.sparkSession.sparkContext.defaultParallelism
+    v = table.overwrite(
+        assigned.repartitionByRange(nparts, F.col("cen")),
+        stats_cols=["cen"],
+        entry_extra=lambda w: {**ivf_commit_audit(w), "ivf_model": model},
+    )
+    return v, model
 
 
 def ivf_probe_topk(

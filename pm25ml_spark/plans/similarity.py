@@ -120,6 +120,58 @@ def _probe_values_sql(n_planes: int, probe_hamming: int) -> str:
     )
 
 
+_MT_PLANES, _MT_H, _MT_TABLES = 8, 2, 4
+
+
+def _mt_lsh_oracle(
+    p: int = _MT_PLANES, h: int = _MT_H, n_tables: int = _MT_TABLES
+) -> str:
+    dim = 64
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            f"""
+    q{t} AS (
+        SELECT qid, qe, {t} AS tbl, xor(sig, m.m) AS bucket
+        FROM (
+            SELECT vec_id AS qid, embedding AS qe,
+                   {_plane_sql(p, dim, 'embedding', plane_offset=t * p)} AS sig
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), (VALUES {_probe_values_sql(p, h)}) m(m)
+    ),
+    c{t} AS (
+        SELECT vec_id AS cid, embedding AS ce, {t} AS tbl,
+               {_plane_sql(p, dim, 'embedding', plane_offset=t * p)} AS bucket
+        FROM embeddings
+    )"""
+        )
+    q_union = " UNION ALL ".join(f"SELECT * FROM q{t}" for t in range(n_tables))
+    c_union = " UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(n_tables))
+    return f"""
+    WITH {",".join(tables)},
+    q AS ({q_union}),
+    c AS ({c_union}),
+    pairs AS (
+        SELECT qid, cid,
+               ROUND(
+                 list_sum(list_transform(range(1, len(qe) + 1),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS score
+        FROM c JOIN q USING (tbl, bucket)
+        WHERE qid <> cid
+    ),
+    dedup AS (SELECT qid, cid, MIN(score) AS score FROM pairs GROUP BY qid, cid)
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rk
+        FROM dedup)
+    WHERE rk <= 1
+    """
+
+
 # Defaults chosen from the measured recall sweep (tools/ann_recall_sweep.py,
 # table in SCALING.md): 6 planes + Hamming-2 multi-probe lifts recall@1
 # from 0.00 to 0.53 on the adversarial isotropic sf0.1 corpus and to 1.00
@@ -517,13 +569,27 @@ def ss13_incremental_ivf_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # appends. The oracle re-derives every signature from raw vectors, so
 # an incremental table that dropped or duplicated postings cannot
 # hash-match.
-# probe radius 2 per the measured sf0.1 sweep (recall@1 0.15 → 0.40 at
-# ~equal query wall-time; RECALL.md) — the lifecycle demonstration
-# should not ship a knowably-weak default
-_LSH_INCR_PLANES, _LSH_INCR_H = 7, 2
+# (tables, radius) = (4, 2) per the measured sf0.1 sweep (r12 retune;
+# RECALL.md): single-table radius-2 topped out at recall@1 = 0.40 and
+# widening the radius CANNOT close the gap (one 7-plane signature
+# simply separates some true neighbors by > h bits), while 4
+# independent tables at the same radius measure 0.875. The maintenance
+# trade is accepted and explicit: every refresh hashes the batch L
+# times and appends L× postings rows — still O(batch), never a
+# rebuild — which is the standard price of multi-table LSH recall
+# (tests/test_ann_recall.py pins the floor AND the single-table
+# inadequacy that motivated the retune).
+_LSH_INCR_PLANES, _LSH_INCR_H, _LSH_INCR_TABLES = 7, 2, 4
 
 
-def _lsh_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_postings_incremental(
+    spark: SparkSession, sf_dir: str, n_tables: int = _LSH_INCR_TABLES
+) -> DataFrame:
+    """Incrementally-maintained L-table postings: base commit signs the
+    pre-batch corpus, the refresh signs ONLY the batch, per table.
+    ``n_tables`` is exposed so tools/ann_recall.py's table sweep stages
+    the 1- and 2-table variants through the identical lifecycle — the
+    measurement the (4, 2) default is held against."""
     from pm25ml_spark.plans.artifacts import staged_incremental_table
 
     is_batch = F.col("cid") % _IVF_BATCH_MOD == _IVF_BATCH_REM
@@ -531,20 +597,22 @@ def _lsh_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_base() -> DataFrame:
         _, _, c = _qc(spark, sf_dir)
         return S.lsh_postings(
-            c.filter(~is_batch), n_planes=_LSH_INCR_PLANES, dim=64
+            c.filter(~is_batch), n_planes=_LSH_INCR_PLANES, dim=64,
+            n_tables=n_tables,
         )
 
     def build_delta() -> DataFrame:
         _, _, c = _qc(spark, sf_dir)
         return S.lsh_postings(
-            c.filter(is_batch), n_planes=_LSH_INCR_PLANES, dim=64
+            c.filter(is_batch), n_planes=_LSH_INCR_PLANES, dim=64,
+            n_tables=n_tables,
         )
 
     return staged_incremental_table(
         spark,
         sf_dir,
         "lsh_postings_incr",
-        (_LSH_INCR_PLANES, _IVF_BATCH_MOD, _IVF_BATCH_REM),
+        (_LSH_INCR_PLANES, _IVF_BATCH_MOD, _IVF_BATCH_REM, n_tables),
         [("base", build_base), ("delta_batch", build_delta)],
         range_col="bucket",
         stats_cols=["tbl", "bucket"],
@@ -554,37 +622,9 @@ def _lsh_postings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ss14_incremental_lsh_top1",
-    f"""
-    WITH q0 AS (
-        SELECT vec_id AS qid, embedding AS qe,
-               {_plane_sql(_LSH_INCR_PLANES, 64, 'embedding')} AS sig
-        FROM embeddings WHERE vec_id % 50 = 0
+    _mt_lsh_oracle(
+        p=_LSH_INCR_PLANES, h=_LSH_INCR_H, n_tables=_LSH_INCR_TABLES
     ),
-    q AS (
-        SELECT qid, qe, xor(sig, m.m) AS bucket
-        FROM q0, (VALUES {_probe_values_sql(_LSH_INCR_PLANES, _LSH_INCR_H)}) m(m)
-    ),
-    c AS (
-        SELECT vec_id AS cid, embedding AS ce,
-               {_plane_sql(_LSH_INCR_PLANES, 64, 'embedding')} AS bucket
-        FROM embeddings
-    ),
-    pairs AS (
-        SELECT qid, cid,
-               list_sum(list_transform(range(1, len(qe) + 1),
-                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
-               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
-               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
-        FROM c JOIN q USING (bucket)
-        WHERE qid <> cid
-    )
-    SELECT qid, cid, score, rk FROM (
-        SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS score,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rk
-        FROM pairs)
-    WHERE rk <= 1
-    """,
 )
 def ss14_incremental_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, _ = _qc(spark, sf_dir)
@@ -595,7 +635,8 @@ def ss14_incremental_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=_LSH_INCR_PLANES,
         dim=64,
         probe_hamming=_LSH_INCR_H,
-    )
+        n_tables=_LSH_INCR_TABLES,
+    ).select("qid", "cid", "score", "rk")
 
 
 # --------------------------------------------------------------------------
@@ -962,56 +1003,6 @@ def ss08_pq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall per candidate scanned (r11 retune; tests/test_ann_recall.py
 # pins the floor). This entry pins the L-table plan's VALUES under the
 # same DuckDB oracle discipline as the single-table ss03.
-_MT_PLANES, _MT_H, _MT_TABLES = 8, 2, 4
-
-
-def _mt_lsh_oracle() -> str:
-    p, h, dim = _MT_PLANES, _MT_H, 64
-    tables = []
-    for t in range(_MT_TABLES):
-        tables.append(
-            f"""
-    q{t} AS (
-        SELECT qid, qe, {t} AS tbl, xor(sig, m.m) AS bucket
-        FROM (
-            SELECT vec_id AS qid, embedding AS qe,
-                   {_plane_sql(p, dim, 'embedding', plane_offset=t * p)} AS sig
-            FROM embeddings WHERE vec_id % 50 = 0
-        ), (VALUES {_probe_values_sql(p, h)}) m(m)
-    ),
-    c{t} AS (
-        SELECT vec_id AS cid, embedding AS ce, {t} AS tbl,
-               {_plane_sql(p, dim, 'embedding', plane_offset=t * p)} AS bucket
-        FROM embeddings
-    )"""
-        )
-    q_union = " UNION ALL ".join(f"SELECT * FROM q{t}" for t in range(_MT_TABLES))
-    c_union = " UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(_MT_TABLES))
-    return f"""
-    WITH {",".join(tables)},
-    q AS ({q_union}),
-    c AS ({c_union}),
-    pairs AS (
-        SELECT qid, cid,
-               ROUND(
-                 list_sum(list_transform(range(1, len(qe) + 1),
-                          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                 6) AS score
-        FROM c JOIN q USING (tbl, bucket)
-        WHERE qid <> cid
-    ),
-    dedup AS (SELECT qid, cid, MIN(score) AS score FROM pairs GROUP BY qid, cid)
-    SELECT qid, cid, score, rk FROM (
-        SELECT qid, cid, score,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY score DESC, cid) AS rk
-        FROM dedup)
-    WHERE rk <= 1
-    """
-
-
 @query("ss09_lsh_multitable_top1", _mt_lsh_oracle())
 def ss09_lsh_multitable_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, q, _ = _qc(spark, sf_dir)
@@ -1052,9 +1043,12 @@ def _resid_sql(e: str, cv: str, dim: int = 64) -> str:
     )
 
 
-@query(
-    "ss10_ivfpq_top3",
-    f"""
+def _ivfpq_agg_cte() -> str:
+    """The shared IVFADC pipeline CTE (coarse assign -> residual PQ ->
+    probe LUT -> compressed-domain `agg(qid, cid, adist)`), re-derived
+    from raw vectors — ss10 ranks it directly; ss18 shortlists it and
+    exactly re-scores (the measured rerank remedy, RECALL.md)."""
+    return f"""
     WITH ccents AS (
         SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
         WHERE vec_id % 100 = 7
@@ -1123,6 +1117,12 @@ def _resid_sql(e: str, cv: str, dim: int = 64) -> str:
         WHERE l.qid <> co.cid
         GROUP BY l.qid, co.cid
     )
+    """
+
+
+@query(
+    "ss10_ivfpq_top3",
+    f"""{_ivfpq_agg_cte()}
     SELECT qid, cid, adist, rk FROM (
         SELECT qid, cid, adist,
                row_number() OVER (PARTITION BY qid
@@ -1366,3 +1366,145 @@ def ss12_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cl"),
     )
     return S.cosine_topk(q, c, k=3, q_grp="ql", c_grp="cl")
+
+
+# --------------------------------------------------------------------------
+# ss17 — IVF RETRAIN lifecycle, end-to-end (the r11 ask: close the
+# drift loop with a repair verb). A maintained inverted-list index is
+# built with one frozen quantizer (strided (100,13) from the pre-batch
+# corpus), an ingest batch (cid % 10 == 7 — which removes every future
+# (100,7) centroid from the base corpus, so the two quantizers really
+# differ) is appended against that SAME frozen model, and then
+# `retrain_ivf` trains a fresh (100,7) quantizer from the CURRENT
+# vectors, re-assigns everything, and atomically swaps the lists. The
+# oracle re-derives the per-list profile from raw embeddings with the
+# RETRAINED quantizer — so the verb must produce exactly a from-scratch
+# rebuild (stale assignments, a half-swapped index, or a quantizer
+# trained on the wrong corpus all hash-mismatch). The drift fold's
+# model-boundary reset is pinned in-plan; recall-economics tests live
+# in tests/test_similarity_ops.py.
+@query(
+    "ss17_ivf_retrain_lifecycle",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cen_id, embedding AS cv FROM embeddings
+        WHERE vec_id % 100 = 7
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    assign AS (
+        SELECT cid, cen_id,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY ROUND({_cos_sql('ce', 'cv')}, 6) DESC,
+                                           cen_id) AS r
+        FROM c, cent
+    ),
+    lists AS (SELECT cid, cen_id FROM assign WHERE r = 1)
+    SELECT cen_id AS cen, COUNT(*) AS n_vecs,
+           MIN(cid) AS min_cid, MAX(cid) AS max_cid
+    FROM lists GROUP BY cen_id
+    """,
+)
+def ss17_ivf_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pm25ml_spark.operators.similarity import (
+        ivf_commit_audit,
+        ivf_drift_report,
+        retrain_ivf,
+    )
+    from pm25ml_spark.sources.txlog import TxTable
+
+    _, _, c = _qc(spark, sf_dir)
+    is_batch = F.col("cid") % 10 == 7
+    base_corpus = c.filter(~is_batch)
+
+    d = tempfile.mkdtemp(prefix="pm25ml_ss17_")
+    atexit.register(shutil.rmtree, d, True)
+    t = TxTable(spark, d)
+    # bootstrap: frozen (100,13) quantizer trained on the base corpus
+    t.append(
+        S.ivf_assign(base_corpus, centroid_stride=100, centroid_offset=13),
+        entry_extra=ivf_commit_audit,
+    )
+    # ingest refresh: the batch assigned against the SAME frozen model
+    t.append(
+        S.ivf_assign(
+            c.filter(is_batch),
+            centroid_stride=100,
+            centroid_offset=13,
+            cen_source=base_corpus,
+        ),
+        entry_extra=ivf_commit_audit,
+    )
+    # the repair verb: fresh (100,7) quantizer from the CURRENT
+    # vectors, full re-assign, atomic list swap, model in the commit
+    _v, _model = retrain_ivf(t, centroid_stride=100, centroid_offset=7)
+    # lifecycle guards (metadata-only): the model landed in the log and
+    # the drift fold reset at the boundary (retrain audit = new base)
+    if "ivf_model" not in t.history()[-1]:
+        raise RuntimeError("retrain did not record its model")
+    rep = ivf_drift_report(t)
+    if rep["commits"] != 1 or rep["retrain"]:
+        raise RuntimeError(f"drift fold did not reset at the model: {rep}")
+    return t.read().groupBy("cen").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("cid").alias("min_cid"),
+        F.max("cid").alias("max_cid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ss18 — IVFADC + EXACT RERANK: the two-stage remedy RECALL.md measures
+# (r12): the compressed-domain ADC scan winnows to a W=24 shortlist per
+# query, then ONLY those candidates' full vectors are fetched
+# (broadcast fetch-by-id — n_q·W rows against the corpus, never a
+# second corpus-scan shape) and re-ranked by the exact JVM cosine fold.
+# This is what turns ss10's quantization-bounded recall (0.26@3 at the
+# default probe budget, sf0.1) into 0.50 at the SAME probe budget — the
+# measured quantization half of the error, removed by exact math on
+# ~1% of the corpus. The oracle re-derives the whole pipeline from raw
+# vectors: shortlist membership is deterministic in both engines (the
+# decimal ADC sum + cid tiebreak — the same ordering ss10 hash-proves),
+# so a wrong shortlist, a lossy fetch join, or a rescore tie-break
+# drift all hash-mismatch.
+_IVFPQ_RERANK_W = 24
+
+
+@query(
+    "ss18_ivfpq_rerank_top3",
+    f"""{_ivfpq_agg_cte()},
+    short AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adist, cid) AS rk
+            FROM agg)
+        WHERE rk <= {_IVFPQ_RERANK_W}
+    ),
+    exact AS (
+        SELECT s.qid, s.cid,
+               ROUND({_cos_sql('qv.embedding', 'cv2.embedding')}, 6) AS score
+        FROM short s
+        JOIN embeddings qv ON qv.vec_id = s.qid
+        JOIN embeddings cv2 ON cv2.vec_id = s.cid
+    )
+    SELECT qid, cid, score, rk FROM (
+        SELECT qid, cid, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rk
+        FROM exact)
+    WHERE rk <= 3
+    """,
+)
+def ss18_ivfpq_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, q, c = _qc(spark, sf_dir)
+    cen_ids, CM = S.ivfpq_coarse_arrays(c, 100, 7)
+    rsubs = _ivfpq_rcodebook_staged(spark, sf_dir)
+    codes_cen = _ivfpq_codes_staged(spark, sf_dir)
+    lut = S.ivfpq_lut(
+        q, rsubs, cen_ids, CM, _IVFPQ_NPROBE, _PQ_M, _PQ_SD
+    )
+    short = S.ivfpq_adc_rank(codes_cen, lut, k=_IVFPQ_RERANK_W)
+    return S.exact_rescore(short, q, c, k=3)

@@ -98,3 +98,62 @@ def test_lsh_recall_monotone_in_probe_radius_and_floor(spark):
     # more tables = candidate superset of the shared plane prefix
     assert r4 >= rs[2], (r4, rs)
     assert r4 >= 0.50, r4
+
+
+def test_ivfpq_rerank_floor_and_quantization_split(spark):
+    """r12 ask #3: the rerank remedy, MEASURED. exact_rescore over an
+    ADC shortlist must (a) beat the compressed-domain rank at the same
+    probe budget (it removes the quantization half of the error),
+    (b) be monotone in shortlist width (candidate superset), and
+    (c) cross the 0.9 floor at full probe coverage with W=96 (measured
+    0.9667 here, 0.94 at sf0.1) — the configuration RECALL.md
+    prescribes when recall, not scan budget, binds."""
+    truth3 = truth_topk(spark, SF, 3)
+    _, q, c = _qc(spark, SF)
+    cen_ids, CM = S.ivfpq_coarse_arrays(c, 100, 7)
+    rsubs = P._ivfpq_rcodebook_staged(spark, SF)
+    codes = P._ivfpq_codes_staged(spark, SF)
+    full = len(cen_ids)  # full probe coverage on this corpus
+    lut = S.ivfpq_lut(q, rsubs, cen_ids, CM, full, P._PQ_M, P._PQ_SD)
+
+    adc_only = _recall(
+        spark, S.ivfpq_adc_rank(codes, lut, k=3), truth3, 3
+    )
+    rr = {}
+    for W in (24, 96):
+        short = S.ivfpq_adc_rank(codes, lut, k=W)
+        rr[W] = _recall(
+            spark, S.exact_rescore(short, q, c, k=3), truth3, 3
+        )
+    # quantization half removed: rerank dominates ADC-only
+    assert rr[24] > adc_only, (rr, adc_only)
+    # candidate-superset monotonicity
+    assert rr[24] <= rr[96], rr
+    # the pinned rerank floor
+    assert rr[96] >= 0.90, rr
+
+
+def test_incremental_lsh_multitable_floor_and_retune_motivation(spark):
+    """r12 ss14 retune pins: the (4, 2) default's floor (measured 0.90
+    here, 0.875 at sf0.1), monotonicity in table count (more tables =
+    candidate superset of the shared-table prefix... strictly: a
+    re-draw union that can only add candidates per query), and the
+    single-table inadequacy that motivated the retune — radius 2 on
+    one 7-plane signature cannot reach half the multi-table recall."""
+    truth3 = truth_topk(spark, SF, 3)
+    truth1 = {qid: tk[:1] for qid, tk in truth3.items()}
+    _, q, _ = _qc(spark, SF)
+    rs = {}
+    for nt in (1, 2, 4):
+        postings = P._lsh_postings_incremental(spark, SF, n_tables=nt)
+        rs[nt] = _recall(
+            spark,
+            S.lsh_probe_topk(q, postings, k=1,
+                             n_planes=P._LSH_INCR_PLANES, dim=64,
+                             probe_hamming=2, n_tables=nt),
+            truth1,
+            1,
+        )
+    assert rs[1] <= rs[2] <= rs[4], rs
+    assert rs[4] >= 0.80, rs           # the catalog default's floor
+    assert rs[1] <= rs[4] / 2, rs      # why single-table was retired

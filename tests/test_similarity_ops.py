@@ -521,6 +521,7 @@ def test_incremental_lsh_postings_equal_full_rebuild(spark, tmp_path):
         _IVF_BATCH_MOD,
         _IVF_BATCH_REM,
         _LSH_INCR_PLANES,
+        _LSH_INCR_TABLES,
         _lsh_postings_incremental,
         _qc,
     )
@@ -538,12 +539,16 @@ def test_incremental_lsh_postings_equal_full_rebuild(spark, tmp_path):
     _, _, c = _qc(spark, SF)
     want = {
         (r.tbl, r.bucket, r.cid)
-        for r in lsh_postings(c, n_planes=_LSH_INCR_PLANES, dim=64).collect()
+        for r in lsh_postings(
+            c, n_planes=_LSH_INCR_PLANES, dim=64,
+            n_tables=_LSH_INCR_TABLES,
+        ).collect()
     }
     assert got == want and got
     t = staged_table_handle(
         spark, SF, "lsh_postings_incr",
-        (_LSH_INCR_PLANES, _IVF_BATCH_MOD, _IVF_BATCH_REM),
+        (_LSH_INCR_PLANES, _IVF_BATCH_MOD, _IVF_BATCH_REM,
+         _LSH_INCR_TABLES),
     )
     vs = t.versions()
     assert len(vs) == 2, vs
@@ -675,3 +680,86 @@ def test_ivf_drift_audit_and_retrain_signal(spark, tmp_path):
             ),
         )
         assert got[r.cid] == best
+
+
+def test_retrain_ivf_repairs_drift_and_resets_signal(spark, tmp_path):
+    """Round-12 ask #2: the repair verb the retrain signal recommends.
+    Drifted ingest raises the flag; retrain_ivf trains a fresh
+    quantizer from the CURRENT vectors, re-assigns everything, and
+    atomically swaps the lists (old snapshots still time-travel); the
+    result equals a from-scratch rebuild; the drift fold resets at the
+    model boundary; and incremental maintenance resumes against the
+    persisted retrained model."""
+    from pm25ml_spark.operators.similarity import (
+        ivf_assign,
+        ivf_commit_audit,
+        ivf_drift_report,
+        retrain_ivf,
+    )
+    from pm25ml_spark.sources.txlog import TxTable
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "cid long, ce array<double>")
+
+    base_rows = (
+        [(i, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(0, 9)]
+        + [(10 + i, [0.0, 0.0, 1.0, 0.05 * i]) for i in range(0, 9)]
+    )
+    drift_rows = [
+        (200 + i, [-1.0, 0.0, -1.0, 1.0 + 0.1 * i]) for i in range(5)
+    ]
+    base = vecs(base_rows)
+    t = TxTable(spark, str(tmp_path / "ivf"))
+    t.append(
+        ivf_assign(base, centroid_stride=10, centroid_offset=0),
+        entry_extra=ivf_commit_audit,
+    )
+    t.append(
+        ivf_assign(vecs(drift_rows), centroid_stride=10, centroid_offset=0,
+                   cen_source=base),
+        entry_extra=ivf_commit_audit,
+    )
+    assert ivf_drift_report(t)["retrain"] is True
+    pre_version = t.latest_version()
+
+    v, model = retrain_ivf(t, centroid_stride=10, centroid_offset=0)
+    # the new strided quantizer covers the drifted direction (cid 200)
+    assert 200 in model["cen_ids"]
+    assert len(model["codebook"]) == len(model["cen_ids"])
+    assert t.history()[-1]["ivf_model"]["kind"] == "strided"
+
+    # retrained table equals a from-scratch rebuild over the same rows
+    scratch = {
+        (r.cid, r.cen)
+        for r in ivf_assign(
+            vecs(base_rows + drift_rows), centroid_stride=10,
+            centroid_offset=0,
+        ).collect()
+    }
+    got = {(r.cid, r.cen) for r in t.read().collect()}
+    assert got == scratch
+    # drifted vectors now live in the new centroid's list, not clamped
+    # into a far frozen one
+    assert all(cen == 200 for cid, cen in got if cid >= 200)
+    # old lists still time-travel
+    assert t.read(version=pre_version).count() == len(got)
+
+    # the fold reset: the retrain commit's own audit is the new base
+    rep = ivf_drift_report(t)
+    assert rep["commits"] == 1 and rep["retrain"] is False, rep
+
+    # incremental maintenance resumes against the PERSISTED model —
+    # same-direction ingest stays unflagged
+    more = vecs(
+        [(300 + i, [-1.0, 0.0, -1.0, 1.0 + 0.08 * i]) for i in range(4)]
+    )
+    t.append(
+        ivf_assign(
+            more,
+            codebook=model["codebook"],
+            codebook_ids=model["cen_ids"],
+        ),
+        entry_extra=ivf_commit_audit,
+    )
+    rep2 = ivf_drift_report(t)
+    assert rep2["commits"] == 2 and rep2["retrain"] is False, rep2

@@ -147,16 +147,27 @@ def run(spark, sf_dir: str) -> dict:
                    truth1,
                    default=(n_tables == P._MT_TABLES and h == P._MT_H))
 
-    # --- incremental LSH (ss14): base+delta postings, radius sweep
-    postings_incr = P._lsh_postings_incremental(spark, sf_dir)
-    for h in (0, 1, 2):
-        rows, secs = timed(
-            S.lsh_probe_topk(q, postings_incr, k=1,
-                             n_planes=P._LSH_INCR_PLANES, dim=64,
-                             probe_hamming=h)
+    # --- incremental LSH (ss14): base+delta postings, (tables × radius)
+    # sweep — each table count staged through the SAME two-commit
+    # incremental lifecycle. This is the measurement behind the r12
+    # retune: single-table radius-2 tops out at 0.40 (radius widening
+    # cannot recover neighbors one signature separates by > h bits),
+    # 4 tables at the same radius measure 0.875 — the maintenance price
+    # (L× hash+append per refresh, still O(batch)) buys the recall.
+    for n_tables in (1, 2, 4):
+        postings_incr = P._lsh_postings_incremental(
+            spark, sf_dir, n_tables=n_tables
         )
-        record("lsh_incr_ss14", f"h={h}", rows, secs, 1, truth1,
-               default=(h == P._LSH_INCR_H))
+        for h in (1, 2):
+            rows, secs = timed(
+                S.lsh_probe_topk(q, postings_incr, k=1,
+                                 n_planes=P._LSH_INCR_PLANES, dim=64,
+                                 probe_hamming=h, n_tables=n_tables)
+            )
+            record("lsh_incr_ss14", f"tables={n_tables},h={h}", rows, secs,
+                   1, truth1,
+                   default=(n_tables == P._LSH_INCR_TABLES
+                            and h == P._LSH_INCR_H))
 
     # --- IVFADC (ss10): staged residual codebook + code table, nprobe
     # sweep through the LUT builder (rank is compressed-domain ADC, so
@@ -171,6 +182,23 @@ def run(spark, sf_dir: str) -> dict:
         rows, secs = timed(S.ivfpq_adc_rank(codes_cen, lut, k=K))
         record("ivfpq_ss10", f"nprobe={nprobe}", rows, secs, K, truth3,
                default=(nprobe == P._IVFPQ_NPROBE))
+
+    # --- IVFADC + EXACT RERANK (ss08's second stage on the ss10 index;
+    # r12 ask #3): ADC shortlist of width W → fetch-by-id broadcast →
+    # exact cosine rescore (operators.similarity.exact_rescore). The
+    # curve decomposes IVFADC's recall bound into its two parts: at
+    # fixed nprobe, growing W recovers what the 16-cell residual
+    # codebook loses (quantization error) until the curve SATURATES at
+    # the probe-coverage ceiling — past that only more probes help.
+    # The exact math touches W rows per query; everything else stays
+    # compressed-domain.
+    for nprobe in (P._IVFPQ_NPROBE, 16):
+        lut = S.ivfpq_lut(q, rsubs, cen_ids, CM, nprobe, P._PQ_M, P._PQ_SD)
+        for W in (24, 96):
+            short = S.ivfpq_adc_rank(codes_cen, lut, k=W)
+            rows, secs = timed(S.exact_rescore(short, q, _qc(spark, sf_dir)[2], k=K))
+            record("ivfpq_rerank", f"nprobe={nprobe},W={W}", rows, secs, K,
+                   truth3)
 
     return {
         "sf_dir": sf_dir,
@@ -209,8 +237,11 @@ def render_md(payload: dict) -> str:
         "ivf_incr_ss13": "IVF over the incrementally-maintained index "
         "(ss13 plan, recall@2)",
         "lsh_ss09": "Multi-table hyperplane LSH (ss09 plan, recall@1)",
-        "lsh_incr_ss14": "Incremental LSH postings (ss14 plan, recall@1)",
+        "lsh_incr_ss14": "Incremental LSH postings, (tables × radius) "
+        "sweep (ss14 plan, recall@1)",
         "ivfpq_ss10": "IVFADC compressed-domain rank (ss10 plan, recall@3)",
+        "ivfpq_rerank": "IVFADC + exact rerank: ADC shortlist W → "
+        "exact_rescore (recall@3)",
     }
     for fam, rows in payload["results"].items():
         lines += [f"## {titles.get(fam, fam)}", "",
@@ -252,11 +283,25 @@ def render_md(payload: dict) -> str:
         "alternative on it — it became the ss09 catalog default in the "
         "r11 retune (the entry shipped (2,1) before this measurement "
         "existed).",
-        "- **IVFADC recall is quantization-bounded**: past nprobe≈4 the "
-        "compressed-domain rank stops improving (the 16-cell residual "
-        "codebook, not probe coverage, is the binding error) — the "
-        "production remedy is ss08's rerank pattern (ADC shortlist → "
-        "exact rescore), not more probes.",
+        "- **IVFADC recall decomposes into quantization error + probe "
+        "coverage, and the rerank curve above MEASURES the split** (r12): "
+        "at the default nprobe=4, exact rerank of a W=24 shortlist "
+        "roughly DOUBLES recall@3 (the quantization half, fixed by "
+        "`exact_rescore`'s 24-exact-evaluations-per-query second stage) "
+        "but saturates near the probe-coverage ceiling; crossing 0.9 "
+        "needs both levers — nprobe=16 (4× the default probe budget) "
+        "with W=96 (exact math on ~5% of this corpus, everything else "
+        "compressed-domain) measures ≥0.90, the pinned rerank floor in "
+        "`tests/test_ann_recall.py`. More shortlist without more probes "
+        "stalls; more probes without rerank stalls lower.",
+        "- **Incremental-LSH tables are the lever radius cannot "
+        "replace** (the r12 ss14 retune measurement): one 7-plane "
+        "signature separates some true neighbors by more than any "
+        "practical probe radius (tables=1 h=2 = 0.40 and flat), while "
+        "independent tables re-draw the planes — (4, 2) measures 0.875 "
+        "at the cost of L× hash+append per refresh (still O(batch) "
+        "maintenance, the standard multi-table price). The per-table "
+        "incremental lifecycle is identical; only L changed.",
         "",
     ]
     return "\n".join(lines)
