@@ -100,6 +100,10 @@ def sample_order(names: list[str]) -> list[str]:
         # r12: NEW query — IVF retrain lifecycle (frozen quantizer →
         # drifted ingest → retrain_ivf full re-assign + atomic swap).
         "ss17_ivf_retrain_lifecycle",
+        # r12: NEW query — IVFADC + exact rerank (ADC W=24 shortlist →
+        # broadcast fetch-by-id → exact cosine rescore), the measured
+        # two-stage remedy from RECALL.md.
+        "ss18_ivfpq_rerank_top3",
         # r12: the typed maintainer's drift audit path changed
         # (string_join membership via broadcast join, double-dim
         # occupancy histograms) — result rows invariant; verify.
