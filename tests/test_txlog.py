@@ -1331,3 +1331,30 @@ def test_concurrent_writer_stress_matches_serial_oracle(spark, tmp_path):
     t.vacuum(orphans=True, orphan_grace_sec=0.0)
     got2 = {(r.id, r.tag) for r in t.read().collect()}
     assert got2 == expected
+
+
+def test_vacuum_orphan_sweep_reclaims_bucketed_residue(spark, tmp_path):
+    """The bucketed writer (upsert's layout) crashes the same way the
+    flat one does, but its residue nests under part-*/__b=k/ — the
+    sweep must find nested parquet, reclaim it, and prune the emptied
+    bucket dirs bottom-up without touching the live bucketed layout."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.upsert(_df(spark, 0, 20, "live"), "id", n_buckets=4)
+
+    # crash mid-upsert: bucketed files written, commit never happened
+    batch = _df(spark, 100, 110, "crash").withColumn(
+        "__b", F.pmod(F.xxhash64(F.col("id")), F.lit(4)).cast("int")
+    )
+    orphan_files, _n = t._write_files_bucketed(batch)
+    assert orphan_files and all("__b=" in f for f in orphan_files)
+    orphan_dir = os.path.join(t.path, orphan_files[0].split(os.sep)[0])
+    t.append(_df(spark, 20, 25, "later"))  # advance the commit horizon
+
+    swept = t.vacuum(orphans=True, orphan_grace_sec=0.0)
+    assert sorted(swept) == sorted(orphan_files)
+    assert not os.path.exists(orphan_dir)  # nested dirs pruned too
+    # live bucketed layout untouched; upsert still bucket-scoped after
+    assert t.read().count() == 25
+    t.upsert(_df(spark, 0, 3, "upd"), "id", n_buckets=4)
+    got = {(r.id, r.tag) for r in t.read().collect()}
+    assert {(0, "upd"), (1, "upd"), (2, "upd")} <= got and len(got) == 25

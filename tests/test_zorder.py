@@ -788,3 +788,49 @@ def test_double_occupancy_drift_flag_and_recluster_reset(spark, tmp_path):
     assert rep3["commits"] == 2
     assert rep3["worst_occupancy_skew"] < 0.5, rep3
     assert rep3["recluster"] is False, rep3
+
+
+def test_string_join_drift_counters_and_recluster(spark, tmp_path):
+    """The high-cardinality path composes with the maintenance loop:
+    typed_drift_row detects unseen values for a string_join dim through
+    the broadcast membership join (never a dictionary-sized literal),
+    and recluster_zorder(typed=True) on a >256-cardinality column
+    re-derives a string_join spec, rewrites atomically, and restores
+    the skip with fresh stats."""
+    from pm25ml_spark.operators.zorder import typed_bounds
+    from pm25ml_spark.sources.txlog import TxTable
+    from pm25ml_spark.streaming.zorder_maintain import (
+        recluster_zorder,
+        typed_drift_row,
+    )
+
+    corpus = spark.range(4000).select(
+        F.format_string("dom%04d", F.col("id") % 400).alias("s"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    )
+    spec = typed_bounds(corpus, ["s"])
+    assert spec["s"]["kind"] == "string_join"
+
+    # a refresh batch carrying values OUTSIDE the frozen dictionary
+    batch = spark.createDataFrame(
+        [("dom0001", 1.0), ("zzz-new-a", 2.0), ("zzz-new-b", 3.0),
+         (None, 4.0)],
+        "s string, v double",
+    )
+    d = typed_drift_row(batch, spec)
+    assert d["n_rows"] == 4 and d["clamped"] == 2 and d["nulls"] == 1, d
+
+    # recluster over a high-cardinality column: fresh string_join spec,
+    # rows invariant, stats skip works against the new layout
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(corpus.repartition(8))
+    n_before = t.read().count()
+    _v, model = recluster_zorder(t, ["s"], bits=10, typed=True)
+    assert model["s"]["kind"] == "string_join"
+    assert len(model["s"]["dict"]) == 400
+    assert t.read().count() == n_before
+    kept, live = _kept_files(t, {"s": ("dom0010", "dom0039")})
+    assert len(live) > 4 and len(kept) < len(live), (len(kept), len(live))
+    got = t.read_pruned_multi({"s": ("dom0010", "dom0039")})
+    full = t.read().filter(F.col("s").between("dom0010", "dom0039"))
+    assert got.count() == full.count() > 0
