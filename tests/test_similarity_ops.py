@@ -763,3 +763,98 @@ def test_retrain_ivf_repairs_drift_and_resets_signal(spark, tmp_path):
     )
     rep2 = ivf_drift_report(t)
     assert rep2["commits"] == 2 and rep2["retrain"] is False, rep2
+
+
+def test_retrain_ivf_kmeans_path(spark, tmp_path):
+    """retrain_ivf(use_kmeans=True) — the trained-quantizer variant:
+    the persisted model (arange ids + k-means centroids) reproduces a
+    from-scratch kmeans assignment, and maintenance resumes against
+    the persisted matrix exactly like the strided path."""
+    from pm25ml_spark.operators.similarity import (
+        ivf_assign,
+        ivf_commit_audit,
+        ivf_drift_report,
+        kmeans_codebook,
+        retrain_ivf,
+    )
+    from pm25ml_spark.sources.txlog import TxTable
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "cid long, ce array<double>")
+
+    rows = (
+        [(i, [1.0, 0.02 * i, 0.0]) for i in range(12)]
+        + [(50 + i, [0.0, 1.0, 0.03 * i]) for i in range(12)]
+    )
+    t = TxTable(spark, str(tmp_path / "ivf"))
+    t.append(
+        ivf_assign(vecs(rows), centroid_stride=10, centroid_offset=0),
+        entry_extra=ivf_commit_audit,
+    )
+
+    v, model = retrain_ivf(t, use_kmeans=True, n_centroids=2)
+    assert model["kind"] == "kmeans"
+    assert model["cen_ids"] == [0, 1]
+    assert len(model["codebook"]) == 2
+
+    # equals a from-scratch kmeans build over the same rows (training
+    # is deterministic — k-lowest-id init)
+    cb = kmeans_codebook(vecs(rows), n_centroids=2, n_iter=5)
+    scratch = {
+        (r.cid, r.cen)
+        for r in ivf_assign(vecs(rows), codebook=cb).collect()
+    }
+    got = {(r.cid, r.cen) for r in t.read().collect()}
+    assert got == scratch
+    # both clusters non-trivially populated
+    assert len({cen for _c, cen in got}) == 2
+
+    # resume against the persisted matrix: same-distribution ingest
+    # lands clean, fold based at the retrain commit
+    t.append(
+        ivf_assign(
+            vecs([(100 + i, [1.0, 0.01 * i, 0.0]) for i in range(4)]),
+            codebook=model["codebook"],
+            codebook_ids=model["cen_ids"],
+        ),
+        entry_extra=ivf_commit_audit,
+    )
+    rep = ivf_drift_report(t)
+    assert rep["commits"] == 2 and rep["retrain"] is False, rep
+
+
+def test_exact_rescore_composes_with_any_shortlist(spark):
+    """exact_rescore's contract is first-stage-agnostic: handed an LSH
+    probe shortlist (or any (qid, cid) set, duplicates included), it
+    fetches only those pairs, ranks by exact cosine with the 6-dp
+    tie contract, and never invents pairs outside the shortlist."""
+    from pm25ml_spark.operators.similarity import (
+        cosine_topk,
+        exact_rescore,
+    )
+
+    rows = [(i, [1.0, 0.1 * i, 0.05 * i * i]) for i in range(8)]
+    q = spark.createDataFrame(rows[:2], "qid long, qe array<double>")
+    c = spark.createDataFrame(rows, "cid long, ce array<double>")
+
+    # a deliberately messy shortlist: duplicates + a self pair
+    short = spark.createDataFrame(
+        [(0, 3), (0, 3), (0, 5), (0, 7), (1, 2), (1, 4), (1, 6)],
+        "qid long, cid long",
+    )
+    out = exact_rescore(short, q, c, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rk, r.cid, r.score))
+    # only shortlisted pairs appear, at most k per query, rk contiguous
+    assert {c for _rk, c, _s in by_q[0]} <= {3, 5, 7}
+    assert {c for _rk, c, _s in by_q[1]} <= {2, 4, 6}
+    assert [rk for rk, _c, _s in sorted(by_q[0])] == [1, 2]
+    # ranks agree with the exact brute-force order restricted to the
+    # shortlist: top-1 for qid 0 must be its true-best among {3,5,7}
+    full = {
+        (r.qid, r.cid): r.score
+        for r in cosine_topk(q, c, k=8).collect()
+    }
+    best0 = max((full[(0, cc)], -cc) for cc in (3, 5, 7))
+    assert sorted(by_q[0])[0][1] == -best0[1]
