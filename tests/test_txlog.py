@@ -1358,3 +1358,90 @@ def test_vacuum_orphan_sweep_reclaims_bucketed_residue(spark, tmp_path):
     t.upsert(_df(spark, 0, 3, "upd"), "id", n_buckets=4)
     got = {(r.id, r.tag) for r in t.read().collect()}
     assert {(0, "upd"), (1, "upd"), (2, "upd")} <= got and len(got) == 25
+
+
+def test_stream_crash_between_write_and_commit_then_orphan_reclaim(
+    spark, tmp_path, monkeypatch
+):
+    """The exactly-once sink's documented crash window, end-to-end: a
+    sink that dies AFTER its parallel file write but BEFORE its atomic
+    commit leaves parquet no log entry references. On restart the epoch
+    replays (the stamp was never written, so it must re-run), lands
+    fresh files, and the table is exact; the first attempt's files are
+    invisible to every snapshot and vacuum(orphans=True) reclaims
+    exactly them."""
+    import time as _time
+
+    from pm25ml_spark.sources.txlog import sink_stream_exactly_once
+
+    src = str(tmp_path / "src")
+    docs = spark.range(24).select(
+        F.col("id"), (F.col("id") % 2).alias("part")
+    )
+    docs.repartition("part").write.partitionBy("part").parquet(src)
+    static = spark.read.parquet(src)
+    t = TxTable(spark, str(tmp_path / "table"))
+
+    crashed = {"n": 0}
+    orig = TxTable._commit
+
+    def crashing(self, entry, at_version=None):
+        if entry.get("op") == "stream-append" and crashed["n"] == 0:
+            crashed["n"] += 1  # files are already on disk at this point
+            raise RuntimeError("simulated crash between write and commit")
+        return orig(self, entry, at_version)
+
+    monkeypatch.setattr(TxTable, "_commit", crashing)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sink_stream_exactly_once(
+        stream, t, "crashy", str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:  # surfaced asynchronously
+            raise RuntimeError(q.exception().desc)
+    monkeypatch.setattr(TxTable, "_commit", orig)
+
+    # crash residue exists on disk and no log entry references it
+    def on_disk():
+        out = set()
+        for root, dirs, names in os.walk(t.path):
+            dirs[:] = [d for d in dirs if d != "_txlog"]
+            for f in names:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, f), t.path))
+        return out
+
+    referenced = set()
+    for e in t.history():
+        referenced |= set(e.get("added", []))
+    residue = on_disk() - referenced
+    assert residue, "the crash should have stranded written files"
+
+    # restart on the same checkpoint: the unstamped epoch replays
+    for _ in range(100):  # the old query deregisters asynchronously
+        if not any(s.name == "crashy" for s in spark.streams.active):
+            break
+        _time.sleep(0.1)
+    stream2 = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = sink_stream_exactly_once(
+        stream2, t, "crashy", str(tmp_path / "ckpt")
+    )
+    assert q2.awaitTermination(120)
+    assert t.read().count() == 24  # exact: no loss, no duplication
+    stamps = [tuple(e["stream_batch"]) for e in t.history()
+              if e.get("stream_batch")]
+    assert len(stamps) == len(set(stamps))
+
+    # the residue is still invisible — and the orphan sweep takes it
+    swept = t.vacuum(orphans=True, orphan_grace_sec=0.0)
+    assert set(swept) >= residue, (swept, residue)
+    assert t.read().count() == 24
