@@ -1111,7 +1111,9 @@ class TxTable:
         is only an orphan candidate once its mtime is at least
         ``grace_sec`` OLDER than the newest commit's timestamp — an
         in-flight writer's freshly-written-but-not-yet-committed files
-        are newer than that horizon and survive the sweep."""
+        are newer than that horizon and survive the sweep, PROVIDED
+        the writer's write-to-commit window is shorter than
+        ``grace_sec`` (see :meth:`vacuum` for the full contract)."""
         latest = self.latest_version()
         if latest is None:
             return []
@@ -1138,7 +1140,8 @@ class TxTable:
         retain_last: int = 0,
         max_retries: int = 5,
         orphans: bool = False,
-        orphan_grace_sec: float = 600.0,
+        orphan_grace_sec: float = 7 * 24 * 3600.0,
+        retire_grace_sec: float = 0.0,
     ) -> list[str]:
         """Delete data files no RETAINED snapshot references. The
         retention window is ``retain_last`` versions behind the latest
@@ -1150,15 +1153,49 @@ class TxTable:
         out-of-window versions are done. Returns the deleted paths
         (relative).
 
+        **Read-consistency contract.** A reader pins a snapshot's file
+        list at plan time (:meth:`read`), and Spark's scan is lazy: a
+        vacuum that retires those files while the scan is running makes
+        the in-flight action fail LOUDLY with a file-not-found error
+        from the scan (Spark's ``spark.sql.files.ignoreMissingFiles``
+        defaults to false and must stay false for TxTable paths — with
+        it set true a mid-scan vacuum silently drops the deleted files'
+        rows). A mid-scan vacuum never yields a silently partial
+        result; it yields either the complete pinned snapshot (files
+        already opened by the OS survive unlink on POSIX) or an error
+        (proven by the threaded reader-vs-vacuum test in
+        ``tests/test_txlog.py``). To let long-running readers COMPLETE
+        instead of erroring, pass ``retire_grace_sec`` > the maximum
+        read duration: a once-referenced file is then only deleted when
+        the commit that retired it from the live set is at least that
+        many seconds older than the newest commit (the Delta
+        deleted-file-retention rule; Delta defaults to 7 days). Files
+        still inside the grace stay on disk, remain referenced by the
+        log, and are reclaimed by a later vacuum once aged. The default
+        0.0 keeps single-process lifecycles (tests, the d18/d20 plans)
+        deterministic; production multi-reader deployments should set
+        hours-to-days.
+
         ``orphans=True`` additionally sweeps NEVER-referenced data
         files — the residue of writers that crashed between their
         parallel file write and their atomic commit, which no snapshot
         reads and the retention pass can never reclaim (it only retires
         once-referenced files). Candidates must be at least
         ``orphan_grace_sec`` older than the newest commit (mtime — the
-        Delta VACUUM uncommitted-file rule), so a concurrent writer's
-        not-yet-committed files always survive the sweep. Live
-        snapshots are untouched by construction: an orphan is by
+        Delta VACUUM uncommitted-file rule; Delta's default is likewise
+        7 days). The guard protects a concurrent writer ONLY while its
+        write-to-commit window is shorter than the grace: a parallel
+        write job that spends longer than ``orphan_grace_sec`` between
+        writing its first part file and committing — while other
+        commits keep advancing the newest-commit timestamp — can have
+        its not-yet-committed files swept, and its eventual commit
+        would then reference missing files. The operator contract is
+        therefore: **grace must exceed the maximum write-to-commit
+        duration of any concurrent writer**. The 7-day default makes
+        that hold for any realistic batch job; pass ``0.0`` only in
+        single-writer contexts (e.g. crash-residue cleanup in tests
+        and the d20 lifecycle plan) where no write can be in flight.
+        Live snapshots are untouched by construction: an orphan is by
         definition in no snapshot's file set.
 
         The deletion is RECORDED as a ``vacuum`` commit entry (no
@@ -1174,11 +1211,27 @@ class TxTable:
         for v in vs[-(int(retain_last) + 1):]:
             retained |= set(self.snapshot(v)[1])
         referenced: set[str] = set()
+        removal_ts: dict[str, float] = {}
         for e in self.history():
             referenced |= set(e.get("added", []))
             if e.get("checkpoint"):
                 referenced |= set(e.get("live", []))
+            ts = float(e.get("ts", 0.0))
+            for rel in e.get("removed", []):
+                removal_ts[rel] = max(removal_ts.get(rel, 0.0), ts)
         dead = sorted(referenced - retained)
+        if retire_grace_sec > 0.0 and dead:
+            # Delta's deleted-file-retention rule: only delete files
+            # whose retiring commit is older than the grace relative to
+            # the newest commit (same clock as the orphan guard — no
+            # wall-clock dependence). A dead file with no recorded
+            # removal (shouldn't happen; defensive) is treated as
+            # just-retired and survives until a later vacuum.
+            newest_ts = float(self._entry(vs[-1]).get("ts", 0.0))
+            cutoff = newest_ts - float(retire_grace_sec)
+            dead = [
+                f for f in dead if removal_ts.get(f, newest_ts) <= cutoff
+            ]
         stranded = (
             self._orphan_files(referenced, orphan_grace_sec)
             if orphans
@@ -1192,6 +1245,8 @@ class TxTable:
                 "vacuumed": dead,
                 "retain_last": int(retain_last),
             }
+            if retire_grace_sec > 0.0:
+                entry["retire_grace_sec"] = float(retire_grace_sec)
             if stranded:
                 entry["orphans_swept"] = stranded
             for _ in range(max_retries):

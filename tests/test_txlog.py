@@ -1445,3 +1445,118 @@ def test_stream_crash_between_write_and_commit_then_orphan_reclaim(
     swept = t.vacuum(orphans=True, orphan_grace_sec=0.0)
     assert set(swept) >= residue, (swept, residue)
     assert t.read().count() == 24
+
+
+# -- round-13: reader-vs-vacuum race (r12 ask #3) ---------------------------
+
+
+def test_vacuum_retire_grace_keeps_recently_retired_files(spark, tmp_path):
+    """Delta's deleted-file-retention rule: with retire_grace_sec set,
+    a once-referenced file retired by a commit YOUNGER than the grace
+    (relative to the newest commit) survives the vacuum — so a reader
+    whose snapshot was resolved before the overwrite completes exactly.
+    A later vacuum with grace 0 still reclaims the aged files."""
+    from pm25ml_spark.sources.txlog import VacuumedSnapshotError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100, "old"))
+    pinned = t.read()  # resolves version 0's file list NOW
+    t.overwrite(_df(spark, 0, 10, "new"))
+    t.overwrite(_df(spark, 0, 5, "newer"))
+    # in-grace: both retiring commits are younger than 1h → no deletion
+    assert t.vacuum(retain_last=0, retire_grace_sec=3600.0) == []
+    assert pinned.count() == 100  # the long-running reader completes
+    assert t.read().count() == 5
+    # aged out (grace 0): the same files die under a later vacuum
+    dead = t.vacuum(retain_last=0)
+    assert dead
+    with pytest.raises(VacuumedSnapshotError):
+        t.read(version=0)
+
+
+def test_reader_behind_vacuum_fails_loud_never_partial(spark, tmp_path):
+    """The hazard the read-consistency contract documents: a reader
+    resolves a snapshot (lazy file list), a vacuum retires those files
+    BEFORE the action runs — the action must fail with a loud missing-
+    file error, never return a silently partial count (requires Spark's
+    default ignoreMissingFiles=false, which TxTable relies on)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 1000, "old").repartition(8))
+    pinned = t.read()
+    t.overwrite(_df(spark, 0, 10, "new"))
+    assert t.vacuum(retain_last=0)  # retires version 0's files
+    with pytest.raises(Exception) as ei:
+        pinned.count()
+    msg = str(ei.value)
+    assert any(
+        s in msg
+        for s in ("FileNotFound", "does not exist", "No such file")
+    ), f"expected a loud missing-file error, got: {msg[:500]}"
+
+
+def _race_reader_vs_vacuum(spark, path, retire_grace_sec):
+    """Shared harness: a REAL reader thread scanning version 0 through
+    a deliberately slow per-row UDF while a writer thread overwrites
+    twice and vacuums with the given grace. Returns ('ok', sum) or
+    ('err', message)."""
+    import threading
+    import time as _time
+
+    t = TxTable(spark, path)
+    t.append(_df(spark, 0, 2000, "old").repartition(16))
+    slow = F.udf(lambda x: (_time.sleep(0.002), x)[1], "long")
+    results: list[tuple] = []
+
+    def read_work():
+        try:
+            df = t.read()  # pins version 0's file list
+            s = df.select(F.sum(slow(F.col("id"))).alias("s")).collect()
+            results.append(("ok", s[0].s))
+        except Exception as exc:  # surfaced after join
+            results.append(("err", str(exc)))
+
+    def vac_work():
+        _time.sleep(0.1)  # let the scan start
+        w = TxTable(spark, path)  # own handle, as a real writer would
+        w.overwrite(_df(spark, 0, 10, "n1"))
+        w.overwrite(_df(spark, 0, 5, "n2"))
+        w.vacuum(retain_last=0, retire_grace_sec=retire_grace_sec)
+
+    rt = threading.Thread(target=read_work)
+    wt = threading.Thread(target=vac_work)
+    rt.start(), wt.start()
+    rt.join(timeout=300), wt.join(timeout=300)
+    assert results, "reader thread never finished"
+    return results[0]
+
+
+def test_reader_vs_vacuum_race_complete_or_loud(spark, tmp_path):
+    """Round-12 ask #3, grace 0: a mid-scan vacuum may win or lose the
+    race, but the reader's outcome is binary — the EXACT pinned-
+    snapshot result (files already open survive POSIX unlink) or a
+    loud missing-file error. Silently partial rows are the one
+    forbidden outcome."""
+    kind, val = _race_reader_vs_vacuum(
+        spark, str(tmp_path / "t"), retire_grace_sec=0.0
+    )
+    if kind == "ok":
+        assert val == sum(range(2000)), f"PARTIAL read: {val}"
+    else:
+        assert any(
+            s in val
+            for s in ("FileNotFound", "does not exist", "No such file")
+        ), f"unexpected error class: {val[:500]}"
+
+
+def test_reader_vs_vacuum_race_with_grace_always_completes(spark, tmp_path):
+    """Round-12 ask #3, graced: with retire_grace_sec above the read
+    duration the racing vacuum cannot touch the reader's files, so the
+    reader MUST complete with the exact pinned-snapshot sum — the
+    documented production setting for long-running concurrent reads."""
+    kind, val = _race_reader_vs_vacuum(
+        spark, str(tmp_path / "t"), retire_grace_sec=3600.0
+    )
+    assert (kind, val) == ("ok", sum(range(2000)))
+    # and the post-race latest snapshot is the writer's final overwrite
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.read().count() == 5
