@@ -172,16 +172,25 @@ class TxTable:
     def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
         """Write df's rows as uniquely-named parquet under the table dir
         (a fully parallel Spark job; nothing references the files until
-        the commit lands)."""
+        the commit lands). The committed ``n_rows`` is observed ON the
+        write job itself (``DataFrame.observe`` — accumulator-backed,
+        exact on the successful execution) instead of re-reading the
+        just-written files with a second count job: one Spark job per
+        commit, not two, at any scale."""
+        from pyspark.sql import Observation
+
         sub = f"part-{uuid.uuid4().hex}"
         out_dir = os.path.join(self.path, sub)
-        df.write.mode("errorifexists").parquet(out_dir)
+        obs = Observation(f"txwrite_{sub}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "errorifexists"
+        ).parquet(out_dir)
         files = [
             os.path.join(sub, f)
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        n = self.spark.read.parquet(out_dir).count()
+        n = int(obs.get["n"])
         return sorted(files), n
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -517,9 +526,14 @@ class TxTable:
         ``__b=<bucket>/`` subdirs (one partitionBy job). The bucket is
         LAYOUT metadata carried in the path, not a data column — reads
         of individual leaf files never see it."""
+        from pyspark.sql import Observation
+
         sub = f"part-{uuid.uuid4().hex}"
         out_dir = os.path.join(self.path, sub)
-        df.write.mode("errorifexists").partitionBy("__b").parquet(out_dir)
+        obs = Observation(f"txwriteb_{sub}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "errorifexists"
+        ).partitionBy("__b").parquet(out_dir)
         files = []
         for root, _dirs, names in os.walk(out_dir):
             for f in names:
@@ -532,7 +546,9 @@ class TxTable:
             # empties every touched bucket) — reading the dir back
             # would fail schema inference
             return [], 0
-        n = self.spark.read.parquet(out_dir).count()
+        # observed on the write job itself (see _write_files): no
+        # read-back count job per commit
+        n = int(obs.get["n"])
         return sorted(files), n
 
     @staticmethod
@@ -579,19 +595,31 @@ class TxTable:
         re-checks. ``_stamp_floor`` is the version the CALLER already
         scanned for stamps, so in-upsert scans only open entries above
         it (O(new commits), not O(history))."""
-        n_rows = df.count()
-        n_keys = df.select(key_col).distinct().count()
+        # ONE validation/planning job instead of three (count +
+        # distinct-count + touched-bucket collect): a single aggregate
+        # computes the row count, the distinct key count, the NULL-key
+        # row count, and the ≤ n_buckets touched-bucket set. The
+        # NULL-key term keeps the duplicate check exact without paying
+        # count_distinct's ignores-NULLs semantics: DISTINCT treats all
+        # NULL keys as one key, so n_keys = count_distinct + (nulls>0)
+        # — and 2+ NULL rows therefore still raise, as before.
+        bexpr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast(
+            "int"
+        )
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key_col)).alias("k"),
+            F.count(F.when(F.col(key_col).isNull(), 1)).alias("nulls"),
+            F.collect_set(bexpr).alias("bs"),
+        ).first()
+        n_rows = int(stats["n"])
+        n_keys = int(stats["k"]) + (1 if stats["nulls"] else 0)
         if n_keys != n_rows:
             raise ValueError(
                 f"upsert batch has {n_rows - n_keys} duplicate '{key_col}' keys"
             )
-        batch = df.withColumn(
-            "__b",
-            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"),
-        )
-        touched = sorted(
-            r[0] for r in batch.select("__b").distinct().collect()
-        )
+        batch = df.withColumn("__b", bexpr)
+        touched = sorted(int(b) for b in stats["bs"])
 
         def stamp_at(upto: int) -> int | None:
             """Version ≤ upto carrying _stamp, scanning only above the
@@ -964,7 +992,14 @@ class TxTable:
                     )
                 else:
                     merged = merged.repartition(n_out)
-                merged.write.mode("errorifexists").parquet(out_dir)
+                # n_rows observed on the rewrite job itself (see
+                # _write_files) — no per-group read-back count job
+                from pyspark.sql import Observation
+
+                obs = Observation(f"txcompact_{uuid.uuid4().hex}")
+                merged.observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ).write.mode("errorifexists").parquet(out_dir)
                 for name in os.listdir(out_dir):
                     if name.endswith(".parquet"):
                         files.append(
@@ -972,7 +1007,7 @@ class TxTable:
                                 os.path.join(out_dir, name), self.path
                             )
                         )
-                n += self.spark.read.parquet(out_dir).count()
+                n += int(obs.get["n"])
             files = sorted(files)
             removed = sorted(f for f, _ in small)
             pin = sv
@@ -1415,9 +1450,25 @@ def sink_stream_upsert(
         # a CDC stream can carry several updates for one key in a batch;
         # keep the last by ``order_col``, whose uniqueness per key is
         # ENFORCED (a tie would make max_by pick shuffle-order-
-        # dependently — silent nondeterministic table state)
-        n_pairs = batch_df.select(key_col, order_col).distinct().count()
-        if batch_df.count() != n_pairs:
+        # dependently — silent nondeterministic table state). ONE
+        # aggregate job instead of two (distinct-count + count):
+        # count_distinct skips NULL-carrying rows, so the cheap check is
+        # exact only when no (key, order) field is NULL — the rare
+        # NULL-carrying batch falls back to the old exact two-job check.
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key_col), F.col(order_col)).alias("k"),
+            F.count(
+                F.when(
+                    F.col(key_col).isNull() | F.col(order_col).isNull(), 1
+                )
+            ).alias("nulls"),
+        ).first()
+        if stats["nulls"]:
+            n_pairs = batch_df.select(key_col, order_col).distinct().count()
+        else:
+            n_pairs = int(stats["k"])
+        if int(stats["n"]) != n_pairs:
             raise ValueError(
                 f"duplicate ({key_col}, {order_col}) rows in micro-batch "
                 f"{batch_id}: latest-wins would be nondeterministic"
