@@ -53,11 +53,41 @@ def ordered_prefix_sum(
     sampling job is the only per-call overhead of the deterministic
     two-pass shape.
     """
+    return ordered_prefix_sums(
+        df, order_cols, [(value_col, out_col)], num_partitions, bucket
+    )
+
+
+def ordered_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    cols: list[tuple[str, str]],
+    num_partitions: int | None = None,
+    bucket=None,
+) -> DataFrame:
+    """Several inclusive prefix sums over ONE shared ``order_cols``
+    ordering, in one pass: ``cols`` is ``[(value_col, out_col), ...]``.
+
+    A composed plan that needs two cumulative columns in the same order
+    (e.g. the two-sample KS statistic's per-arm CDFs) would otherwise
+    chain two single-column calls — two persists, two bucket-total
+    aggregates, two windows, two broadcast joins, and a full extra
+    materialization of the first call's output. Sharing the pass costs
+    exactly what ONE call costs: the per-bucket total aggregate carries
+    one sum per column, the window one running sum per column, and each
+    column keeps its own integral-vs-decimal exactness contract — every
+    output column is bit-identical to its single-column spelling."""
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    integral = dict(df.dtypes)[value_col] in _INTEGRAL
-    sum_cast = "bigint" if integral else "decimal(38,6)"
-    out_type = "bigint" if integral else "double"
+    dtypes = dict(df.dtypes)
+    casts = {
+        v: (
+            ("bigint", "bigint")
+            if dtypes[v] in _INTEGRAL
+            else ("decimal(38,6)", "double")
+        )
+        for v, _ in cols
+    }
 
     # The operator scans its input in two jobs (split sampling; the
     # final job reads it twice — bucket totals + the window-join side);
@@ -82,9 +112,14 @@ def ordered_prefix_sum(
     # NULL has a NULL total — coalesce to 0, matching SUM-ignores-NULL
     # window semantics. Float totals stay DECIMAL end-to-end: offset +
     # local sum combine exactly, with ONE final deterministic cast.
-    zero = F.lit(0).cast(sum_cast)
     btot = part.groupBy("__bucket").agg(
-        F.coalesce(F.sum(F.col(value_col).cast(sum_cast)), zero).alias("__t")
+        *[
+            F.coalesce(
+                F.sum(F.col(v).cast(casts[v][0])),
+                F.lit(0).cast(casts[v][0]),
+            ).alias(f"__t_{v}")
+            for v, _ in cols
+        ]
     )
     w_off = (
         Window.orderBy("__bucket")
@@ -92,19 +127,29 @@ def ordered_prefix_sum(
     )
     odf = btot.select(
         "__bucket",
-        F.coalesce(F.sum("__t").over(w_off), zero)
-        .cast(sum_cast)
-        .alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__t_{v}").over(w_off), F.lit(0).cast(casts[v][0]))
+            .cast(casts[v][0])
+            .alias(f"__off_{v}")
+            for v, _ in cols
+        ],
     )
     w = (
         Window.partitionBy("__bucket")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = F.sum(F.col(value_col).cast(sum_cast)).over(w)
     out = part.join(F.broadcast(odf), "__bucket").select(
         *df.columns,
-        (F.col("__off") + local).cast(out_type).alias(out_col),
+        *[
+            (
+                F.col(f"__off_{v}")
+                + F.sum(F.col(v).cast(casts[v][0])).over(w)
+            )
+            .cast(casts[v][1])
+            .alias(o)
+            for v, o in cols
+        ],
     )
     # cache lifetime = returned plan's lifetime (operators/cache.py):
     # callers that drop the result release the persisted projection

@@ -114,19 +114,52 @@ def exact_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     the only aggregation over the full key space happens inside the
     bounded-memory sketch; the exact hash aggregate touches candidate
     keys only.
+
+    TWO scans of ``df``, not three: the MG pass already sees every row,
+    so each task also emits its partition's row count (one extra ``__pn``
+    row per task) and the global N comes from summing those — the
+    separate full-scan count job the old plan paid was pure duplicate
+    work. The tiny candidates+totals frame is persisted so the candidate
+    subtree and the N subtree of the one final plan both read the single
+    MG pass instead of re-running it.
     """
-    cand = mg_candidates(df, col, k)
-    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    import numpy as np  # noqa: F401  (parity with mg_summarizer's env)
+
+    base = mg_summarizer(col, k)
+
+    def summarize_with_total(batches):
+        total = 0
+
+        def counted():
+            nonlocal total
+            for pdf in batches:
+                total += len(pdf)
+                yield pdf
+
+        for out in base(counted()):
+            yield out.assign(__pn=0)
+        yield pd.DataFrame({col: [None], "__pn": [total]})
+
+    both = (
+        df.select(col)
+        .mapInPandas(summarize_with_total, f"{col} string, __pn bigint")
+        .persist()
+    )
+    cand = both.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = both.select(F.sum("__pn").alias("n_total"))
     counts = (
         df.join(F.broadcast(cand), col)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
+    from pm25ml_spark.operators.cache import release_with
+
+    out = (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("n") * k > F.col("n_total"))
         .select(col, "n")
     )
+    return release_with(out, both)
 
 
 def _rho(rest: F.Column, rest_bits: int) -> F.Column:

@@ -1266,8 +1266,7 @@ def m09_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pm25ml_spark.operators.bucketize import range_bucket_column
-    from pm25ml_spark.operators.prefix import ordered_prefix_sum
+    from pm25ml_spark.operators.prefix import ordered_prefix_sums
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
@@ -1287,11 +1286,11 @@ def m10_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.groupBy("value").agg(
         F.sum("a").alias("ga"), F.sum("b").alias("gb")
     )
-    # one split-sample shared by both cumulative columns
-    nparts = spark.sparkContext.defaultParallelism
-    bk = range_bucket_column(g, ["value"], nparts)
-    c1 = ordered_prefix_sum(g, ["value"], "ga", "ca", bucket=bk)
-    c2 = ordered_prefix_sum(c1, ["value"], "gb", "cb", bucket=bk)
+    # BOTH cumulative columns in one shared pass (one persist, one
+    # bucket-total aggregate, one window, one broadcast join — the
+    # chained two-call spelling materialized the first prefix sum a
+    # second time just to rank the second column over the same order)
+    c2 = ordered_prefix_sums(g, ["value"], [("ga", "ca"), ("gb", "cb")])
     tot = F.broadcast(
         g.agg(
             F.sum("ga").cast("bigint").alias("n1"),

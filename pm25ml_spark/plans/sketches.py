@@ -191,6 +191,10 @@ def sk03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+    # the 20-row probe frame feeds BOTH the estimate side and the final
+    # join — persist it so the vocabulary aggregate + top-k prune behind
+    # it run once per query, not once per consumer (the corpus is
+    # otherwise re-scanned and re-aggregated for each subtree)
     probes = (
         pre.withColumn(
             "rn",
@@ -200,15 +204,19 @@ def sk03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
         .drop("rn")
+        .persist()
     )
     counters = SK.cm_counters(bg, "b", d=_CM_D, w=_CM_W)
     est = SK.cm_estimate(probes.select("b"), counters, "b", d=_CM_D, w=_CM_W)
-    return probes.join(est, "b").select(
+    from pm25ml_spark.operators.cache import release_with
+
+    out = probes.join(est, "b").select(
         "b",
         "n_true",
         "cm_est",
         (F.col("cm_est") - F.col("n_true")).alias("overcount"),
     )
+    return release_with(out, probes)
 
 
 # --------------------------------------------------------------------------
@@ -299,7 +307,11 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sbg = docs.select("source", F.explode(word_ngrams("text", 2)).alias("b"))
-    sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K)
+    # the ≤ k·|sources|-row sketch feeds FOUR subtrees of the one final
+    # plan (theta, both sides of the retained-hash join, and via theta
+    # the pair frame) — persist it so the corpus-distinct + two-level
+    # bottom-k pipeline behind it runs once, not once per consumer
+    sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K).persist()
     th = SK.kmv_theta(sk, "source", _KMV_K)
     inter = SK.kmv_intersections(sk, th, "source")
     db = sbg.select("source", "b").distinct()
@@ -310,7 +322,9 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    return inter.join(ex, ["g1", "g2"], "left").select(
+    from pm25ml_spark.operators.cache import release_with
+
+    out = inter.join(ex, ["g1", "g2"], "left").select(
         "g1",
         "g2",
         "est_d1",
@@ -319,6 +333,7 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_intersection",
         F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
     )
+    return release_with(out, sk)
 
 
 # --------------------------------------------------------------------------
