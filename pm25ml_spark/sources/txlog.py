@@ -231,17 +231,105 @@ class TxTable:
             return v.isoformat()
         return v
 
+    # footer-stats fast path: above this many new files per commit the
+    # one Spark job parallelizes better than serial driver footer reads
+    _FOOTER_STATS_MAX_FILES = 64
+
+    def _file_stats_footer(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict[str, dict[str, list]] | None:
+        """Per-file min/max read from the just-written files' parquet
+        FOOTERS — driver-side metadata reads instead of a Spark job.
+        The footer statistics are the same bounds the Spark aggregate
+        would compute (and the prune re-filters rows on top, so even a
+        conservative bound can never change results — only skipping
+        effectiveness). Returns None whenever exactness is not
+        guaranteed, and the caller falls back to the Spark job:
+
+        - more than ``_FOOTER_STATS_MAX_FILES`` files (a big commit's
+          stats job parallelizes across executors; serial driver
+          footer reads would not),
+        - float/double columns (parquet stats omit NaN, Spark's
+          min/max sort it greatest — bounds could disagree),
+        - timestamp columns (tz rendering of the ISO encoding could
+          diverge from the collected-row path),
+        - long string bounds (>= 1 KiB: possible writer truncation),
+        - any missing/NaN-tainted chunk statistic or read error.
+        """
+        if len(files) > self._FOOTER_STATS_MAX_FILES:
+            return None
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow.types as pat
+
+            out: dict[str, dict[str, list]] = {}
+            for rel in files:
+                md = pq.ParquetFile(
+                    os.path.join(self.path, rel)
+                ).metadata
+                if md.num_rows == 0:
+                    continue  # the Spark path emits no row for it either
+                arrow_schema = md.schema.to_arrow_schema()
+                col_paths = [
+                    md.schema.column(i).path for i in range(md.num_columns)
+                ]
+                fstats: dict[str, list] = {}
+                for c in stats_cols:
+                    if c not in arrow_schema.names:
+                        # additive evolution: this file predates the
+                        # column — unknowable, same as the mergeSchema
+                        # Spark aggregate's all-NULL min/max
+                        fstats[c] = [None, None]
+                        continue
+                    t = arrow_schema.field(c).type
+                    if not (
+                        pat.is_integer(t)
+                        or pat.is_string(t)
+                        or pat.is_large_string(t)
+                        or pat.is_date(t)
+                    ):
+                        return None
+                    ci = col_paths.index(c)
+                    mn = mx = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None:
+                            return None
+                        if st.num_values == 0:
+                            continue  # all-NULL chunk adds no bound
+                        if not st.has_min_max:
+                            return None
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            lo, hi = lo.decode(), hi.decode()
+                        if isinstance(lo, str) and (
+                            len(lo) >= 1024 or len(hi) >= 1024
+                        ):
+                            return None
+                        mn = lo if mn is None or lo < mn else mn
+                        mx = hi if mx is None or hi > mx else mx
+                    fstats[c] = [self._stat_value(mn), self._stat_value(mx)]
+                out[rel] = fstats
+            return out
+        except Exception:
+            return None
+
     def _file_stats(
         self, files: list[str], stats_cols: list[str]
     ) -> dict[str, dict[str, list]]:
         """Per-file min/max of ``stats_cols`` for the just-written
-        files — ONE Spark job over the new files only (never the
-        table). Numeric and string columns only: their min/max
-        round-trip JSON exactly; anything else raises rather than
-        storing lossy stats a prune would then trust. mergeSchema:
-        compact feeds this files from per-bucket groups that may
-        diverge in schema (additive evolution) — a sampled-footer read
-        could drop a tracked column and fail the dtype check."""
+        files — parquet-footer metadata reads when exactness is
+        guaranteed (``_file_stats_footer``), else ONE Spark job over
+        the new files only (never the table). Numeric and string
+        columns only: their min/max round-trip JSON exactly; anything
+        else raises rather than storing lossy stats a prune would then
+        trust. mergeSchema: compact feeds this files from per-bucket
+        groups that may diverge in schema (additive evolution) — a
+        sampled-footer read could drop a tracked column and fail the
+        dtype check."""
+        fast = self._file_stats_footer(files, stats_cols)
+        if fast is not None:
+            return fast
         paths = [os.path.join(self.path, f) for f in files]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         self._check_stats_cols(dict(df.dtypes), stats_cols)
