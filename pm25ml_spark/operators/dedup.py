@@ -297,6 +297,91 @@ def jaccard_pairs_between(
     return out
 
 
+def jaccard_delta_pairs(
+    sh_batch: DataFrame,
+    sh_existing: DataFrame | None,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """The INGEST-BATCH DELTA of the exact-Jaccard pair set in ONE
+    prefix-filtered probe: all pairs ``(doc_a < doc_b, shared, jaccard)``
+    with J ≥ t whose LATER endpoint is in the batch — batch-internal
+    pairs AND batch-vs-existing cross pairs together.
+
+    The incremental lifecycles (``plans/dup_graph.dup_edges_incremental``,
+    ``streaming/dedup_maintain``) used to run TWO full pipelines per
+    batch — :func:`jaccard_pairs` over the batch plus
+    :func:`jaccard_pairs_between` against the pre-batch store — paying
+    the document-frequency aggregate, the per-doc prefix window, the
+    candidate join and the verification join twice each. Probing the
+    batch against (existing ∪ batch) yields the identical delta in one
+    pass: an internal pair is generated in both directions and collapses
+    under least/greatest + distinct, verification is exact either way,
+    and existing×existing pairs can never appear because the probe side
+    is batch-only. Both sides rank under ONE global (df, hash) order
+    computed over the union store — any shared total order satisfies the
+    prefix guarantee, so the result SET is unchanged; only candidate
+    efficiency depends on the order, and union document frequency is the
+    natural rarest-first.
+
+    ``sh_batch`` / ``sh_existing`` are :func:`shingle_arrays` frames
+    (``doc_id, h_arr, n_sh``); ``sh_existing=None`` means an empty store
+    (bootstrap batch — the result is exactly the batch's internal pair
+    set). Doc ids must be disjoint between the two frames, which the
+    append-only store gives by construction.
+    """
+    combined = (
+        sh_batch
+        if sh_existing is None
+        else sh_existing.select("doc_id", "h_arr", "n_sh").unionByName(
+            sh_batch.select("doc_id", "h_arr", "n_sh")
+        )
+    )
+    # one df aggregate over the union store — batch ⊆ combined, so the
+    # batch-side prefix finds every shingle in the same frequency frame
+    df_freq = (
+        combined.select(F.explode("h_arr").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pa = _ranked_prefix(sh_batch, t_num, t_den, df_freq=df_freq).select(
+        F.col("doc_id").alias("new_id"),
+        "s",
+        F.col("rn").alias("rn_a"),
+        F.col("n_sh").alias("na"),
+    )
+    pb = _ranked_prefix(combined, t_num, t_den, df_freq=df_freq).select(
+        F.col("doc_id").alias("other_id"),
+        "s",
+        F.col("rn").alias("rn_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    alpha = (
+        F.lit(t_num) * (F.col("na") + F.col("nb")) + F.lit(t_num + t_den - 1)
+    ).cast("long") / F.lit(t_num + t_den)
+    alpha = alpha.cast("long")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+    )
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("new_id") != F.col("other_id"))
+        .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
+        .filter(overlap_ub >= alpha)
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(cand, combined, t_num, t_den).select(
+        "doc_a",
+        "doc_b",
+        F.col("shared").cast("long").alias("shared"),
+        "jaccard",
+    )
+
+
 def _ranked_prefix(
     sh_arr: DataFrame, t_num: int, t_den: int, df_freq: DataFrame | None = None
 ) -> DataFrame:

@@ -204,36 +204,19 @@ def dup_edges_incremental(
 
     def make_delta(k: int, r: int):
         def build() -> DataFrame:
-            # the store AS OF this batch's arrival: base + batches < k
+            # the store AS OF this batch's arrival: base + batches < k.
+            # One probe of batch vs (existing ∪ batch) yields the full
+            # delta — internal + cross pairs — in a single df-aggregate/
+            # prefix/candidate/verify pipeline (jaccard_delta_pairs)
+            # instead of the two jaccard_pairs + jaccard_pairs_between
+            # pipelines this build used to run per batch.
             existing_sh = sh_t.read(version=sh_versions[k - 1])
             batch_sh = sh_t.read(version=sh_versions[k]).filter(
                 F.col("doc_id") % batch_mod == r
             )
-            batch_docs = docs.filter(rem == r)
-            earlier = [x for x in batch_rems[: k - 1]]
-            existing_docs = docs.filter(
-                ~rem.isin([x for x in batch_rems if x not in earlier])
-            )
-            cross = D.jaccard_pairs_between(
-                batch_docs,
-                existing_docs,
-                n=n,
-                t_num=t_num,
-                t_den=t_den,
-                sh_new=batch_sh,
-                sh_cor=existing_sh,
-            ).select(
-                F.least("new_id", "corpus_id").alias("doc_a"),
-                F.greatest("new_id", "corpus_id").alias("doc_b"),
-                "shared",
-                "jaccard",
-            )
-            internal = D.jaccard_pairs(
-                batch_docs, n=n, t_num=t_num, t_den=t_den, sh=batch_sh
-            ).select("doc_a", "doc_b", "shared", "jaccard")
-            return cross.unionByName(internal).withColumn(
-                "src_batch", F.lit(k)
-            )
+            return D.jaccard_delta_pairs(
+                batch_sh, existing_sh, t_num=t_num, t_den=t_den
+            ).withColumn("src_batch", F.lit(k))
 
         return build
 

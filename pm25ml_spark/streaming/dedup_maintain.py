@@ -95,27 +95,18 @@ def maintain_dup_edges_stream(
                 batch_sh.repartitionByRange(nparts, F.col("doc_id")),
                 stats_cols=["doc_id"],
             )
-            internal = D.jaccard_pairs(
-                batch_df, n=n, t_num=t_num, t_den=t_den, sh=batch_sh
-            ).select("doc_a", "doc_b", "shared", "jaccard")
-            delta = internal
-            if pre_version is not None:
-                existing_sh = shingle_table.read(version=pre_version)
-                cross = D.jaccard_pairs_between(
-                    batch_df,
-                    batch_df,  # unused: both shingle sides are given
-                    n=n,
-                    t_num=t_num,
-                    t_den=t_den,
-                    sh_new=batch_sh,
-                    sh_cor=existing_sh,
-                ).select(
-                    F.least("new_id", "corpus_id").alias("doc_a"),
-                    F.greatest("new_id", "corpus_id").alias("doc_b"),
-                    "shared",
-                    "jaccard",
-                )
-                delta = cross.unionByName(internal)
+            # one probe of batch vs (pre-batch store ∪ batch) yields the
+            # full delta — internal + cross pairs — in a single
+            # df-aggregate/prefix/candidate/verify pipeline instead of
+            # the two jaccard_pairs + jaccard_pairs_between pipelines
+            existing_sh = (
+                shingle_table.read(version=pre_version)
+                if pre_version is not None
+                else None
+            )
+            delta = D.jaccard_delta_pairs(
+                batch_sh, existing_sh, t_num=t_num, t_den=t_den
+            )
             edges_table.append(
                 delta.withColumn(
                     "src_batch", F.lit(int(batch_id))

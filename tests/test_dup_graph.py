@@ -136,6 +136,44 @@ def test_jaccard_between_equals_filtered_self_join(spark):
     assert got == want and got
 
 
+def test_jaccard_delta_pairs_equals_internal_plus_cross(spark):
+    """The consolidated one-probe delta (batch vs existing ∪ batch) must
+    equal the union of the batch's internal pair set and the
+    batch-vs-existing cross set — the exact partition of the full pair
+    set by later-arriving endpoint that the incremental lifecycles rely
+    on. Also checks the bootstrap case (no existing store)."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    sh_batch = D.shingle_arrays(batch, n=3)
+    sh_existing = D.shingle_arrays(docs.filter(F.col("doc_id") % 10 != 7), n=3)
+    got = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_delta_pairs(sh_batch, sh_existing).collect()
+    }
+    full = D.jaccard_pairs(docs, n=3, t_num=3, t_den=5).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in full
+        if (r.doc_a % 10 == 7) or (r.doc_b % 10 == 7)
+    }
+    assert got == want and got
+
+    boot = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_delta_pairs(sh_batch, None).collect()
+    }
+    internal = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_pairs(batch, n=3, t_num=3, t_den=5).collect()
+    }
+    assert boot == internal
+    sh_batch.unpersist()
+    sh_existing.unpersist()
+
+
 def test_staged_table_concurrent_first_build_is_single(spark, tmp_path):
     """Two threads racing the first build of the same artifact must
     produce exactly ONE build (double-checked lock) and both read the
