@@ -77,13 +77,19 @@ class Pm25Pipeline:
         the write-observed count."""
         grid_pdf = self.grid.select("grid_id", "lon", "lat").toPandas()
         # persist the decoded long rows: the write plan reads them through
-        # TWO join branches (pivot side + scaffold side) and the pivot's
-        # value discovery is a third pass — without the cache the granule
-        # decode (the heaviest I/O of the pipeline) executes ~3x
+        # TWO join branches (pivot side + scaffold side) — without the
+        # cache the granule decode (the heaviest I/O of the pipeline)
+        # executes once per branch
         long_rows = read_granules_to_grid(self.spark, granules, grid_pdf).persist()
+        # pivot values come from the manifest, not a discovery scan: the
+        # variables present in the decoded rows are exactly the manifest's
+        # (every granule emits its own variable), and passing them
+        # explicitly removes the eager distinct() pass over the decode.
+        # sorted() matches the column order Spark's own discovery produces.
+        variables = sorted({g.variable for g in granules})
         per_var = (
             long_rows.groupBy("grid_id", "date")
-            .pivot("variable")
+            .pivot("variable", variables)
             .agg(F.first("value"))
         )
         dates = long_rows.select("date").distinct()
