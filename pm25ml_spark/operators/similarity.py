@@ -475,18 +475,15 @@ def ivf_assign(
     )
 
 
-def ivf_commit_audit(written: DataFrame) -> dict:
-    """Per-commit IVF assignment-quality counters for the txlog entry
-    (``TxTable.append(entry_extra=...)``): row count, mean assigned-
-    list cosine DISTANCE (1 − asim), and the fraction of vectors whose
-    assigned similarity is ≤ 0 (no centroid even in their half-space —
-    the out-of-list analogue of the z-order clamped counter). One tiny
-    aggregate over the commit's already-written files."""
-    r = written.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.lit(1.0) - F.col("asim")).alias("md"),
-        F.avg(F.when(F.col("asim") <= 0.0, 1.0).otherwise(0.0)).alias("oo"),
-    ).collect()[0]
+def _ivf_audit_exprs() -> dict:
+    return {
+        "n": F.count(F.lit(1)),
+        "md": F.avg(F.lit(1.0) - F.col("asim")),
+        "oo": F.avg(F.when(F.col("asim") <= 0.0, 1.0).otherwise(0.0)),
+    }
+
+
+def _ivf_audit_fields(r) -> dict:
     return {
         "ivf_drift": {
             "n_rows": int(r["n"]),
@@ -494,6 +491,40 @@ def ivf_commit_audit(written: DataFrame) -> dict:
             "out_of_halfspace_frac": float(r["oo"] or 0.0),
         }
     }
+
+
+def ivf_commit_audit(written: DataFrame) -> dict:
+    """Per-commit IVF assignment-quality counters for the txlog entry
+    (``TxTable.append(entry_extra=...)``): row count, mean assigned-
+    list cosine DISTANCE (1 − asim), and the fraction of vectors whose
+    assigned similarity is ≤ 0 (no centroid even in their half-space —
+    the out-of-list analogue of the z-order clamped counter). One tiny
+    aggregate over the commit's already-written files. Prefer
+    :func:`ivf_audit_observed` on write paths — same counters, no
+    extra Spark job."""
+    r = written.agg(
+        *[c.alias(k) for k, c in _ivf_audit_exprs().items()]
+    ).collect()[0]
+    return _ivf_audit_fields(r)
+
+
+def ivf_audit_observed(extra_fields: dict | None = None):
+    """The :func:`ivf_commit_audit` counters as an
+    :class:`~pm25ml_spark.sources.txlog.ObservedEntryExtra` — the
+    aggregate rides the commit's WRITE job (``DataFrame.observe``)
+    instead of re-reading the just-written files, so a maintained
+    index pays one Spark job per commit, not two. ``extra_fields``
+    merges additional constant entry fields (e.g. a retrain's
+    ``ivf_model``)."""
+    from pm25ml_spark.sources.txlog import ObservedEntryExtra
+
+    def fin(metrics: dict) -> dict:
+        out = _ivf_audit_fields(metrics)
+        if extra_fields:
+            out.update(extra_fields)
+        return out
+
+    return ObservedEntryExtra(_ivf_audit_exprs(), fin)
 
 
 def ivf_drift_report(
@@ -602,7 +633,7 @@ def retrain_ivf(
     v = table.overwrite(
         assigned.repartitionByRange(nparts, F.col("cen")),
         stats_cols=["cen"],
-        entry_extra=lambda w: {**ivf_commit_audit(w), "ivf_model": model},
+        entry_extra=ivf_audit_observed({"ivf_model": model}),
     )
     return v, model
 

@@ -1436,7 +1436,7 @@ def d20_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # crash residue: a writer dies between its parallel file write and
     # its atomic commit — parquet on disk that no log entry references
-    orphan_files, _ = t._write_files(ev.limit(5).drop("__part"))
+    orphan_files, _, _ = t._write_files(ev.limit(5).drop("__part"))
     t.compact(target_file_bytes=max(total, 1 << 20))
     dead = t.vacuum(orphans=True, orphan_grace_sec=0.0)
     # lifecycle sanity (cheap metadata checks, not data reads): vacuum

@@ -493,7 +493,7 @@ def _ivf_lists_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("base", build_base), ("delta_batch", build_delta)],
         # per-commit assignment-quality audit → ivf_drift_report's
         # retrain signal (frozen-quantizer drift monitoring, r11 ask)
-        entry_extra=S.ivf_commit_audit,
+        entry_extra=S.ivf_audit_observed(),
         range_col="cen",
         stats_cols=["cen"],
         inputs=("embeddings",),
@@ -1410,7 +1410,7 @@ def ss17_ivf_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pm25ml_spark.operators.similarity import (
-        ivf_commit_audit,
+        ivf_audit_observed,
         ivf_drift_report,
         retrain_ivf,
     )
@@ -1426,7 +1426,7 @@ def ss17_ivf_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bootstrap: frozen (100,13) quantizer trained on the base corpus
     t.append(
         S.ivf_assign(base_corpus, centroid_stride=100, centroid_offset=13),
-        entry_extra=ivf_commit_audit,
+        entry_extra=ivf_audit_observed(),
     )
     # ingest refresh: the batch assigned against the SAME frozen model
     t.append(
@@ -1436,7 +1436,7 @@ def ss17_ivf_retrain_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             centroid_offset=13,
             cen_source=base_corpus,
         ),
-        entry_extra=ivf_commit_audit,
+        entry_extra=ivf_audit_observed(),
     )
     # the repair verb: fresh (100,7) quantizer from the CURRENT
     # vectors, full re-assign, atomic list swap, model in the commit

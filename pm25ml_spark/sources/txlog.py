@@ -53,6 +53,23 @@ class VacuumedSnapshotError(ValueError):
     Delta/Iceberg contract for reads behind VACUUM."""
 
 
+class ObservedEntryExtra:
+    """An ``entry_extra`` whose audit metadata rides the WRITE job's
+    ``DataFrame.observe`` instead of re-reading the just-written files
+    with a second Spark job — for audits that are plain global
+    aggregates over exactly the written rows (drift counters, IVF
+    assignment quality). ``exprs`` maps metric name → aggregate Column
+    evaluated over the written rows; ``finalize`` maps the observed
+    metrics dict to the entry fields to merge. Audits that need joins
+    or groupBys (e.g. typed drift with ``string_join`` dims or double
+    occupancy histograms) keep the callable form and its read-back
+    job — the commit machinery accepts either."""
+
+    def __init__(self, exprs: dict, finalize):
+        self.exprs = dict(exprs)
+        self.finalize = finalize
+
+
 _LOG_DIR = "_txlog"
 # append/overwrite auto-checkpoint when the claimed version crosses this
 # stride, so snapshot resolution stays O(tail) even for writers that
@@ -169,29 +186,38 @@ class TxTable:
             os.unlink(tmp)
         return version
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_files(
+        self, df: DataFrame, obs_exprs: dict | None = None
+    ) -> tuple[list[str], int, dict]:
         """Write df's rows as uniquely-named parquet under the table dir
         (a fully parallel Spark job; nothing references the files until
         the commit lands). The committed ``n_rows`` is observed ON the
         write job itself (``DataFrame.observe`` — accumulator-backed,
         exact on the successful execution) instead of re-reading the
         just-written files with a second count job: one Spark job per
-        commit, not two, at any scale."""
+        commit, not two, at any scale. ``obs_exprs`` (name → aggregate
+        Column) rides the same Observation — the audit-metadata
+        analogue (:class:`ObservedEntryExtra`); the observed metrics
+        come back as the third element."""
         from pyspark.sql import Observation
 
         sub = f"part-{uuid.uuid4().hex}"
         out_dir = os.path.join(self.path, sub)
         obs = Observation(f"txwrite_{sub}")
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "errorifexists"
-        ).parquet(out_dir)
+        exprs = [F.count(F.lit(1)).alias("__txn")]
+        if obs_exprs:
+            if "__txn" in obs_exprs:
+                raise ValueError("'__txn' is a reserved observation name")
+            exprs += [c.alias(k) for k, c in obs_exprs.items()]
+        df.observe(obs, *exprs).write.mode("errorifexists").parquet(out_dir)
         files = [
             os.path.join(sub, f)
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         ]
-        n = int(obs.get["n"])
-        return sorted(files), n
+        metrics = dict(obs.get)
+        n = int(metrics.pop("__txn"))
+        return sorted(files), n, metrics
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Auto-checkpoint on the stride so resolution stays O(tail)
@@ -203,6 +229,37 @@ class TxTable:
                 self.checkpoint()
             except CommitConflict:
                 pass
+
+    def _apply_entry_extra(
+        self, entry: dict, entry_extra, files: list[str], metrics: dict
+    ) -> None:
+        """Merge ``entry_extra``'s fields into the commit entry.
+        :class:`ObservedEntryExtra` finalizes the metrics observed on
+        the write job (no extra Spark job); a plain callable gets the
+        classic read-back frame over the just-written files."""
+        if entry_extra is None:
+            return
+        if isinstance(entry_extra, ObservedEntryExtra):
+            extra = entry_extra.finalize(metrics)
+        else:
+            written = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+            extra = entry_extra(written)
+        clash = set(extra) & set(entry)
+        if clash:
+            raise ValueError(
+                f"entry_extra may not override commit keys: {clash}"
+            )
+        entry.update(extra)
+
+    @staticmethod
+    def _obs_exprs(entry_extra) -> dict | None:
+        return (
+            entry_extra.exprs
+            if isinstance(entry_extra, ObservedEntryExtra)
+            else None
+        )
 
     @staticmethod
     def _check_stats_cols(dtypes: dict[str, str], stats_cols: list[str]) -> None:
@@ -374,21 +431,13 @@ class TxTable:
         recompute) and may not override reserved commit keys."""
         if stats_cols:
             self._check_stats_cols(dict(df.dtypes), stats_cols)
-        files, n = self._write_files(df)
+        files, n, metrics = self._write_files(
+            df, obs_exprs=self._obs_exprs(entry_extra)
+        )
         entry: dict = {"op": "append", "added": files, "n_rows": n}
         if stats_cols:
             entry["stats"] = self._file_stats(files, stats_cols)
-        if entry_extra is not None:
-            written = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in files]
-            )
-            extra = entry_extra(written)
-            clash = set(extra) & set(entry)
-            if clash:
-                raise ValueError(
-                    f"entry_extra may not override commit keys: {clash}"
-                )
-            entry.update(extra)
+        self._apply_entry_extra(entry, entry_extra, files, metrics)
         for _ in range(max_retries):
             try:
                 v = self._commit(entry)
@@ -522,21 +571,13 @@ class TxTable:
         would silently disable data skipping)."""
         if stats_cols:
             self._check_stats_cols(dict(df.dtypes), stats_cols)
-        files, n = self._write_files(df)
+        files, n, metrics = self._write_files(
+            df, obs_exprs=self._obs_exprs(entry_extra)
+        )
         entry: dict = {"op": "overwrite", "added": files, "n_rows": n}
         if stats_cols:
             entry["stats"] = self._file_stats(files, stats_cols)
-        if entry_extra is not None:
-            written = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in files]
-            )
-            extra = entry_extra(written)
-            clash = set(extra) & set(entry)
-            if clash:
-                raise ValueError(
-                    f"entry_extra may not override commit keys: {clash}"
-                )
-            entry.update(extra)
+        self._apply_entry_extra(entry, entry_extra, files, metrics)
         for _ in range(max_retries):
             # the removed set is only valid for the snapshot it was read
             # from — pin the commit to that version so an interleaved
@@ -1470,7 +1511,9 @@ def sink_stream_exactly_once(
         out = transform(batch_df) if transform is not None else batch_df
         if stats_cols:
             table._check_stats_cols(dict(out.dtypes), stats_cols)
-        files, n = table._write_files(out)
+        files, n, metrics = table._write_files(
+            out, obs_exprs=table._obs_exprs(entry_extra)
+        )
         entry = {
             "op": "stream-append",
             "added": files,
@@ -1479,17 +1522,7 @@ def sink_stream_exactly_once(
         }
         if stats_cols:
             entry["stats"] = table._file_stats(files, stats_cols)
-        if entry_extra is not None:
-            written = table.spark.read.parquet(
-                *[os.path.join(table.path, f) for f in files]
-            )
-            extra = entry_extra(written)
-            clash = set(extra) & set(entry)
-            if clash:
-                raise ValueError(
-                    f"entry_extra may not override commit keys: {clash}"
-                )
-            entry.update(extra)
+        table._apply_entry_extra(entry, entry_extra, files, metrics)
         while True:
             try:
                 v = table._commit(entry, at_version=cache.scanned + 1)

@@ -160,6 +160,47 @@ def typed_drift_row(written: DataFrame, spec: dict[str, dict]) -> dict:
     return out
 
 
+def _counters_to_drift(m: dict) -> dict:
+    return {
+        "zorder_drift": {
+            "n_rows": int(m["n"]),
+            "clamped": int(m["clamped"] or 0),
+            "nulls": int(m["nulls"] or 0),
+        }
+    }
+
+
+def _drift_entry_extra(bounds, spec):
+    """The per-commit drift audit as an entry_extra. Whenever the
+    counters are plain global aggregates (always for integer bounds;
+    for typed specs without ``string_join`` dictionaries or double
+    cut-bucket histograms — both need a join/groupBy the write job
+    cannot observe), they ride the commit's write job via
+    :class:`~pm25ml_spark.sources.txlog.ObservedEntryExtra`: one Spark
+    job per micro-batch commit instead of two. Otherwise the classic
+    read-back callable runs (:func:`typed_drift_row`)."""
+    from pm25ml_spark.sources.txlog import ObservedEntryExtra
+
+    def as_exprs(aggs) -> dict:
+        # _counter_aggs aliases are stable: n / clamped / nulls
+        return dict(zip(("n", "clamped", "nulls"), aggs))
+
+    if bounds is not None:
+        return ObservedEntryExtra(
+            as_exprs(_drift_counters(bounds)), _counters_to_drift
+        )
+    needs_readback = any(
+        (s["kind"] == "string_join" and s["dict"])
+        or (s["kind"] == "double" and s["cuts"])
+        for s in spec.values()
+    )
+    if needs_readback:
+        return lambda written: {"zorder_drift": typed_drift_row(written, spec)}
+    return ObservedEntryExtra(
+        as_exprs(_drift_counters_typed(spec)), _counters_to_drift
+    )
+
+
 def maintain_zorder_stream(
     stream_df: DataFrame,
     table,
@@ -212,18 +253,6 @@ def maintain_zorder_stream(
             )
         return keyed.repartitionByRange(nparts, F.col(key_col))
 
-    def drift(written: DataFrame) -> dict:
-        if bounds is not None:
-            r = written.agg(*_drift_counters(bounds)).collect()[0]
-            return {
-                "zorder_drift": {
-                    "n_rows": int(r["n"]),
-                    "clamped": int(r["clamped"] or 0),
-                    "nulls": int(r["nulls"] or 0),
-                }
-            }
-        return {"zorder_drift": typed_drift_row(written, spec)}
-
     q = sink_stream_exactly_once(
         stream_df,
         table,
@@ -231,7 +260,7 @@ def maintain_zorder_stream(
         checkpoint_dir=checkpoint_dir,
         transform=transform,
         stats_cols=stats_cols,
-        entry_extra=drift,
+        entry_extra=_drift_entry_extra(bounds, spec),
     )
     if not q.awaitTermination(timeout_s):
         q.stop()
