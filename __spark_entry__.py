@@ -90,24 +90,33 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r12: the vacuum lifecycle gained the orphan sweep (crash
-        # residue planted and reclaimed in-plan) — lifecycle changed,
-        # result rows invariant by design; verify that.
+        # r13 (optimization round): every query whose PHYSICAL plan or
+        # lifecycle changed this round — results invariant by design,
+        # verify that. Txlog write path (observed row counts, footer
+        # stats, one-job upsert validation):
+        "d12_txlog_upsert_merge",
+        "d13_txlog_time_travel",
         "d20_vacuum_lifecycle",
-        # r12: ss14 RETUNED single-table → 4-table postings (measured
-        # 0.40 → 0.875 recall@1); plan AND oracle changed.
-        "ss14_incremental_lsh_top1",
-        # r12: NEW query — IVF retrain lifecycle (frozen quantizer →
-        # drifted ingest → retrain_ivf full re-assign + atomic swap).
-        "ss17_ivf_retrain_lifecycle",
-        # r12: NEW query — IVFADC + exact rerank (ADC W=24 shortlist →
-        # broadcast fetch-by-id → exact cosine rescore), the measured
-        # two-stage remedy from RECALL.md.
-        "ss18_ivfpq_rerank_top3",
-        # r12: the typed maintainer's drift audit path changed
-        # (string_join membership via broadcast join, double-dim
-        # occupancy histograms) — result rows invariant; verify.
+        # r13: m10 dual prefix sums share one scan; sk01 MG pass shares
+        # candidates+totals via one cached frame.
+        "m10_ks_drift",
+        "sk01_heavy_hitters",
+        # r13: frozen hash-order prefix filter (row-local array_sort
+        # prefix, broadcast batch probe) across the exact-Jaccard
+        # family and its incremental/streaming lifecycles.
+        "dd03_jaccard_pairs",
+        "dd15_incremental_dedup",
+        "gr08_incremental_edges",
+        "st09_stream_dedup_graph",
+        # r13: commit audits ride the write job's Observation (drift
+        # counters, IVF assignment audits) — one job per commit.
+        "st10_stream_zorder_maintain",
         "st11_stream_typed_zorder",
+        "ss13_incremental_ivf_top2",
+        "ss17_ivf_retrain_lifecycle",
+        # r13: t12 trains the bigram LM off the per-(doc,bigram) tally
+        # (one corpus explode instead of two).
+        "t12_bigram_perplexity",
     }
     return sorted(
         names,

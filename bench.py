@@ -143,6 +143,11 @@ def main() -> None:
                   "d12", "d13", "d14", "d15", "d16", "d17", "d20"}
     small_dir = "/root/testdata/sf0.01"
     streaming_split: dict[str, dict] = {}
+    # A split-tag query whose small-sf pass threw stays in query_only_sec
+    # WITH its fixed overhead uncorrected; record those names so a
+    # partial correction pass is visible instead of silently skewing the
+    # cross-round comparison (BENCH_FULL "streaming_split_uncorrected").
+    split_uncorrected: list[str] = []
     try:
         small_sf = float(small_dir.rstrip("/").split("sf")[-1])
     except ValueError:
@@ -169,6 +174,7 @@ def main() -> None:
                     break
                 spark.catalog.clearCache()
             if t_small is None:
+                split_uncorrected.append(name)
                 continue
             t_big = timings[name]
             fixed = max(
@@ -225,6 +231,8 @@ def main() -> None:
         full["pipeline_e2e"] = pipe_stages
     if streaming_split:
         full["streaming_split"] = streaming_split
+    if split_uncorrected:
+        full["streaming_split_uncorrected"] = split_uncorrected
     if errors:
         full["errors"] = errors
     here = os.path.dirname(os.path.abspath(__file__))
