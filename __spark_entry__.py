@@ -114,9 +114,9 @@ def sample_order(names: list[str]) -> list[str]:
         "st11_stream_typed_zorder",
         "ss13_incremental_ivf_top2",
         "ss17_ivf_retrain_lifecycle",
-        # r13: t12 trains the bigram LM off the per-(doc,bigram) tally
-        # (one corpus explode instead of two).
-        "t12_bigram_perplexity",
+        # (t12's mid-round tally fold was REVERTED after a paired A/B —
+        # final code is byte-identical to its r12-green shape, so it
+        # rotates normally instead of burning a forced slot.)
     }
     return sorted(
         names,

@@ -535,16 +535,17 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id", F.explode(word_ngrams("text", 2)).alias("b")
     )
-    # ONE corpus explode+shuffle: the per-(doc, bigram) tally below is
-    # the scoring input anyway, and every LM table folds out of it —
-    # c(b) = Σ_doc n, then prefix counts and the vocabulary fold out of
-    # the VOCABULARY-sized cb table: c(w1 ·) = Σ cb over bigrams
-    # starting with w1, and (since every doc has ≥ 2 tokens) every token
-    # instance occurs in some bigram, so distinct-over-bigram-members ==
-    # distinct-over-tokens. Exact integer sums, value-identical to
-    # counting instances directly.
-    cdbg = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n")).persist()
-    cb = cdbg.groupBy("b").agg(F.sum("n").alias("cb"))
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    # the prefix counts and the vocabulary both fold out of the
+    # VOCABULARY-sized cb table instead of re-scanning the corpus:
+    # c(w1 ·) = Σ cb over bigrams starting with w1, and (since every doc
+    # has ≥ 2 tokens) every token instance occurs in some bigram, so
+    # distinct-over-bigram-members == distinct-over-tokens. One corpus
+    # aggregation trains the whole model; two scans instead of three.
+    # (r13 A/B: folding cb out of a persisted per-(doc, bigram) tally —
+    # one explode instead of two — measured SLOWER, 2.9 → 4.1 s min-of-6
+    # paired: the tally is near-corpus-sized, so materializing it costs
+    # more than the map-only re-explode it saves. Kept the two-scan shape.)
     cw = (
         cb.withColumn("w1", F.split("b", " ")[0])
         .groupBy("w1")
@@ -565,6 +566,7 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's exact-decimal HALF_UP and DuckDB's float-scaled round
     # disagree (observed at sf0.1: 3.388329 vs 3.38833). Integer rounding
     # makes both engines compute the identical value by construction.
+    cdbg = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     inst = (
         cdbg.withColumn("w1", F.split("b", " ")[0])
         .join(F.broadcast(cb), "b")
@@ -592,16 +594,11 @@ def t12_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.col("h_micro_sum").cast("double") / (
         F.col("n_bigrams") * 1_000_000.0
     )
-    from pm25ml_spark.operators.cache import release_with
-
-    return release_with(
-        per_doc.select(
-            "doc_id",
-            "n_bigrams",
-            (ce_micro / F.lit(1_000_000.0)).alias("cross_entropy"),
-            F.round(F.exp(h), 6).alias("perplexity"),
-        ),
-        cdbg,
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (ce_micro / F.lit(1_000_000.0)).alias("cross_entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
     )
 
 
