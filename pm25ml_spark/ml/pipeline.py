@@ -186,7 +186,12 @@ def train_imputation_model(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=n_folds + 1) as pool:
+    # 2-3 jobs in flight is plenty (guide §2.6): enough that each fit's
+    # straggler tail back-fills with the next fit's tasks, not so many
+    # that n_folds+1 concurrent GBT fits (11 at the reference's 10
+    # folds) fight for executors and thrash the scheduler at cluster
+    # scale. Results are order-pinned by the futures list either way.
+    with ThreadPoolExecutor(max_workers=min(3, n_folds + 1)) as pool:
         futures = [pool.submit(fit_fold, f) for f in range(n_folds)]
         final_future = pool.submit(fit_fold, None)
         cv_r2 = [f.result() for f in futures]

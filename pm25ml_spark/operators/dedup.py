@@ -37,6 +37,36 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, _HEX_LEN), 16, 10).cast("bigint")
 
 
+# Ceiling for the GUARDED broadcast hints below (guide §3.1: a few
+# hundred MB of broadcast is fine, multiple GB is a driver/executor OOM;
+# Spark hard-caps a broadcast relation at 8 GB / 512M rows). 128 MiB
+# leaves headroom for the hash-relation build overhead on top of the
+# estimated row bytes, and for the fact that these hints recur per
+# micro-batch in the incremental lifecycles.
+_BCAST_CAP_BYTES = 128 << 20
+
+
+def _bcast_if_small(df: DataFrame, cap_bytes: int = _BCAST_CAP_BYTES) -> DataFrame:
+    """Broadcast hint guarded by the optimizer's size ESTIMATE — driver-
+    side plan statistics, no job. The incremental probes broadcast their
+    batch-side prefix (and the verify joins their per-doc array tables)
+    because those frames are micro-batch/corpus-slice sized in the
+    intended topology — but nothing used to ENFORCE that: a backfill-
+    sized "batch" (10^7 docs × prefix length) hinted unconditionally
+    would OOM the driver at 100 TB. Unknown statistics default to
+    Catalyst's Long.Max-ish sentinel, so estimation failure or absent
+    stats degrades to NO hint and the planner/AQE picks a shuffle join —
+    the result set is identical either way (hints never change join
+    semantics, only strategy)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # py4j/analysis failure → let the planner choose
+        return df
+    return F.broadcast(df) if est <= cap_bytes else df
+
+
 def tokens(col="text") -> F.Column:
     return F.split(F.col(col), " ")
 
@@ -154,9 +184,10 @@ def _verify_pairs(
     (shared·den ≥ num·(na+nb−shared)) — no float boundary anywhere; the
     reported jaccard double is a single deterministic division.
 
-    The per-doc array table is broadcast (it is corpus-cardinality ×
-    ~1 KB; at true web scale flip ``broadcast_arrays=False`` and let AQE
-    plan the shuffle join).
+    The per-doc array table is broadcast only while its size ESTIMATE
+    stays under :data:`_BCAST_CAP_BYTES` (it is corpus-cardinality ×
+    ~1 KB, so past ~10^5 docs the guard drops the hint and AQE plans the
+    shuffle join); ``broadcast_arrays=False`` skips the hint outright.
     """
     arr_col = "h_arr" if "h_arr" in sh_arr.columns else "sh_arr"
     a = sh_arr.select(
@@ -170,7 +201,7 @@ def _verify_pairs(
         F.col("n_sh").alias("nb"),
     )
     if broadcast_arrays:
-        a, b = F.broadcast(a), F.broadcast(b)
+        a, b = _bcast_if_small(a), _bcast_if_small(b)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -248,13 +279,13 @@ def jaccard_pairs_between(
         F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
     )
     cand = (
-        F.broadcast(pa).join(pb, "s")
+        _bcast_if_small(pa).join(pb, "s")
         .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
         .filter(overlap_ub >= alpha)
         .select("new_id", "corpus_id")
         .distinct()
     )
-    a = F.broadcast(
+    a = _bcast_if_small(
         sh_new.select(
             F.col("doc_id").alias("new_id"),
             F.col("h_arr").alias("arr_a"),
@@ -359,7 +390,7 @@ def jaccard_delta_pairs(
         F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
     )
     cand = (
-        F.broadcast(pa).join(pb, "s")
+        _bcast_if_small(pa).join(pb, "s")
         .filter(F.col("new_id") != F.col("other_id"))
         .filter(F.least("na", "nb") * t_den >= t_num * F.greatest("na", "nb"))
         .filter(overlap_ub >= alpha)
@@ -838,7 +869,7 @@ def containment_pairs(
         F.col("doc_id").alias("doc_b"), F.col("h_arr").alias("arr_b")
     )
     if broadcast_arrays:
-        a, b = F.broadcast(a), F.broadcast(b)
+        a, b = _bcast_if_small(a), _bcast_if_small(b)
     shared = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
         cand.join(a, "doc_a")

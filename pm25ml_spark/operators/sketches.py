@@ -280,6 +280,41 @@ def cm_counters(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame
     )
 
 
+def cm_counters_from_counts(
+    counts: DataFrame,
+    col: str,
+    weight_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Counter table from a PRE-AGGREGATED ``(key, count)`` frame —
+    identical cells to :func:`cm_counters` over the underlying instances
+    (Σ per-key counts per cell ≡ per-cell instance count, exact integer
+    arithmetic), built with the ×d explode and the d per-row md5 calls
+    paid per DISTINCT key instead of per instance (guide §2.3 "aggregate
+    before you shuffle"). The shape for pipelines that already hold a
+    key-count aggregate for another consumer: sharing that aggregate
+    drops one full corpus explode+hash pass, and the sketch's own
+    aggregate shrinks from |instances|·d to |vocabulary|·d input rows.
+    ``cm_counters`` remains the right entry point when no count frame
+    exists (building one would BE the vocabulary-wide shuffle the sketch
+    exists to avoid).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"), _cm_col(F.col(col), i, w).alias("c")
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        counts.select(F.col(weight_col).alias("__n"), F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.sum("__n").alias("n"))
+    )
+
+
 def cm_estimate(
     probes: DataFrame, counters: DataFrame, col: str, d: int = 4, w: int = 1024
 ) -> DataFrame:

@@ -205,7 +205,15 @@ def sk03_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
-    counters = SK.cm_counters(bg, "b", d=_CM_D, w=_CM_W)
+    # the counter table derives from the SAME vocabulary aggregate the
+    # accuracy side already computes (cell count ≡ Σ per-key counts,
+    # exact integers): runtime exchange reuse shares the one corpus
+    # explode+aggregate between probes and counters, and the sketch's
+    # ×d explode + md5 run per distinct bigram instead of per instance
+    # (guide §2.3 — pre-aggregate before the explode)
+    counters = SK.cm_counters_from_counts(
+        counts, "b", "n_true", d=_CM_D, w=_CM_W
+    )
     est = SK.cm_estimate(probes.select("b"), counters, "b", d=_CM_D, w=_CM_W)
     return probes.join(est, "b").select(
         "b",
@@ -309,10 +317,18 @@ def sk04_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist() was A/B-measured SLOWER (4.2 s → 7.9 s at sf0.1: a
     # blocking materialization job plus an InMemoryTableScan barrier in
     # every consumer, for a subtree reuse the engine provided anyway)
-    sk = SK.kmv_bottomk(sbg, "b", "source", k=_KMV_K)
+    # ONE distinct (source, bigram) pass feeds both the sketch build and
+    # the exact-intersection yardstick: kmv_bottomk re-hashes and
+    # re-distincts on (source, h) anyway, so distinct-of-hashes over the
+    # distinct string pairs is value-identical to hashing the raw
+    # instances — but the corpus explode + tokenize + its exchange now
+    # run once (ReusedExchange) instead of twice, and the sketch's
+    # (source, h) distinct aggregates vocabulary-sized input instead of
+    # instance-sized (guide §2.3/§2.4)
+    db = sbg.select("source", "b").distinct()
+    sk = SK.kmv_bottomk(db, "b", "source", k=_KMV_K)
     th = SK.kmv_theta(sk, "source", _KMV_K)
     inter = SK.kmv_intersections(sk, th, "source")
-    db = sbg.select("source", "b").distinct()
     ex = (
         db.select(F.col("source").alias("g1"), "b")
         .join(db.select(F.col("source").alias("g2"), "b"), "b")

@@ -174,6 +174,46 @@ def test_jaccard_delta_pairs_equals_internal_plus_cross(spark):
     sh_existing.unpersist()
 
 
+def test_oversized_batch_degrades_to_shuffle_join(spark):
+    """The guarded broadcast hints (`_bcast_if_small`) must DROP the
+    hint when the plan-statistics estimate exceeds the cap: a
+    backfill-sized "batch" fed to the incremental probe degrades the
+    prefix and verify joins to shuffle joins instead of collecting
+    10^9 prefix rows into a broadcast relation (r13 VERDICT hazard #2).
+    A bench-sized batch must keep the broadcast (the plan the r13 wins
+    were measured on)."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+
+    huge = spark.range(1_000_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id")).alias("h_arr"),
+        F.lit(1).alias("n_sh"),
+    )
+    plan = (
+        D.jaccard_delta_pairs(huge, None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+    docs = load_table(spark, SF, "documents")
+    sh = D.shingle_arrays(docs, n=3)
+    try:
+        sh.count()  # materialize so the estimate is the real cached size
+        small_plan = (
+            D.jaccard_delta_pairs(sh, None)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in small_plan
+    finally:
+        sh.unpersist()
+
+
 def test_staged_table_concurrent_first_build_is_single(spark, tmp_path):
     """Two threads racing the first build of the same artifact must
     produce exactly ONE build (double-checked lock) and both read the
