@@ -20,6 +20,7 @@ from pm25ml_spark.operators import similarity as S
 from pm25ml_spark.plans import similarity as P
 from pm25ml_spark.plans.similarity import _qc
 from tools.ann_recall import recall_at, truth_topk
+import pytest
 
 SF = "/root/testdata/sf0.01"
 
@@ -28,6 +29,7 @@ def _recall(spark, df, truth, k):
     return recall_at(df.collect(), truth, k)
 
 
+@pytest.mark.slow
 def test_ivf_recall_floor_and_monotonicity(spark):
     truth3 = truth_topk(spark, SF, 3)
     _, q, _ = _qc(spark, SF)
@@ -66,6 +68,7 @@ def test_incremental_ivf_recall_floor(spark):
     assert r >= 0.70, r
 
 
+@pytest.mark.slow
 def test_lsh_recall_monotone_in_probe_radius_and_floor(spark):
     """Probe masks at radius h are a strict subset of radius h+1, so
     recall is monotone in h; the tables=1 radius sweep plus a
@@ -100,6 +103,7 @@ def test_lsh_recall_monotone_in_probe_radius_and_floor(spark):
     assert r4 >= 0.50, r4
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_floor_and_quantization_split(spark):
     """r12 ask #3: the rerank remedy, MEASURED. exact_rescore over an
     ADC shortlist must (a) beat the compressed-domain rank at the same
@@ -133,6 +137,7 @@ def test_ivfpq_rerank_floor_and_quantization_split(spark):
     assert rr[96] >= 0.90, rr
 
 
+@pytest.mark.slow
 def test_incremental_lsh_multitable_floor_and_retune_motivation(spark):
     """r12 ss14 retune pins: the (4, 2) default's floor (measured 0.90
     here, 0.875 at sf0.1), monotonicity in table count (more tables =

@@ -15,6 +15,7 @@ value-hash does).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 N = 10_007
 BUCKETS = 11
@@ -539,6 +540,7 @@ def test_st05_cdc_apply_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "st05_stream_cdc_latest_state")
 
 
+@pytest.mark.slow
 def test_st06_stream_attribution_invocations_agree(spark, sf_dir):
     _run_twice_hash_stable(spark, sf_dir, "st06_stream_attribution")
 

@@ -60,6 +60,7 @@ def test_kmeans_inertia_non_increasing(spark, corpus):
     assert inertias[0] >= inertias[1] - 1e-9 >= inertias[2] - 2e-9
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_deterministic_and_better(spark):
     """k-means|| seeding: deterministic across runs, k rows, and the
     resulting fit's inertia is no worse than the naive lowest-id init on

@@ -571,6 +571,7 @@ def test_weighted_sample_prune_equals_naive_topk(spark):
     }
 
 
+@pytest.mark.slow
 def test_weighted_sample_favors_heavy_rows(spark):
     """Across 50 independent seeds, a row with 100x the weight of the
     rest is sampled far more often — the A-ES inclusion-probability
@@ -657,6 +658,7 @@ def test_iv02_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_interval_join_negative_endpoints_true_floor(spark):
     """Bucket ids use exact long floor-division: negative endpoints get
     their own buckets (truncate-toward-zero would merge buckets -1..0,

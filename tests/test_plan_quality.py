@@ -387,6 +387,7 @@ def test_ss09_multitable_join_is_bucket_equi(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.slow
 def test_lsh_query_plans_read_staged_postings(spark, sf_dir):
     """ss03/ss09 read the build-once staged postings table (r10): the
     query-time plan must scan the raw embeddings parquet exactly ONCE
@@ -496,20 +497,34 @@ def _walk_physical(node):
         yield from _walk_physical(it.next())
 
 
-def test_no_unbounded_unpartitioned_windows_anywhere(spark, sf_dir):
-    offenders = {}
+@pytest.fixture(scope="module")
+def catalog_plan_census(spark, sf_dir):
+    """Per-query physical-plan node counts for the catalog-wide audits,
+    built ONCE and shared: building a lifecycle query's plan RUNS its
+    setup (txlog commits, stream drains), so walking the whole catalog
+    costs ~100 s — the two audits below used to pay it twice (the single
+    largest item in the verify driver's pytest budget)."""
+    census = {}
     for name, fn in QUERIES.items():
-        n_unpart = sum(
-            1
-            for n in _walk_physical(
-                fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
-            )
-            if n.getClass().getSimpleName() == "WindowExec"
-            and n.partitionSpec().size() == 0
-        )
+        cart = unpart = 0
+        for n in _walk_physical(
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        ):
+            simple = n.getClass().getSimpleName()
+            if simple == "CartesianProductExec":
+                cart += 1
+            elif simple == "WindowExec" and n.partitionSpec().size() == 0:
+                unpart += 1
+        census[name] = {"cartesians": cart, "unpart_windows": unpart}
+    return census
+
+
+def test_no_unbounded_unpartitioned_windows_anywhere(catalog_plan_census):
+    offenders = {}
+    for name, counts in catalog_plan_census.items():
         allowed = _BOUNDED_GLOBAL_WINDOWS.get(name, (0, ""))[0]
-        if n_unpart > allowed:
-            offenders[name] = n_unpart
+        if counts["unpart_windows"] > allowed:
+            offenders[name] = counts["unpart_windows"]
     assert not offenders, (
         f"unpartitioned WindowExec over a potentially unbounded frame in: "
         f"{offenders} — either repartition the window, apply the "
@@ -770,18 +785,12 @@ def test_q26_threshold_broadcast_no_extra_shuffle(spark, sf_dir):
 # one-row cross joins compile to BroadcastNestedLoopJoin with a 1-row
 # build side, which is fine and NOT flagged by this audit; only true
 # CartesianProductExec nodes fail.
-def test_no_cartesian_product_anywhere(spark, sf_dir):
-    offenders = {}
-    for name, fn in QUERIES.items():
-        n_cart = sum(
-            1
-            for n in _walk_physical(
-                fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
-            )
-            if n.getClass().getSimpleName() == "CartesianProductExec"
-        )
-        if n_cart:
-            offenders[name] = n_cart
+def test_no_cartesian_product_anywhere(catalog_plan_census):
+    offenders = {
+        name: counts["cartesians"]
+        for name, counts in catalog_plan_census.items()
+        if counts["cartesians"]
+    }
     assert not offenders, (
         f"CartesianProduct in: {offenders} — a join lost its equi-key or "
         f"a broadcast hint was dropped; restore the blocked/banded/"

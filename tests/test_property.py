@@ -14,6 +14,7 @@ import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 SETTINGS = settings(
     max_examples=12,
@@ -40,6 +41,7 @@ SETTINGS = settings(
     ),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_asof_backward_matches_bruteforce(spark, left, right):
     from pm25ml_spark.operators.asof import asof_join_backward
 
@@ -81,6 +83,7 @@ _WORDS = ["aa", "bb", "cc", "dd", "ee"]
     )
 )
 @SETTINGS
+@pytest.mark.slow
 def test_jaccard_prefix_filter_is_lossless(spark, docs):
     from pm25ml_spark.operators.dedup import jaccard_pairs
 
@@ -118,6 +121,7 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs):
     )
 )
 @SETTINGS
+@pytest.mark.slow
 def test_jaccard_between_prefix_filter_is_lossless(spark, docs):
     from pm25ml_spark.operators.dedup import jaccard_pairs_between
 
@@ -182,6 +186,7 @@ def test_stratified_split_exact_counts(spark, sizes, frac):
     n_vecs=st.integers(3, 10),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_blocked_neardup_invariant_to_block_count(spark, n_blocks, n_vecs):
     from pm25ml_spark.operators.similarity import cosine_neardup_pairs
 
@@ -212,6 +217,7 @@ def test_blocked_neardup_invariant_to_block_count(spark, n_blocks, n_vecs):
     )
 )
 @SETTINGS
+@pytest.mark.slow
 def test_connected_components_match_union_find(spark, edges):
     from pm25ml_spark.operators.components import connected_components
 
@@ -353,6 +359,7 @@ def test_delaunay_property_random(n, seed):
     shuffle_seed=st.integers(0, 3),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_decimate_partitioned_property(spark, n, every, nparts, shuffle_seed):
     import random
 
@@ -523,6 +530,7 @@ def test_rank_scale_monotone_clamped_null_safe(spark, vals, lo, span, bits):
     bits=st.integers(min_value=3, max_value=10),
 )
 @SETTINGS
+@pytest.mark.slow
 def test_typed_string_rank_preserves_lexicographic_order(spark, words, bits):
     """Dictionary rank must order exactly like the string column itself
     — otherwise a BETWEEN predicate's stats prune and the z-layout

@@ -192,6 +192,7 @@ def test_csv_source_roundtrip_with_declared_schema(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_lsh_multitable_superset_and_dedup(spark):
     """L tables union candidates: every single-table hit survives with a
     >= score, no (qid, cid) pair ranks twice, runs deterministic."""
@@ -505,6 +506,7 @@ def test_lsh_postings_append_only_under_ingest(spark):
         assert a == b
 
 
+@pytest.mark.slow
 def test_incremental_lsh_postings_equal_full_rebuild(spark, tmp_path):
     """ss14's incrementally-maintained postings artifact (base commit +
     batch delta) must equal a from-scratch signing of the full corpus —
@@ -765,6 +767,7 @@ def test_retrain_ivf_repairs_drift_and_resets_signal(spark, tmp_path):
     assert rep2["commits"] == 2 and rep2["retrain"] is False, rep2
 
 
+@pytest.mark.slow
 def test_retrain_ivf_kmeans_path(spark, tmp_path):
     """retrain_ivf(use_kmeans=True) — the trained-quantizer variant:
     the persisted model (arange ids + k-means centroids) reproduces a

@@ -203,6 +203,7 @@ def test_contamination_stream_bloom_matches_plain_stream(spark, tmp_path, sf_dir
     assert plain == bloom and len(plain) > 0
 
 
+@pytest.mark.slow
 def test_hll_register_stream_matches_batch(spark, tmp_path, sf_dir):
     """HLL registers maintained over a 3-micro-batch document stream
     equal the batch registers over the same corpus — the streaming-agg
@@ -286,6 +287,7 @@ def test_heavy_hitter_stream_candidates_recount_exact(spark, tmp_path, sf_dir):
     assert want and got == want
 
 
+@pytest.mark.slow
 def test_cm_counter_stream_matches_batch(spark, tmp_path, sf_dir):
     """Count-Min counters maintained over a 3-micro-batch stream equal
     the batch counter table over the same corpus (sum-mergeability as a
@@ -325,6 +327,7 @@ def test_cm_counter_stream_matches_batch(spark, tmp_path, sf_dir):
     }
 
 
+@pytest.mark.slow
 def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
     """The stateful bottom-k stream (O(k) state per group) converges to
     the batch kmv_bottomk over the same rows — the KMV merge is
@@ -388,6 +391,7 @@ def test_kmv_sketch_stream_matches_batch_bottomk(spark, tmp_path, sf_dir):
     assert th_stream == th_batch
 
 
+@pytest.mark.slow
 def test_stream_stream_attribution_matches_batch(spark, tmp_path, sf_dir):
     """Stream-stream watermarked interval join == the static join, with
     the events deliberately split across 3 micro-batches (time-ordered
@@ -483,6 +487,7 @@ def test_catalog_drain_never_mutates_caller_session(spark):
     assert out.sparkSession is not spark
 
 
+@pytest.mark.slow
 def test_stream_maintained_dup_edges(spark, tmp_path):
     """Streaming foreachBatch maintenance of the dup-edge artifact:
     after draining a 3-way split of the corpus, the edge table equals

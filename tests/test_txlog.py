@@ -402,6 +402,7 @@ def test_upsert_bucket_count_mismatch_raises(spark, tmp_path):
         t.upsert(_kv(spark, [(2, "b", 1)]), "k", n_buckets=16)
 
 
+@pytest.mark.slow
 def test_stream_upsert_cdc_apply_matches_latest_state(spark, tmp_path):
     """Drive a CDC stream (3 micro-batches of keyed updates) through
     sink_stream_upsert; the table must equal 'latest row per key', and
@@ -621,6 +622,7 @@ def test_sink_upsert_rejects_tied_order_col(spark, tmp_path):
         raise RuntimeError("StreamingQuery should have failed")
 
 
+@pytest.mark.slow
 def test_randomized_interleavings_with_upserts(spark, tmp_path):
     """Fuzz the FULL writer surface (append / overwrite / upsert /
     compact / checkpoint) across two table handles with a keyed row
@@ -785,6 +787,7 @@ def test_merge_schema_read_and_time_travel_pin(spark, tmp_path):
     assert "extra" not in old.columns and old.count() == 5
 
 
+@pytest.mark.slow
 def test_randomized_upsert_delete_interleavings(spark, tmp_path):
     """Fuzz the NEW delete verb against upserts from two handles: a
     random schedule of keyed upserts and keyed deletes must always
@@ -1251,6 +1254,7 @@ def test_vacuum_orphan_sweep_composes_with_retention(spark, tmp_path):
     assert last["vacuumed"] and set(last["vacuumed"]).isdisjoint(orphans)
 
 
+@pytest.mark.slow
 def test_concurrent_writer_stress_matches_serial_oracle(spark, tmp_path):
     """Round-12 ask #4: REAL thread concurrency on one table — the race
     arms (_commit's pinned claims, upsert's re-plan on conflict,
@@ -1333,6 +1337,7 @@ def test_concurrent_writer_stress_matches_serial_oracle(spark, tmp_path):
     assert got2 == expected
 
 
+@pytest.mark.slow
 def test_vacuum_orphan_sweep_reclaims_bucketed_residue(spark, tmp_path):
     """The bucketed writer (upsert's layout) crashes the same way the
     flat one does, but its residue nests under part-*/__b=k/ — the
