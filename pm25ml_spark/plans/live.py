@@ -84,6 +84,18 @@ def _isolated(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions",
         spark.conf.get("spark.sql.shuffle.partitions"),
     )
+    # AvailableNow drains don't need the trailing NO-DATA micro-batch the
+    # engine runs after the watermark advances: our sinks are complete
+    # mode (the empty batch re-emits the identical full table), update
+    # mode (no key changed -> emits nothing), or append-mode
+    # dedup/inner-join (rows emit on arrival; the empty batch only
+    # evicts state that is about to be discarded with the drain).
+    # Skipping it removes one full state-store commit round per stateful
+    # drain — a per-query pass-count cut, not a local[32] tuning (the
+    # same trailing batch is dead weight at any scale). Measured paired
+    # at sf0.1: st06 3.96 -> 2.93 s, st02 1.47 -> 1.14 s, rows
+    # bit-identical across the st-family (see OPTIMIZATION_r14.md).
+    child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     return child
 
 
@@ -799,6 +811,7 @@ def d13_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st05_stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _isolated(spark)  # drain confs never touch the caller's session
     from pm25ml_spark.sources.txlog import TxTable, sink_stream_upsert
     from pm25ml_spark.streaming.events import read_events_stream
 

@@ -1585,6 +1585,13 @@ def sink_stream_upsert(
                 )
             ).alias("nulls"),
         ).first()
+        if int(stats["n"]) == 0:
+            # empty micro-batch (e.g. a no-data watermark batch): an
+            # upsert of zero keys touches zero buckets and commits
+            # nothing — skip the whole merge plan. A replayed empty
+            # batch is an identical no-op, so exactly-once holds
+            # without recording a stamp for it.
+            return
         if stats["nulls"]:
             n_pairs = batch_df.select(key_col, order_col).distinct().count()
         else:
