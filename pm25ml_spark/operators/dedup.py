@@ -332,6 +332,7 @@ def jaccard_delta_pairs(
     sh_existing: DataFrame | None,
     t_num: int = 3,
     t_den: int = 5,
+    sh_combined: DataFrame | None = None,
 ) -> DataFrame:
     """The INGEST-BATCH DELTA of the exact-Jaccard pair set in ONE
     prefix-filtered probe: all pairs ``(doc_a < doc_b, shared, jaccard)``
@@ -362,14 +363,31 @@ def jaccard_delta_pairs(
     (bootstrap batch — the result is exactly the batch's internal pair
     set). Doc ids must be disjoint between the two frames, which the
     append-only store gives by construction.
+
+    ``sh_combined`` (optional): a frame whose ROW SET equals
+    existing ∪ batch — the incremental lifecycles pass the shingle
+    store's just-committed snapshot (batch appended first), a plain
+    parquet read. That does two things the explicit union cannot:
+    the union's cached batch leg forces every consumer through an
+    ``InMemoryTableScan``, which Spark 4 AQE wraps in per-subtree
+    ``TableCacheQueryStage`` nodes so the verify join's two broadcasts
+    NEVER canonicalize equal and the store is collected TWICE per
+    probe; over one parquet snapshot the second broadcast becomes a
+    ``ReusedExchange`` (verified in the final adaptive plan), cutting
+    the per-batch store-wide passes from 3 (prefix + 2 verify builds)
+    to 2 (guide §1.2 / §2.4). Result-identical: verification reads the
+    same (doc_id, h_arr, n_sh) rows either way.
     """
-    combined = (
-        sh_batch
-        if sh_existing is None
-        else sh_existing.select("doc_id", "h_arr", "n_sh").unionByName(
-            sh_batch.select("doc_id", "h_arr", "n_sh")
+    if sh_combined is not None:
+        combined = sh_combined.select("doc_id", "h_arr", "n_sh")
+    else:
+        combined = (
+            sh_batch
+            if sh_existing is None
+            else sh_existing.select("doc_id", "h_arr", "n_sh").unionByName(
+                sh_batch.select("doc_id", "h_arr", "n_sh")
+            )
         )
-    )
     pa = _sorted_prefix(sh_batch, t_num, t_den).select(
         F.col("doc_id").alias("new_id"),
         "s",

@@ -210,12 +210,18 @@ def dup_edges_incremental(
             # prefix/candidate/verify pipeline (jaccard_delta_pairs)
             # instead of the two jaccard_pairs + jaccard_pairs_between
             # pipelines this build used to run per batch.
-            existing_sh = sh_t.read(version=sh_versions[k - 1])
             batch_sh = sh_t.read(version=sh_versions[k]).filter(
                 F.col("doc_id") % batch_mod == r
             )
+            # the version-k snapshot IS existing ∪ batch — pass it as
+            # the probe's combined side so both verify broadcasts share
+            # one parquet scan (ReusedExchange; see jaccard_delta_pairs)
             return D.jaccard_delta_pairs(
-                batch_sh, existing_sh, t_num=t_num, t_den=t_den
+                batch_sh,
+                None,
+                t_num=t_num,
+                t_den=t_den,
+                sh_combined=sh_t.read(version=sh_versions[k]),
             ).withColumn("src_batch", F.lit(k))
 
         return build

@@ -90,22 +90,26 @@ def maintain_dup_edges_stream(
         # the jobs run eagerly inside foreachBatch)
         batch_sh = D.shingle_arrays(batch_df, n=n)
         try:
-            pre_version = shingle_table.latest_version()
-            shingle_table.append(
+            post_version = shingle_table.append(
                 batch_sh.repartitionByRange(nparts, F.col("doc_id")),
                 stats_cols=["doc_id"],
             )
             # one probe of batch vs (pre-batch store ∪ batch) yields the
             # full delta — internal + cross pairs — in a single
             # df-aggregate/prefix/candidate/verify pipeline instead of
-            # the two jaccard_pairs + jaccard_pairs_between pipelines
-            existing_sh = (
-                shingle_table.read(version=pre_version)
-                if pre_version is not None
-                else None
-            )
+            # the two jaccard_pairs + jaccard_pairs_between pipelines.
+            # The store-∪-batch side reads the POST-append snapshot —
+            # the identical row set as one parquet scan (bootstrap
+            # included: empty store + batch = the snapshot), so the
+            # verify join's second broadcast becomes a ReusedExchange
+            # instead of a second store-wide collect (see
+            # jaccard_delta_pairs).
             delta = D.jaccard_delta_pairs(
-                batch_sh, existing_sh, t_num=t_num, t_den=t_den
+                batch_sh,
+                None,
+                t_num=t_num,
+                t_den=t_den,
+                sh_combined=shingle_table.read(version=post_version),
             )
             edges_table.append(
                 delta.withColumn(

@@ -174,6 +174,48 @@ def test_jaccard_delta_pairs_equals_internal_plus_cross(spark):
     sh_existing.unpersist()
 
 
+def test_delta_pairs_snapshot_combined_reuses_one_broadcast(spark, tmp_path):
+    """`sh_combined` (the store's post-append parquet snapshot) must
+    (a) yield the identical pair set as the explicit existing-∪-batch
+    union, and (b) plan the verify join's two array broadcasts as ONE
+    BroadcastExchange + a ReusedExchange — the r14 pass-count cut. Over
+    the cached-union form Spark 4 AQE wraps each InMemoryTableScan in
+    its own TableCacheQueryStage, so reuse can never fire there; the
+    parquet snapshot is what makes the second collect disappear."""
+    from pm25ml_spark.catalog import load_table
+    from pm25ml_spark.operators import dedup as D
+    from pm25ml_spark.sources.txlog import TxTable
+
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    sh_batch = D.shingle_arrays(batch, n=3)
+    sh_existing = D.shingle_arrays(
+        docs.filter(F.col("doc_id") % 10 != 7), n=3
+    )
+    t = TxTable(spark, str(tmp_path / "sh_store"))
+    t.append(sh_existing.select("doc_id", "h_arr", "n_sh"))
+    v = t.append(sh_batch.select("doc_id", "h_arr", "n_sh"))
+
+    snap = D.jaccard_delta_pairs(
+        sh_batch, None, sh_combined=t.read(version=v)
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in snap.collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.shared, round(r.jaccard, 9))
+        for r in D.jaccard_delta_pairs(sh_batch, sh_existing).collect()
+    }
+    assert got == want and got
+
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    sh_batch.unpersist()
+    sh_existing.unpersist()
+
+
 def test_oversized_batch_degrades_to_shuffle_join(spark):
     """The guarded broadcast hints (`_bcast_if_small`) must DROP the
     hint when the plan-statistics estimate exceeds the cap: a
