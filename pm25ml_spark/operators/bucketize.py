@@ -97,13 +97,42 @@ def range_bucket_column(
     order_cols: list[str],
     num_buckets: int,
     rows_per_split: int = 128,
+    splits: list[tuple] | None = None,
 ) -> tuple[Column, int]:
     """Return ``(bucket_expr, n_buckets)`` where ``bucket_expr`` assigns
     each row a bucket id in ``[0, n_buckets)`` that is monotone in the
     lexicographic ``order_cols`` order and depends ONLY on the row's own
     key values (never on physical partitioning). ``n_buckets`` can be
     smaller than requested when the sample has few distinct keys.
+
+    ``splits``: optional caller-provided ascending split tuples — skips
+    the sampling job entirely. Splits only affect bucket BALANCE, never
+    correctness, so any ascending list over the key domain is valid
+    (callers that already hold related splits — e.g. a09's MAD pass
+    folding the value splits around each group median — drop one
+    corpus pass per call, guide §1.2).
     """
+    key_schema = df.select(*order_cols).schema
+    col_types = {f.name: f.dataType for f in key_schema.fields}
+    if splits is not None:
+        return _splits_to_expr(splits, order_cols, col_types)
+    return _splits_to_expr(
+        range_bucket_splits(df, order_cols, num_buckets, rows_per_split),
+        order_cols,
+        col_types,
+    )
+
+
+def range_bucket_splits(
+    df: DataFrame,
+    order_cols: list[str],
+    num_buckets: int,
+    rows_per_split: int = 128,
+) -> list[tuple]:
+    """The sampling half of :func:`range_bucket_column`: one pass over
+    ``df`` returning the ascending split tuples (numeric single keys take
+    the JVM ``approxQuantile`` fast path). Exposed so multi-pass callers
+    can sample once and share/derive splits across related bucketings."""
     key_schema = df.select(*order_cols).schema
     col_types = {f.name: f.dataType for f in key_schema.fields}
 
@@ -112,7 +141,7 @@ def range_bucket_column(
             df, order_cols[0], col_types[order_cols[0]], num_buckets
         )
         if fast is not None:
-            return _splits_to_expr(fast, order_cols, col_types)
+            return fast
 
     cap = max(rows_per_split, 8)
 
@@ -161,7 +190,7 @@ def range_bucket_column(
             if cand > (splits[-1] if splits else keys[0]):
                 splits.append(cand)
 
-    return _splits_to_expr(splits, order_cols, col_types)
+    return splits
 
 
 def _splits_to_expr(

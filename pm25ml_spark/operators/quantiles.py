@@ -145,6 +145,7 @@ def grouped_exact_quantiles(
     ps: list[float],
     num_partitions: int | None = None,
     max_driver_tallies: int = DEFAULT_MAX_DRIVER_TALLIES,
+    splits: list[tuple] | None = None,
 ) -> DataFrame:
     """Per-GROUP exact order statistics — ``(group_cols..., p double,
     value <col type>)`` with the same ``max(1, ceil(p*n))`` rank
@@ -188,7 +189,9 @@ def grouped_exact_quantiles(
     # a derived input (e.g. the MAD pass's |x - median| broadcast join)
     # evaluates once instead of three times
     vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
-    bucket_expr, _ = range_bucket_column(vals, [value_col], nparts)
+    # caller-provided splits skip the sampling pass (balance-only knob;
+    # see range_bucket_column)
+    bucket_expr, _ = range_bucket_column(vals, [value_col], nparts, splits=splits)
     tagged = vals.withColumn("__bucket", bucket_expr)
     counts = (
         tagged.groupBy("__bucket", *group_cols)

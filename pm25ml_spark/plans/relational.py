@@ -1061,6 +1061,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pm25ml_spark.operators.bucketize import range_bucket_splits
     from pm25ml_spark.operators.quantiles import grouped_exact_quantiles
 
     ev = (
@@ -1068,18 +1069,41 @@ def a09_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    med = grouped_exact_quantiles(ev, ["event_type"], "value", [0.5]).select(
-        "event_type", F.col("value").alias("med")
-    )
-    # med/mad are |group|-row frames — broadcast joins, zero shuffle of ev
+    # ONE split-sampling pass serves both quantile calls: the med pass
+    # buckets on the value splits directly, and the MAD pass's |value −
+    # med| splits fold those same splits around each group median —
+    # splits only steer bucket BALANCE (range_bucket_column), so the
+    # derived list is exact-by-construction and the second
+    # approxQuantile corpus pass disappears (guide §1.2).
+    nparts = spark.sparkContext.defaultParallelism
+    vsplits = range_bucket_splits(ev, ["value"], nparts)
+    med_df = grouped_exact_quantiles(
+        ev, ["event_type"], "value", [0.5], splits=vsplits
+    ).select("event_type", F.col("value").alias("med"))
+    # med/mad are |group|-row frames — collected once: the driver needs
+    # the medians for the fold anyway, and re-emitting them as a 1-
+    # partition literal frame keeps the pick kernel out of `a`'s lineage
+    med_rows = med_df.collect()
+    med = spark.createDataFrame(med_rows, med_df.schema)
     a = (
         ev.join(F.broadcast(med), "event_type")
         .withColumn("adev", F.abs(F.col("value") - F.col("med")))
         .persist()
     )
-    mad = grouped_exact_quantiles(a, ["event_type"], "adev", [0.5]).select(
-        "event_type", F.col("value").alias("mad")
+    cuts = sorted(
+        {abs(s[0] - float(r["med"])) for s in vsplits for r in med_rows}
     )
+    cuts = [c for c in cuts if c > 0.0]
+    if len(cuts) > nparts - 1:  # cap the bucket expression length
+        step = len(cuts) / (nparts - 1)
+        cuts = sorted({cuts[int(i * step)] for i in range(nparts - 1)})
+    mad = grouped_exact_quantiles(
+        a,
+        ["event_type"],
+        "adev",
+        [0.5],
+        splits=[(c,) for c in cuts],
+    ).select("event_type", F.col("value").alias("mad"))
     return (
         a.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

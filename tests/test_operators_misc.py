@@ -786,3 +786,35 @@ def test_k04_negative_sum_division_parity(spark, tmp_path):
     ).to_parquet(f"{sf}/events.parquet", index=False)
     out = QUERIES["k04_grid_smooth"](spark, sf)
     assert_match(out, run_oracle(ORACLES["k04_grid_smooth"], sf), "k04-neg")
+
+
+def test_grouped_quantiles_invariant_to_caller_splits(spark):
+    """Caller-provided range splits steer bucket BALANCE only: even a
+    deliberately skewed split list must yield bit-identical quantiles to
+    the sampled default — the property a09's fold-derived MAD splits
+    (r14) rely on. Also pins the degenerate empty-splits case (one
+    bucket: the pick kernel sorts the whole group)."""
+    from pyspark.sql import functions as F
+
+    from pm25ml_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.range(10_007).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 7919) % 10_007).cast("double").alias("v"),
+    )
+    ps = [0.01, 0.5, 0.99]
+    want = {
+        (r.g, r.p, r.value)
+        for r in grouped_exact_quantiles(df, ["g"], "v", ps).collect()
+    }
+    skewed = {
+        (r.g, r.p, r.value)
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", ps, splits=[(1.0,), (2.0,), (9000.0,)]
+        ).collect()
+    }
+    one_bucket = {
+        (r.g, r.p, r.value)
+        for r in grouped_exact_quantiles(df, ["g"], "v", ps, splits=[]).collect()
+    }
+    assert want == skewed == one_bucket and want
