@@ -90,33 +90,39 @@ def sample_order(names: list[str]) -> list[str]:
     # round verdict) are treated as never-verified so they lead the next
     # sample; remove entries once re-verified green.
     force_next = {
-        # r13 (optimization round): every query whose PHYSICAL plan or
-        # lifecycle changed this round — results invariant by design,
-        # verify that. Txlog write path (observed row counts, footer
-        # stats, one-job upsert validation):
-        "d12_txlog_upsert_merge",
-        "d13_txlog_time_travel",
-        "d20_vacuum_lifecycle",
-        # r13: m10 dual prefix sums share one scan; sk01 MG pass shares
-        # candidates+totals via one cached frame.
-        "m10_ks_drift",
-        "sk01_heavy_hitters",
-        # r13: frozen hash-order prefix filter (row-local array_sort
-        # prefix, broadcast batch probe) across the exact-Jaccard
-        # family and its incremental/streaming lifecycles.
-        "dd03_jaccard_pairs",
+        # r14 (optimization round 2): every query whose PHYSICAL plan or
+        # drain lifecycle changed this round — results invariant by
+        # design, verify that. Streaming drains skip the trailing
+        # no-data micro-batch (complete/update/append emission
+        # unchanged); st04 is a built-in update-mode aggregation; st05
+        # drains in an isolated session with the empty-batch early
+        # return:
+        "st01_stream_sessions",
+        "st02_stream_hourly_volume",
+        "st03_stream_dedup_totals",
+        "st04_stateful_user_checksums",
+        "st05_stream_cdc_latest_state",
+        "st06_stream_attribution",
+        "st07_stream_static_enrichment",
+        "st08_stream_sliding_volume",
+        # r14: incremental dedup probes verify against the store's
+        # post-append parquet snapshot (one broadcast + ReusedExchange
+        # instead of two cache-backed builds):
         "dd15_incremental_dedup",
         "gr08_incremental_edges",
+        "gr09_ingest_batch_summary",
         "st09_stream_dedup_graph",
-        # r13: commit audits ride the write job's Observation (drift
-        # counters, IVF assignment audits) — one job per commit.
-        "st10_stream_zorder_maintain",
-        "st11_stream_typed_zorder",
-        "ss13_incremental_ivf_top2",
-        "ss17_ivf_retrain_lifecycle",
-        # (t12's mid-round tally fold was REVERTED after a paired A/B —
-        # final code is byte-identical to its r12-green shape, so it
-        # rotates normally instead of burning a forced slot.)
+        # r14: a09 shares one split-sampling pass across its two
+        # quantile calls (fold-derived MAD splits, literal median frame);
+        # cp04 persists the benchmark n-gram set across its three
+        # consumers.
+        "a09_mad_outliers",
+        "cp04_decontamination_bloom",
+        # (r13's force_next set was fully verified green by the r13
+        # driver run — those entries rotate normally again. The r14
+        # coalesce(1) experiment on a09/a10 gid frames was REVERTED
+        # after a paired A/B; a10's final code is byte-identical to its
+        # r13-green shape.)
     }
     return sorted(
         names,

@@ -136,10 +136,15 @@ def contamination_hits_bloom(
     verify is a shuffle join — on ~1% of the corpus instead of 100% of
     it, which is the entire point.
     """
+    from pm25ml_spark.operators.cache import release_with
     from pm25ml_spark.operators.dedup import word_ngrams
 
     grams = word_ngrams(text_col, n)
-    bench = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    # persisted: the distinct benchmark n-gram set is consumed THREE
+    # times (the sizing count, the bitset build, the exact-verify
+    # broadcast) — without the cache each consumer re-runs the
+    # benchmark explode + distinct shuffle (guide §1.2)
+    bench = benchmark.select(F.explode(grams).alias("gram")).distinct().persist()
     n_bench = bench.count()  # one count of the (already distinct) set
     m_bits, k = optimal_params(n_bench, fpr)
     bitset = build_bloom_bitset(bench, "gram", m_bits, k)
@@ -148,7 +153,7 @@ def contamination_hits_bloom(
     suspects = bloom_might_contain(corp, "gram", bitset, k).filter(
         F.col("maybe_member")
     )
-    return (
+    out = (
         suspects.join(F.broadcast(bench), "gram")  # exact verify: fpr → 0
         .groupBy(id_col)
         .agg(
@@ -156,3 +161,4 @@ def contamination_hits_bloom(
             F.countDistinct("gram").alias("n_spans"),
         )
     )
+    return release_with(out, bench)  # cache lives as long as the plan
